@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Determinism helpers implementing SURVEY.md §7.3 (rules D1–D7).
+  *
+  * The driver's correctness gate is a hash match against DuckDB, so every
+  * floating-point output must be bit-identical across engines. Two sources
+  * of divergence are neutralized here:
+  *
+  *  1. '''Summation order.''' `sum(double)` depends on partial-aggregation
+  *     order, which differs between Spark (shuffle partials) and DuckDB
+  *     (parallel hash agg). Fix: cast each row to an exact DECIMAL before
+  *     summing — decimal addition is associative/commutative, so any order
+  *     yields the same value on both engines.
+  *  2. '''round() dialect drift.''' Spark rounds doubles via their shortest
+  *     decimal representation (BigDecimal.valueOf), DuckDB via the exact
+  *     binary value; `round(2.675, 2)` can differ. Fix: re-represent the
+  *     double as DECIMAL(38,10) first (where both engines agree except for
+  *     ~1e-16-probability boundary cases), then round in exact decimal
+  *     arithmetic (HALF_UP == away-from-zero on both engines), then cast
+  *     back to double.
+  *
+  * Raw column values passed through unchanged (min/max/filter/sort) need no
+  * treatment — both engines read identical doubles from parquet.
+  */
+object Exact {
+
+  /** Deterministic cross-engine round of a computed double expression. */
+  def roundN(c: Column, n: Int): Column =
+    round(c.cast("decimal(38,10)"), n).cast("double")
+
+  /** SQL twin of [[roundN]] for oracle text. */
+  def roundNSql(expr: String, n: Int): String =
+    s"CAST(ROUND(CAST($expr AS DECIMAL(38,10)), $n) AS DOUBLE)"
+
+  /** Order-insensitive sum of a money-like double (≤4 meaningful dp). */
+  def sumDec(c: Column): Column = sum(c.cast("decimal(18,4)"))
+
+  /** Order-insensitive sum for products of money doubles (needs 8 dp). */
+  def sumDec8(c: Column): Column = sum(c.cast("decimal(28,8)"))
+
+  /** sum → round(2) → double; the standard money-sum output shape. */
+  def sumMoney2(c: Column): Column = round(sumDec(c), 2).cast("double")
+
+  def sumMoney2Sql(expr: String): String =
+    s"CAST(ROUND(SUM(CAST($expr AS DECIMAL(18,4))), 2) AS DOUBLE)"
+
+  def sumDec8Money2Sql(expr: String): String =
+    s"CAST(ROUND(SUM(CAST($expr AS DECIMAL(28,8))), 2) AS DOUBLE)"
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table loaders (schemas documented in FIXTURES.md).
+  *
+  * All declared queries read via these helpers so the parquet scan is the
+  * single place Catalyst applies column pruning / predicate pushdown.
+  * Schemas come from the parquet footers (identical across scale factors);
+  * no inference is involved.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  /** `events.ts` is parquet `timestamp[ns]`, which Spark's parquet reader
+    * rejects outright ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,…))").
+    * Read the nanos as a long (legacy conf) and floor-divide to µs — exact
+    * integer arithmetic (`div`, not `/`: the ns epoch ≈ 1.7e18 exceeds
+    * double's 2^53 exact range). All declared queries then `date_trunc` to
+    * second-or-coarser (SURVEY D4), so µs-vs-ns can never leak into output.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}

@@ -1,0 +1,199 @@
+package graft.functions
+
+import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+
+/** SURVEY §2 B.8 scalar function families + the custom scalar UDF.
+  *
+  * Everything except `udf_scalar` uses codegen'd built-ins
+  * (`org.apache.spark.sql.functions._`) so the whole projection stays inside
+  * WholeStageCodegen. Derived int outputs are cast to long to match DuckDB's
+  * BIGINT results (year(), length(), size() are 32-bit in Spark).
+  */
+object Scalars {
+
+  /** LCG hash `(x*1103515245 + 12345) mod 2^31` — pure 64-bit integer
+    * arithmetic on non-negative keys, so it is bit-portable to any SQL
+    * dialect (SURVEY B.8 `udf_scalar`).
+    */
+  val lcg: Long => Long = x => (x * 1103515245L + 12345L) % 2147483648L
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "fn_string",
+      (s, d) =>
+        Tables.part(s, d)
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("un"),
+            lower(col("p_brand")).as("lb"),
+            substring(col("p_name"), 1, 5).as("s5"),
+            trim(concat(lit("  "), col("p_name"), lit("  "))).as("tr"),
+            concat(col("p_brand"), lit("#"), col("p_type")).as("cc"),
+            lpad(col("p_brand"), 12, "*").as("lp"),
+            regexp_replace(col("p_name"), lit(" "), lit("_")).as("rp"),
+            length(col("p_name")).cast("long").as("len"),
+            regexp_extract(col("p_type"), "[A-Za-z]+", 0).as("rx"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  UPPER(p_name) AS un, LOWER(p_brand) AS lb,
+             |  SUBSTRING(p_name, 1, 5) AS s5,
+             |  TRIM('  ' || p_name || '  ') AS tr,
+             |  p_brand || '#' || p_type AS cc,
+             |  LPAD(p_brand, 12, '*') AS lp,
+             |  REPLACE(p_name, ' ', '_') AS rp,
+             |  LENGTH(p_name) AS len,
+             |  REGEXP_EXTRACT(p_type, '[A-Za-z]+', 0) AS rx
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    QueryDef(
+      "fn_date",
+      (s, d) =>
+        Tables.orders(s, d)
+          .withColumn("od", col("o_orderdate").cast("date"))
+          .select(
+            col("o_orderkey"), col("od"),
+            year(col("od")).cast("long").as("y"),
+            month(col("od")).cast("long").as("m"),
+            dayofmonth(col("od")).cast("long").as("dd"),
+            date_trunc("month", col("od")).cast("date").as("month_start"),
+            date_add(col("od"), 30).as("plus30"),
+            datediff(col("od"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+            last_day(col("od")).as("month_end"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+             |  CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+             |  CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+             |  CAST(day(CAST(o_orderdate AS DATE)) AS BIGINT) AS dd,
+             |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+             |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+             |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+             |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef(
+      "fn_math",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            Exact.roundN(abs(col("l_quantity") - 25d), 4).as("a"),
+            ceil(col("l_extendedprice")).as("c"),
+            floor(col("l_extendedprice")).as("f"),
+            Exact.roundN(sqrt(col("l_quantity")), 4).as("sq"),
+            Exact.roundN(log(col("l_extendedprice")), 4).as("lg"),
+            Exact.roundN(exp(col("l_discount")), 4).as("ex"),
+            Exact.roundN(pow(col("l_quantity"), 2d), 4).as("pw"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some(s"""SELECT l_orderkey, l_linenumber,
+              |  ${Exact.roundNSql("ABS(l_quantity - 25)", 4)} AS a,
+              |  CAST(CEIL(l_extendedprice) AS BIGINT) AS c,
+              |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS f,
+              |  ${Exact.roundNSql("SQRT(l_quantity)", 4)} AS sq,
+              |  ${Exact.roundNSql("LN(l_extendedprice)", 4)} AS lg,
+              |  ${Exact.roundNSql("EXP(l_discount)", 4)} AS ex,
+              |  ${Exact.roundNSql("POW(l_quantity, 2)", 4)} AS pw
+              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef(
+      "fn_case_cast",
+      (s, d) =>
+        Tables.orders(s, d)
+          .select(
+            col("o_orderkey"),
+            when(col("o_totalprice") < 50000d, "low")
+              .when(col("o_totalprice") < 150000d, "mid")
+              .otherwise("high").as("band"),
+            col("o_orderkey").cast("string").as("key_str"),
+            col("o_custkey").cast("string").cast("long").as("key_roundtrip"),
+            floor(col("o_totalprice") / 1000d).cast("long").as("price_k"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_totalprice < 50000 THEN 'low'
+             |       WHEN o_totalprice < 150000 THEN 'mid'
+             |       ELSE 'high' END AS band,
+             |  CAST(o_orderkey AS VARCHAR) AS key_str,
+             |  CAST(CAST(o_custkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+             |  CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef(
+      "fn_array",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .select(
+            col("doc_id"),
+            size(col("toks")).cast("long").as("n_toks"),
+            array_contains(col("toks"), "spark").as("has_spark"),
+            sort_array(col("toks")).as("sorted_toks"),
+            slice(col("toks"), 1, 3).as("first3"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_toks,
+             |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+             |  list_sort(string_split(text, ' ')) AS sorted_toks,
+             |  string_split(text, ' ')[1:3] AS first3
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Real MapType plumbing on the Spark side; the oracle avoids a JSON
+    // extension dependency by regexp-extracting the single int field of
+    // props (`{"k": <int>}`, FIXTURES.md).
+    QueryDef(
+      "fn_map",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("m", from_json(col("props"), MapType(StringType, IntegerType)))
+          .select(
+            col("event_id"),
+            element_at(col("m"), "k").cast("long").as("k"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    QueryDef(
+      "fn_json",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy(col("event_type"))
+          .agg(
+            sum(col("k")).as("sum_k"),
+            count(lit(1)).as("n"),
+            Exact.roundN(sum(col("k")).cast("double") / count(lit(1)), 4).as("avg_k"))
+          .orderBy("event_type"),
+      Some(s"""SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(*) AS n,
+              |  ${Exact.roundNSql("CAST(SUM(k) AS DOUBLE) / COUNT(*)", 4)} AS avg_k
+              |FROM (SELECT event_type, CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k
+              |      FROM events) t
+              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "fn_explode",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("word"))
+          .limit(20),
+      Some("""SELECT word, COUNT(*) AS cnt
+             |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+             |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin)),
+
+    QueryDef(
+      "udf_scalar",
+      (s, d) => {
+        val lcgUdf = udf(lcg)
+        Tables.customer(s, d)
+          .select(col("c_custkey"), lcgUdf(col("c_custkey")).as("lcg_hash"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  (c_custkey * 1103515245 + 12345) % 2147483648 AS lcg_hash
+             |FROM customer ORDER BY c_custkey""".stripMargin))
+  )
+}

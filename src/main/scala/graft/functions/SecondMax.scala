@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Custom UDAF (SURVEY B.4 `agg_second_max`): second-largest *distinct*
+  * value per group. Tracks the top-2 distinct doubles in a tiny buffer, so
+  * the merge is O(1) and the aggregate stays map-side-combinable — at
+  * 100 TB this behaves like any partial-aggregatable built-in.
+  *
+  * Buffer/output encode "unset" as NaN (the fixtures contain no NaNs);
+  * callers filter NaN out rather than dealing with Option encoders.
+  */
+object SecondMax extends Aggregator[Double, (Double, Double), Double] {
+
+  private def unset(x: Double): Boolean = x.isNaN
+
+  override def zero: (Double, Double) = (Double.NaN, Double.NaN)
+
+  private def push(b: (Double, Double), v: Double): (Double, Double) = {
+    val (m1, m2) = b
+    if (unset(m1)) (v, Double.NaN)
+    else if (v == m1) b
+    else if (v > m1) (v, m1)
+    else if (unset(m2) || v > m2) (m1, v)
+    else b
+  }
+
+  override def reduce(b: (Double, Double), v: Double): (Double, Double) = push(b, v)
+
+  override def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) = {
+    var acc = a
+    if (!unset(b._1)) acc = push(acc, b._1)
+    if (!unset(b._2)) acc = push(acc, b._2)
+    acc
+  }
+
+  override def finish(b: (Double, Double)): Double = b._2
+
+  override def bufferEncoder: Encoder[(Double, Double)] =
+    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}

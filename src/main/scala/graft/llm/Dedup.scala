@@ -1,0 +1,142 @@
+package graft.llm
+
+import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/** SURVEY §2 B.10 — deduplication operators for training-data pipelines.
+  *
+  * Scale design: `dedup_exact` is a single hash-shuffle on the text key;
+  * `dedup_jaccard_pairs` self-joins only inside `(lang, source)` blocks, so
+  * the candidate set grows with block size, not corpus size — the same
+  * blocking discipline that keeps near-dup mining feasible at 100 TB.
+  * `dedup_minhash` is the scale path: MinHash-LSH bands make candidate
+  * generation ~linear; `dedup_simhash` provides a 16-bit fingerprint whose
+  * hash arithmetic is plain integer SQL, portable to the DuckDB oracle.
+  */
+object Dedup {
+
+  /** Portable token pseudo-hash: (ascii(first)*8191 + ascii(last)*131 +
+    * len*17) mod 2^16. Weak as a hash, but pure integer scalar arithmetic —
+    * bit-identical in any SQL dialect (same D7 reasoning as `udf_scalar`).
+    */
+  private def tokHash(tok: Column): Column =
+    ((ascii(substring(tok, 1, 1)) * 8191 +
+      ascii(substring(reverse(tok), 1, 1)) * 131 +
+      length(tok) * 17) % 65536).cast("long")
+
+  private val tokHashSql =
+    "((ascii(substring(tok, 1, 1)) * 8191 + ascii(substring(reverse(tok), 1, 1)) * 131 + length(tok) * 17) % 65536)"
+
+  private val SimhashBits = 16
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "dedup_exact",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+          .select("doc_id", "n_copies")
+          .orderBy("doc_id"),
+      Some("""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+             |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)),
+
+    // Token-set Jaccard ≥ 0.6 inside (lang, source) blocks. The division is
+    // int/int→double, identical IEEE on both engines, so the threshold
+    // compare and the 4dp round are exact.
+    QueryDef(
+      "dedup_jaccard_pairs",
+      (s, d) => {
+        val doc = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"),
+            array_distinct(split(col("text"), " ")).as("toks"))
+        val a = doc.select(col("doc_id").as("doc_id_a"), col("lang"), col("source"),
+          col("toks").as("toks_a"))
+        val b = doc.select(col("doc_id").as("doc_id_b"), col("lang").as("lang_b"),
+          col("source").as("source_b"), col("toks").as("toks_b"))
+        a.join(b, col("lang") === col("lang_b") && col("source") === col("source_b") &&
+            col("doc_id_a") < col("doc_id_b"))
+          .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
+          .withColumn("uni", size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
+          .withColumn("sim_raw", col("inter") / col("uni"))
+          .filter(col("sim_raw") >= 0.6d)
+          .select(col("doc_id_a"), col("doc_id_b"), Exact.roundN(col("sim_raw"), 4).as("sim"))
+          .orderBy("doc_id_a", "doc_id_b")
+      },
+      Some(s"""WITH dt AS (
+              |  SELECT DISTINCT doc_id, lang, source, unnest(string_split(text, ' ')) AS tok
+              |  FROM documents),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
+              |  FROM dt a JOIN dt b ON a.lang = b.lang AND a.source = b.source
+              |    AND a.tok = b.tok AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT doc_id_a, doc_id_b,
+              |  ${Exact.roundNSql("CAST(i AS DOUBLE) / (sa.n + sb.n - i)", 4)} AS sim
+              |FROM inter JOIN sz sa ON sa.doc_id = doc_id_a JOIN sz sb ON sb.doc_id = doc_id_b
+              |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
+              |ORDER BY doc_id_a, doc_id_b""".stripMargin)),
+
+    // MinHash-LSH near-dup candidates (MLlib, fixed seed). The banded hash
+    // family is not reproducible in portable SQL → no oracle (smoke-only),
+    // per SURVEY B.10.
+    QueryDef(
+      "dedup_minhash",
+      (s, d) => {
+        import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, Tokenizer}
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val toks = new Tokenizer().setInputCol("text").setOutputCol("words").transform(docs)
+        val tf = new HashingTF().setInputCol("words").setOutputCol("features")
+          .setNumFeatures(1024).setBinary(true).transform(toks)
+        val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+          .setNumHashTables(8).setSeed(42L)
+        val model = mh.fit(tf)
+        model.approxSimilarityJoin(tf, tf, 0.5, "jaccard_dist")
+          .select(
+            col("datasetA.doc_id").as("doc_id_a"),
+            col("datasetB.doc_id").as("doc_id_b"),
+            Exact.roundN(col("jaccard_dist"), 4).as("dist"))
+          .filter(col("doc_id_a") < col("doc_id_b"))
+          .orderBy("doc_id_a", "doc_id_b")
+      },
+      None),
+
+    // 16-bit SimHash fingerprint per document, built from the portable token
+    // hash so the DuckDB oracle can replay it exactly in plain SQL.
+    QueryDef(
+      "dedup_simhash",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .withColumn("h", tokHash(col("tok")))
+        val bitSums: Seq[Column] = (0 until SimhashBits).map { j =>
+          sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+        }
+        val fp: Column = (0 until SimhashBits).map { j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        toks.groupBy(col("doc_id"))
+          .agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"), fp.as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val bitSums = (0 until SimhashBits).map { j =>
+          s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+        }.mkString(",\n    ")
+        val fp = (0 until SimhashBits).map { j =>
+          s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH t AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |h AS (SELECT doc_id, $tokHashSql AS h FROM t),
+           |b AS (SELECT doc_id,
+           |    $bitSums
+           |  FROM h GROUP BY doc_id)
+           |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM b ORDER BY doc_id""".stripMargin
+      })
+  )
+}

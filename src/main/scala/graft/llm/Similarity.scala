@@ -1,0 +1,134 @@
+package graft.llm
+
+import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 B.10 — similarity search over the `embeddings` table
+  * (64-dim float vectors, FIXTURES.md).
+  *
+  * `sim_cosine_topk` is the exact baseline: broadcast the (tiny) query set
+  * against all candidates — at 100 TB the candidate side stays partitioned
+  * and only the query side replicates, so this scales with |candidates|,
+  * not |candidates|². The dot product runs entirely in codegen'd
+  * higher-order functions (`zip_with` + `aggregate`), in double precision
+  * (D5: float arithmetic would diverge from the oracle).
+  *
+  * `sim_ann_lsh` is the scale path: deterministic random-hyperplane LSH —
+  * candidates are compared only within their sign-bucket, turning the
+  * all-pairs scan into a bucket-local join (approximate ⇒ no oracle).
+  */
+object Similarity {
+
+  /** Double-precision cosine between two array<double> columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k cosine neighbors (query side broadcast). */
+  private def cosineTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe")))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", Exact.roundN(cosine(col("qe"), col("ce")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "sim")
+  }
+
+  private val topKOracle: String =
+    s"""SELECT query_id, neighbor_id, sim FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${Exact.roundNSql("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))", 4)} AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${Exact.roundNSql("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))", 4)} DESC,
+       |      c.vec_id) AS rn
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10) t
+       |WHERE rn <= 5""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "sim_cosine_topk",
+      (s, d) => cosineTopK(s, d, 5)
+        .orderBy(col("query_id"), col("sim").desc, col("neighbor_id")),
+      Some(s"$topKOracle ORDER BY query_id, sim DESC, neighbor_id")),
+
+    // Majority label among the top-5 neighbors; ties → smaller label.
+    QueryDef(
+      "sim_knn_label",
+      (s, d) => {
+        val labels = Tables.embeddings(s, d)
+          .select(col("vec_id").as("neighbor_id"), col("label"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("votes").desc, col("label"))
+        cosineTopK(s, d, 5)
+          .join(labels, "neighbor_id")
+          .groupBy(col("query_id"), col("label"))
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+          .orderBy("query_id")
+      },
+      Some(s"""SELECT query_id, pred_label, votes FROM (
+              |  SELECT query_id, label AS pred_label, COUNT(*) AS votes,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY COUNT(*) DESC, label) AS rn
+              |  FROM ($topKOracle) top5
+              |  JOIN embeddings e ON e.vec_id = top5.neighbor_id
+              |  GROUP BY query_id, label) t
+              |WHERE rn = 1 ORDER BY query_id""".stripMargin)),
+
+    // Approximate NN via deterministic random-hyperplane LSH: 8 sign bits
+    // from fixed LCG-generated hyperplanes → bucket; exact cosine only
+    // within the bucket. Approximate recall ⇒ smoke-only (no oracle).
+    QueryDef(
+      "sim_ann_lsh",
+      (s, d) => {
+        val nBits = 8
+        val dim = 64
+        // Deterministic pseudo-random hyperplanes from the same LCG family
+        // as udf_scalar: plane p, dim i → centered unit-scale double.
+        val planes: Seq[Seq[Double]] = (0 until nBits).map { p =>
+          (0 until dim).map { i =>
+            val x = ((p.toLong * dim + i) * 1103515245L + 12345L) % 2147483648L
+            x.toDouble / 2147483648.0 - 0.5
+          }
+        }
+        val planeLits = array(planes.map(pl => array(pl.map(lit): _*)): _*)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+          .withColumn("planes", planeLits)
+          .withColumn("bucket",
+            aggregate(
+              transform(col("planes"), pl =>
+                when(aggregate(zip_with(pl, col("emb"), (x, y) => x * y),
+                  lit(0.0d), (acc, v) => acc + v) > 0, 1L).otherwise(0L)),
+              lit(0L), (acc, b) => acc * 2 + b))
+          .drop("planes")
+        val q = broadcast(e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("bucket")))
+        val c = e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"),
+          col("bucket").as("cbucket"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        q.join(c, col("bucket") === col("cbucket") && col("query_id") =!= col("neighbor_id"))
+          .withColumn("sim", Exact.roundN(cosine(col("qe"), col("ce")), 4))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("query_id", "neighbor_id", "sim")
+          .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,191 @@
+package graft.llm
+
+import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 B.10 — text-analysis operators for training-data pipelines:
+  * corpus stats, term frequency, exact TF-IDF, n-grams, quality scoring,
+  * and order-sensitive document fingerprints.
+  *
+  * Scale design: every query is tokenize → explode → hash-aggregate, i.e.
+  * one shuffle keyed on `(doc_id, term)` or `term` with map-side combine;
+  * per-language top-k uses a window over the (small) aggregated term table,
+  * not the raw token stream. Nothing here holds a document set in memory —
+  * the same plans run over a 100 TB corpus partitioned by doc_id.
+  */
+object TextOps {
+
+  /** English-ish stopword list used by the quality heuristic. Fixed and
+    * duplicated verbatim into the oracle SQL, so both engines agree.
+    */
+  private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
+  private val StopwordsSql = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "text_lang_stats",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            Exact.roundN(sum(col("n_chars")).cast("double") / count(lit(1)), 2).as("avg_chars"),
+            countDistinct(col("source")).as("n_sources"))
+          .orderBy("lang"),
+      Some(s"""SELECT lang, COUNT(*) AS n_docs,
+              |  ${Exact.roundNSql("CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)", 2)} AS avg_chars,
+              |  COUNT(DISTINCT source) AS n_sources
+              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Per-language top-10 terms. The window runs over the aggregated
+    // (lang, term) table — tiny regardless of corpus size.
+    QueryDef(
+      "text_term_freq",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("term"))
+        Tables.documents(s, d)
+          .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("lang"), col("term"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 10)
+          .orderBy("lang", "rn")
+      },
+      Some("""SELECT lang, term, cnt, rn FROM (
+             |  SELECT lang, term, cnt,
+             |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rn
+             |  FROM (
+             |    SELECT lang, term, COUNT(*) AS cnt FROM (
+             |      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents) x
+             |    GROUP BY 1, 2) tf) t
+             |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin)),
+
+    // Exact TF-IDF (not HashingTF — un-oracle-able): tf(term,doc) *
+    // ln(N/df(term)), ranked on the ROUNDED score (D5) with term tie-break.
+    QueryDef(
+      "text_tfidf",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+        tf.join(broadcast(df), "term")
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            Exact.roundN(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+          .filter(col("doc_id") < 50)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("doc_id", "term", "tfidf", "rn")
+          .orderBy("doc_id", "rn")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+              |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+              |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+              |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+              |scored AS (
+              |  SELECT tf.doc_id, tf.term,
+              |    ${Exact.roundNSql("tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df)", 4)} AS tfidf
+              |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+              |  WHERE tf.doc_id < 50)
+              |SELECT doc_id, term, tfidf, rn FROM (
+              |  SELECT doc_id, term, tfidf,
+              |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+              |  FROM scored) t
+              |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)),
+
+    // Bigram counts, top-20. Spark side builds bigrams with zip_with over
+    // two slices — no join, no Generator beyond the final explode, fully
+    // codegen. Oracle zips token lists via DuckDB's parallel-unnest.
+    QueryDef(
+      "text_ngram",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("bigram", explode(
+            zip_with(
+              slice(col("toks"), lit(1), size(col("toks")) - 1),
+              slice(col("toks"), lit(2), size(col("toks")) - 1),
+              (a, b) => concat(a, lit(" "), b))))
+          .groupBy(col("bigram"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("bigram"))
+          .limit(20),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |p AS (SELECT doc_id, unnest(toks) AS tok,
+             |        unnest(range(1, len(toks) + 1)) AS pos FROM t)
+             |SELECT a.tok || ' ' || b.tok AS bigram, COUNT(*) AS cnt
+             |FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin)),
+
+    // Quality scoring: token count, average token length, stopword ratio —
+    // the standard pre-training corpus filters, all exact-arithmetic.
+    QueryDef(
+      "text_quality",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        toks.groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_toks"),
+            Exact.roundN(sum(length(col("tok"))).cast("double") / count(lit(1)), 4)
+              .as("avg_tok_len"),
+            Exact.roundN(
+              sum(when(col("tok").isin(Stopwords: _*), 1L).otherwise(0L)).cast("double") /
+                count(lit(1)), 4).as("stopword_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, COUNT(*) AS n_toks,
+              |  ${Exact.roundNSql("CAST(SUM(LENGTH(tok)) AS DOUBLE) / COUNT(*)", 4)} AS avg_tok_len,
+              |  ${Exact.roundNSql(s"CAST(SUM(CASE WHEN tok IN $StopwordsSql THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 4)} AS stopword_ratio
+              |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Order-sensitive document fingerprint: Σ tokHash(tok) * pos mod 2^31.
+    // Position-weighting makes permutations collide differently while the
+    // arithmetic stays pure-integer (D7) and portable to the oracle.
+    QueryDef(
+      "text_fingerprint",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .withColumn("h",
+            ((ascii(substring(col("tok"), 1, 1)) * 8191 +
+              ascii(substring(reverse(col("tok")), 1, 1)) * 131 +
+              length(col("tok")) * 17) % 65536).cast("long"))
+          .groupBy(col("doc_id"))
+          .agg((sum(col("h") * (col("pos") + 1)) % 2147483648L).as("fingerprint"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |p AS (SELECT doc_id, unnest(toks) AS tok,
+             |        unnest(range(1, len(toks) + 1)) AS pos FROM t),
+             |h AS (SELECT doc_id, pos,
+             |        CAST((ascii(substring(tok, 1, 1)) * 8191 +
+             |              ascii(substring(reverse(tok), 1, 1)) * 131 +
+             |              length(tok) * 17) % 65536 AS BIGINT) AS h
+             |      FROM p)
+             |SELECT doc_id, SUM(h * pos) % 2147483648 AS fingerprint
+             |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Nested struct column built, filtered on nested fields, flat output.
+    QueryDef(
+      "multimodal_struct",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("meta", struct(col("lang"), col("source"), col("n_chars")))
+          .filter(col("meta.lang") === "en" && col("meta.n_chars") > 200)
+          .select(
+            col("doc_id"),
+            col("meta.lang").as("lang"),
+            col("meta.source").as("source"),
+            col("meta.n_chars").as("n_chars"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents
+             |WHERE lang = 'en' AND n_chars > 200 ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 B.4 aggregation.
+  *
+  * Every money/float aggregate follows Exact's decimal-sum discipline (D5):
+  * partial aggregation order then cannot change the result, which is also
+  * what makes these safe under AQE re-planning on a real cluster. All are
+  * partial+final hash aggregates — map-side combine keeps shuffle volume at
+  * |groups| × partitions regardless of input size.
+  */
+object Aggregates {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1 shape.
+    QueryDef(
+      "agg_pricing_summary",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(Exact.sumDec(col("l_quantity")), 2).cast("double").as("sum_qty"),
+            Exact.sumMoney2(col("l_extendedprice")).as("sum_base"),
+            round(Exact.sumDec8(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2)
+              .cast("double").as("sum_disc"),
+            Exact.roundN(Exact.sumDec(col("l_quantity")).cast("double") / count(lit(1)), 4)
+              .as("avg_qty"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${Exact.sumMoney2Sql("l_quantity")} AS sum_qty,
+              |  ${Exact.sumMoney2Sql("l_extendedprice")} AS sum_base,
+              |  ${Exact.sumDec8Money2Sql("l_extendedprice * (1 - l_discount)")} AS sum_disc,
+              |  ${Exact.roundNSql("CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)", 4)} AS avg_qty,
+              |  COUNT(*) AS n
+              |FROM lineitem GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QueryDef(
+      "agg_distinct",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("n_parts"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
+      "agg_multi_distinct",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            round(Exact.sumDec(col("l_quantity")), 2).cast("double").as("sum_qty"))
+          .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+              |  COUNT(DISTINCT l_suppkey) AS n_supps,
+              |  ${Exact.sumMoney2Sql("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
+      "agg_having",
+      (s, d) =>
+        Tables.customer(s, d)
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+          .filter(col("n_cust") > 5)
+          .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+             |GROUP BY c_nationkey HAVING COUNT(*) > 5 ORDER BY c_nationkey""".stripMargin)),
+
+    // Stats via exact decimal moments: avg/var/stddev are derived from the
+    // order-insensitive decimal sums of x and x², so both engines compute
+    // identical doubles (plain stddev_samp would be summation-order-
+    // sensitive and could flip a rounded digit).
+    QueryDef(
+      "agg_stats",
+      (s, d) => {
+        val x = col("c_acctbal").cast("decimal(18,4)")
+        Tables.customer(s, d)
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            min(col("c_acctbal")).as("min_bal"),
+            max(col("c_acctbal")).as("max_bal"),
+            sum(x).cast("double").as("s1"),
+            sum(x * x).cast("double").as("s2"),
+            count(lit(1)).as("n"))
+          .select(
+            col("c_mktsegment"), col("min_bal"), col("max_bal"),
+            Exact.roundN(col("s1") / col("n"), 3).as("avg_bal"),
+            Exact.roundN((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 3)
+              .as("var_bal"),
+            Exact.roundN(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 3)
+              .as("std_bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, min_bal, max_bal,
+              |  ${Exact.roundNSql("s1 / n", 3)} AS avg_bal,
+              |  ${Exact.roundNSql("(s2 - s1 * s1 / n) / (n - 1)", 3)} AS var_bal,
+              |  ${Exact.roundNSql("SQRT((s2 - s1 * s1 / n) / (n - 1))", 3)} AS std_bal
+              |FROM (
+              |  SELECT c_mktsegment, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+              |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+              |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)) * CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+              |    COUNT(*) AS n
+              |  FROM customer GROUP BY c_mktsegment) t
+              |ORDER BY c_mktsegment""".stripMargin)),
+
+    QueryDef(
+      "agg_rollup",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val n = broadcast(Tables.nation(s, d))
+        c.join(n, c("c_nationkey") === n("n_nationkey"))
+          .rollup(col("n_name"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_cust"),
+            grouping(col("n_name")).cast("long").as("g_nation"),
+            grouping(col("c_mktsegment")).cast("long").as("g_seg"))
+          .select(
+            coalesce(col("n_name"), lit("ALL")).as("nation"),
+            coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+            col("g_nation"), col("g_seg"), col("n_cust"))
+          .orderBy("nation", "segment", "g_nation", "g_seg")
+      },
+      Some("""SELECT COALESCE(n_name, 'ALL') AS nation,
+             |  COALESCE(c_mktsegment, 'ALL') AS segment,
+             |  CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+             |  CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+             |  COUNT(*) AS n_cust
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY ROLLUP(n_name, c_mktsegment)
+             |ORDER BY nation, segment, g_nation, g_seg""".stripMargin)),
+
+    QueryDef(
+      "agg_cube",
+      (s, d) =>
+        Tables.orders(s, d)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            Exact.sumMoney2(col("o_totalprice")).as("sum_price"),
+            grouping(col("o_orderstatus")).cast("long").as("g_status"),
+            grouping(col("o_orderpriority")).cast("long").as("g_prio"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("g_status"), col("g_prio"), col("n"), col("sum_price"))
+          .orderBy("status", "priority", "g_status", "g_prio"),
+      Some(s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+              |  COALESCE(o_orderpriority, 'ALL') AS priority,
+              |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+              |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+              |  COUNT(*) AS n, ${Exact.sumMoney2Sql("o_totalprice")} AS sum_price
+              |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+              |ORDER BY status, priority, g_status, g_prio""".stripMargin)),
+
+    // Exercised through spark.sql to cover the SQL front door too.
+    QueryDef(
+      "agg_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_orders_gs")
+        s.sql("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                |  COALESCE(o_orderpriority, 'ALL') AS priority,
+                |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+                |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+                |  COUNT(*) AS n
+                |FROM graft_orders_gs
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                |ORDER BY status, priority, g_status, g_prio""".stripMargin)
+      },
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             |  COALESCE(o_orderpriority, 'ALL') AS priority,
+             |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+             |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+             |  COUNT(*) AS n
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY status, priority, g_status, g_prio""".stripMargin)),
+
+    QueryDef(
+      "agg_collect_sorted",
+      (s, d) =>
+        Tables.customer(s, d)
+          .groupBy(col("c_nationkey"))
+          .agg(sort_array(collect_list(col("c_custkey"))).as("custkeys"))
+          .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey, list(c_custkey ORDER BY c_custkey) AS custkeys
+             |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // HLL sketch — approximate by construction, so no cross-engine oracle
+    // (SURVEY B.4: smoke-only).
+    QueryDef(
+      "agg_approx_distinct",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
+      None),
+
+    QueryDef(
+      "agg_second_max",
+      (s, d) => {
+        val secondMax = udaf(graft.functions.SecondMax)
+        Tables.orders(s, d)
+          .groupBy(col("o_orderstatus"))
+          .agg(secondMax(col("o_totalprice")).as("second_max"))
+          .filter(!isnan(col("second_max")))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, MAX(p) AS second_max FROM (
+             |  SELECT o_orderstatus, o_totalprice AS p,
+             |    MAX(o_totalprice) OVER (PARTITION BY o_orderstatus) AS m
+             |  FROM orders) t
+             |WHERE p < m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+  )
+}

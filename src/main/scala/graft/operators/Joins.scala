@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 B.3 joins.
+  *
+  * Scale notes (100 TB): dimension tables (region/nation, the derived band
+  * table) are broadcast so the big side never shuffles; the fact⋈fact joins
+  * (orders⋈customer, events⋈events) shuffle on their equi-keys, which is the
+  * partitioning a real cluster would co-locate via bucketing. The as-of join
+  * is an equi-join on `user_id` plus a per-key window — no cross product.
+  */
+object Joins {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "join_inner",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            Exact.sumMoney2(col("o_totalprice")).as("sum_price"))
+          .orderBy("c_custkey")
+      },
+      Some(s"""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+              |  ${Exact.sumMoney2Sql("o_totalprice")} AS sum_price
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "join_broadcast",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val n = broadcast(Tables.nation(s, d))
+        val r = broadcast(Tables.region(s, d))
+        c.join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_cust"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name, COUNT(*) AS n_cust
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    QueryDef(
+      "join_left_outer",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "join_full_outer",
+      (s, d) => {
+        val cc = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk_c"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sc = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk_s"))
+          .agg(count(lit(1)).as("n_supp"))
+        cc.join(sc, col("nk_c") === col("nk_s"), "full")
+          .select(
+            coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      Some("""SELECT COALESCE(nk_c, nk_s) AS nationkey,
+             |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+             |FROM (SELECT c_nationkey AS nk_c, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+             |FULL OUTER JOIN (SELECT s_nationkey AS nk_s, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+             |ON nk_c = nk_s ORDER BY nationkey""".stripMargin)),
+
+    QueryDef(
+      "join_semi",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        c.join(f, c("c_custkey") === f("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "join_anti",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "join_cross",
+      (s, d) => {
+        val r = Tables.region(s, d).select("r_name")
+        val f = Tables.lineitem(s, d).select("l_returnflag").distinct()
+        r.crossJoin(f).orderBy("r_name", "l_returnflag")
+      },
+      Some("""SELECT r_name, l_returnflag
+             |FROM region CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem) f
+             |ORDER BY r_name, l_returnflag""".stripMargin)),
+
+    QueryDef(
+      "join_range",
+      (s, d) => {
+        import s.implicits._
+        val bands = broadcast(Seq(
+          ("band_01_10", 1, 10), ("band_11_20", 11, 20), ("band_21_30", 21, 30),
+          ("band_31_40", 31, 40), ("band_41_50", 41, 50))
+          .toDF("band", "lo", "hi"))
+        Tables.part(s, d)
+          .join(bands, col("p_size").between(col("lo"), col("hi")))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_parts"))
+          .orderBy("band")
+      },
+      Some("""SELECT band, COUNT(*) AS n_parts FROM part
+             |JOIN (VALUES ('band_01_10', 1, 10), ('band_11_20', 11, 20), ('band_21_30', 21, 30),
+             |             ('band_31_40', 31, 40), ('band_41_50', 41, 50)) AS b(band, lo, hi)
+             |ON p_size BETWEEN lo AND hi
+             |GROUP BY band ORDER BY band""".stripMargin)),
+
+    // As-of join: most recent signup strictly before each purchase of the
+    // same user. Spark has no native as-of; composed as equi-join on user +
+    // per-purchase row_number window (SURVEY B.3). Timestamps compared at
+    // second granularity on both engines (D4: parquet is ns, Spark reads µs).
+    QueryDef(
+      "join_asof",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .withColumn("tss", date_trunc("second", col("ts")))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("tss").as("purchase_ts"))
+        val sg = e.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("user_id").as("su"),
+            col("tss").as("signup_ts"))
+        val w = Window.partitionBy(col("purchase_id"))
+          .orderBy(col("signup_ts").desc, col("signup_id").desc)
+        p.join(sg, p("user_id") === sg("su") && col("signup_ts") < col("purchase_ts"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("purchase_id", "user_id", "purchase_ts", "signup_id")
+          .orderBy("purchase_id")
+      },
+      Some("""SELECT purchase_id, user_id, purchase_ts, signup_id FROM (
+             |  SELECT p.event_id AS purchase_id, p.user_id,
+             |    CAST(date_trunc('second', p.ts) AS TIMESTAMP) AS purchase_ts,
+             |    s.event_id AS signup_id,
+             |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+             |      ORDER BY date_trunc('second', s.ts) DESC, s.event_id DESC) AS rn
+             |  FROM events p JOIN events s
+             |    ON s.user_id = p.user_id
+             |   AND date_trunc('second', s.ts) < date_trunc('second', p.ts)
+             |  WHERE p.event_type = 'purchase' AND s.event_type = 'signup') t
+             |WHERE rn = 1 ORDER BY purchase_id""".stripMargin)),
+
+    // TPC-H Q5 shape: revenue per nation for one region + date range.
+    // Ranked by the rounded revenue (D5) with n_name tie-break.
+    QueryDef(
+      "join_star_q5",
+      (s, d) => {
+        val r = broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))
+        val n = broadcast(Tables.nation(s, d))
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+            col("o_orderdate") < lit("1998-01-01").cast("date"))
+        val l = Tables.lineitem(s, d)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(round(Exact.sumDec8(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2)
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name, ${Exact.sumDec8Money2Sql("l_extendedprice * (1 - l_discount)")} AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |WHERE r_name = 'ASIA'
+              |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+              |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin))
+  )
+}

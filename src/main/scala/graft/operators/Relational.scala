@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 B.1 scans, B.2 projection/filter, B.6 sort/limit, B.7 set ops.
+  *
+  * All plain declarative DataFrame plans — Catalyst pushes the predicates and
+  * prunes columns down to the parquet scan (verified in RelationalSpec via
+  * `explain`), which is what keeps these cheap at 100 TB: the scan reads only
+  * the referenced columns and row groups.
+  */
+object Relational {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------- B.1 scans
+    QueryDef(
+      "scan_full",
+      (s, d) => Tables.nation(s, d).orderBy("n_nationkey"),
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    QueryDef(
+      "scan_project_filter",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .filter(col("l_quantity") > 45)
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef(
+      "scan_union_sources",
+      (s, d) => {
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus")
+        o.filter(col("o_orderstatus") === "F")
+          .unionByName(o.filter(col("o_orderstatus") === "P"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+             |UNION ALL
+             |SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderstatus = 'P'
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ----------------------------------------------- B.2 projection / filter
+    QueryDef(
+      "filter_compound",
+      (s, d) =>
+        Tables.orders(s, d)
+          .filter(col("o_orderstatus").isin("F", "P") &&
+            (col("o_totalprice").between(100000d, 200000d) ||
+              col("o_orderpriority").like("1-%")))
+          .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders
+             |WHERE o_orderstatus IN ('F','P')
+             |  AND (o_totalprice BETWEEN 100000 AND 200000 OR o_orderpriority LIKE '1-%')
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef(
+      "project_expr",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            Exact.roundN(col("l_extendedprice") * (lit(1d) - col("l_discount")), 2).as("revenue"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some(s"""SELECT l_orderkey, l_linenumber,
+              |  ${Exact.roundNSql("l_extendedprice * (1 - l_discount)", 2)} AS revenue
+              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef(
+      "filter_null_semantics",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .withColumn("tax_n", nullif(col("l_tax"), lit(0.0d)))
+          .filter(col("tax_n").isNull)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            coalesce(col("tax_n"), lit(-1.0d)).as("tax_filled"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, COALESCE(NULLIF(l_tax, 0.0), -1.0) AS tax_filled
+             |FROM lineitem WHERE NULLIF(l_tax, 0.0) IS NULL
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ------------------------------------------------------ B.6 sort / limit
+    QueryDef(
+      "sort_multi_key",
+      (s, d) =>
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+          .orderBy(col("o_orderpriority").asc, col("o_totalprice").desc, col("o_orderkey").asc),
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+             |ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin)),
+
+    QueryDef(
+      "limit_topk",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(20),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin)),
+
+    // ---------------------------------------------------------- B.7 set ops
+    QueryDef(
+      "set_union_all",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .union(o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |UNION ALL SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |ORDER BY o_custkey""".stripMargin)),
+
+    QueryDef(
+      "set_union_distinct",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .union(o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"))
+          .distinct()
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |UNION SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |ORDER BY o_custkey""".stripMargin)),
+
+    QueryDef(
+      "set_intersect",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |ORDER BY o_custkey""".stripMargin)),
+
+    QueryDef(
+      "set_except",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderstatus") === "O").select("o_custkey")
+          .except(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY o_custkey""".stripMargin))
+  )
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 B.5 window functions.
+  *
+  * Every window ORDER BY carries a unique tie-break key (D2). Rank outputs
+  * are cast to long so the parquet schema matches DuckDB's BIGINT window
+  * results. The framed sum uses a decimal operand: engines disagree on
+  * sliding-sum association order (segment trees vs running subtraction),
+  * decimals make that irrelevant.
+  */
+object Windows {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "win_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    QueryDef(
+      "win_rank_dense",
+      (s, d) => {
+        val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)
+        Tables.part(s, d)
+          .select(
+            col("p_brand"), col("p_partkey"), col("p_retailprice"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"))
+          .orderBy("p_brand", "rnk", "p_partkey")
+      },
+      Some("""SELECT p_brand, p_partkey, p_retailprice,
+             |  RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
+             |  DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk
+             |FROM part ORDER BY p_brand, rnk, p_partkey""".stripMargin)),
+
+    QueryDef(
+      "win_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        Tables.events(s, d)
+          .select(
+            col("user_id"), col("event_id"), col("value"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            lead(col("value"), 1).over(w).as("next_value"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, value,
+             |  LAG(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+             |  LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_value
+             |FROM events ORDER BY user_id, event_id""".stripMargin)),
+
+    QueryDef(
+      "win_frame_rows",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(-2, 0)
+        Tables.orders(s, d)
+          .select(
+            col("o_custkey"), col("o_orderdate").cast("date").as("o_date"), col("o_orderkey"),
+            round(sum(col("o_totalprice").cast("decimal(18,4)")).over(w), 2)
+              .cast("double").as("rolling_sum"))
+          .orderBy("o_custkey", "o_date", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_date, o_orderkey,
+             |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rolling_sum
+             |FROM orders ORDER BY o_custkey, o_date, o_orderkey""".stripMargin)),
+
+    QueryDef(
+      "win_frame_range",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_date"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .withColumn("o_date", col("o_orderdate").cast("date"))
+          .select(
+            col("o_custkey"), col("o_date"), col("o_orderkey"),
+            count(lit(1)).over(w).as("cum_orders"))
+          .orderBy("o_custkey", "o_date", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_date, o_orderkey,
+             |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+             |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_orders
+             |FROM orders ORDER BY o_custkey, o_date, o_orderkey""".stripMargin)),
+
+    QueryDef(
+      "win_ntile",
+      (s, d) => {
+        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables.customer(s, d)
+          .select(
+            col("c_custkey"), col("c_acctbal"),
+            ntile(4).over(w).cast("long").as("quartile"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal,
+             |  NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+             |FROM customer ORDER BY c_custkey""".stripMargin))
+  )
+}
