@@ -80,27 +80,54 @@ object Dedup {
               |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
               |ORDER BY doc_id_a, doc_id_b""".stripMargin)),
 
-    // MinHash-LSH near-dup candidates (MLlib, fixed seed). The banded hash
-    // family is not reproducible in portable SQL → no oracle (smoke-only),
-    // per SURVEY B.10.
+    // MinHash-LSH near-dup detection: 16 deterministic minhashes per doc
+    // (xxhash64 salted per function), banded 4×4; docs sharing a FULL
+    // 4-hash band are LSH neighbors. Output: one row per doc that has a
+    // lower-id neighbor — (doc_id, cluster_rep, sim) with sim = exact
+    // Jaccard against the representative.
+    //
+    // Two designs were rejected on measured evidence:
+    //  - MLlib approxSimilarityJoin joins on SINGLE minhash values; on
+    //    this 31-word-vocabulary corpus those collide into ~all-pairs and
+    //    one executor ground keyDistance for 10+ min at sf0.1.
+    //  - Emitting candidate PAIRS from full-band buckets: the fixture has
+    //    a ~2,300-doc near-identical cluster, so one bucket per band held
+    //    ~2,270 docs → 11M pairs (O(cluster²), 327 s at sf0.1).
+    // Cluster-representative assignment is the production-scale shape:
+    // rep(bucket) = min(doc_id) is a map-side-combinable aggregate, the
+    // bucket join is 1-row-per-bucket on the build side, and output is
+    // O(n·bands) regardless of how skewed the clusters are — the property
+    // that keeps this runnable at 100 TB. Hash family not portable to
+    // SQL → no oracle (smoke-only), per SURVEY B.10.
     QueryDef(
       "dedup_minhash",
       (s, d) => {
-        import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, Tokenizer}
-        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-        val toks = new Tokenizer().setInputCol("text").setOutputCol("words").transform(docs)
-        val tf = new HashingTF().setInputCol("words").setOutputCol("features")
-          .setNumFeatures(1024).setBinary(true).transform(toks)
-        val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-          .setNumHashTables(8).setSeed(42L)
-        val model = mh.fit(tf)
-        model.approxSimilarityJoin(tf, tf, 0.5, "jaccard_dist")
-          .select(
-            col("datasetA.doc_id").as("doc_id_a"),
-            col("datasetB.doc_id").as("doc_id_b"),
-            Exact.roundN(col("jaccard_dist"), 4).as("dist"))
-          .filter(col("doc_id_a") < col("doc_id_b"))
-          .orderBy("doc_id_a", "doc_id_b")
+        val numHashes = 16
+        val bandSize = 4
+        val doc = Tables.documents(s, d)
+          .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+        val sig: Column = array((0 until numHashes).map { i =>
+          array_min(transform(col("toks"), t => xxhash64(lit(i), t)))
+        }: _*)
+        val banded = doc
+          .withColumn("sig", sig)
+          .select(col("doc_id"),
+            posexplode(array((0 until numHashes / bandSize).map { b =>
+              array((0 until bandSize).map(r => col("sig")(b * bandSize + r)): _*)
+            }: _*)).as(Seq("band_idx", "band_key")))
+        val reps = banded.groupBy(col("band_idx"), col("band_key"))
+          .agg(min(col("doc_id")).as("rep"))
+        val clustered = banded.join(reps, Seq("band_idx", "band_key"))
+          .groupBy(col("doc_id")).agg(min(col("rep")).as("cluster_rep"))
+          .filter(col("cluster_rep") < col("doc_id"))
+        val t1 = doc.select(col("doc_id"), col("toks"))
+        val t2 = doc.select(col("doc_id").as("cluster_rep"), col("toks").as("rep_toks"))
+        clustered.join(t1, "doc_id").join(t2, "cluster_rep")
+          .withColumn("sim",
+            size(array_intersect(col("toks"), col("rep_toks"))).cast("double") /
+              size(array_union(col("toks"), col("rep_toks"))).cast("double"))
+          .select(col("doc_id"), col("cluster_rep"), Exact.roundN(col("sim"), 4).as("sim"))
+          .orderBy("doc_id")
       },
       None),
 

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.JdbcUpsert
+
+/** JDBC upsert + incremental watermark capability against embedded Derby
+  * (ships in /opt/spark/jars for the Hive metastore — SURVEY §7.4.6).
+  */
+class JdbcUpsertSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private val ddl =
+    """CREATE TABLE bars (
+      |  code VARCHAR(16) NOT NULL,
+      |  trade_date BIGINT NOT NULL,
+      |  close_px DOUBLE,
+      |  PRIMARY KEY (code, trade_date))""".stripMargin
+
+  private def readBars() =
+    spark.read.format("jdbc").option("url", url).option("dbtable", "bars").load()
+
+  test("staging MERGE upsert is idempotent and updates in place") {
+    import spark.implicits._
+    JdbcUpsert.ensureTable(url, ddl)
+
+    val day1 = Seq(("AAA", 20240101L, 10.0), ("BBB", 20240101L, 20.0))
+      .toDF("code", "trade_date", "close_px")
+    JdbcUpsert.upsertViaStaging(day1, url, "bars", Seq("code", "trade_date"), Some("code VARCHAR(16)"))
+    assert(readBars().count() === 2)
+
+    // delta: one overlapping key with a corrected price + one new day
+    val delta = Seq(("AAA", 20240101L, 11.5), ("AAA", 20240102L, 12.0))
+      .toDF("code", "trade_date", "close_px")
+    JdbcUpsert.upsertViaStaging(delta, url, "bars", Seq("code", "trade_date"), Some("code VARCHAR(16)"))
+    JdbcUpsert.upsertViaStaging(delta, url, "bars", Seq("code", "trade_date"), Some("code VARCHAR(16)")) // idempotent
+
+    val rows = readBars().orderBy("code", "trade_date")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq(
+      ("AAA", 20240101L, 11.5), ("AAA", 20240102L, 12.0), ("BBB", 20240101L, 20.0)))
+  }
+
+  test("per-partition upsert matches and stays idempotent") {
+    import spark.implicits._
+    val delta = Seq(("BBB", 20240101L, 21.0), ("CCC", 20240103L, 30.0))
+      .toDF("code", "trade_date", "close_px")
+    JdbcUpsert.upsertPerPartition(delta, url, "bars", Seq("code", "trade_date"))
+    JdbcUpsert.upsertPerPartition(delta, url, "bars", Seq("code", "trade_date"))
+    val rows = readBars().orderBy("code", "trade_date")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq(
+      ("AAA", 20240101L, 11.5), ("AAA", 20240102L, 12.0),
+      ("BBB", 20240101L, 21.0), ("CCC", 20240103L, 30.0)))
+  }
+
+  test("incremental watermark load fetches only newer rows") {
+    val w = JdbcUpsert.maxWatermark(spark, url, "bars", "trade_date")
+    assert(w === Some(20240103L))
+    // a source with one old (already-loaded) and one new row
+    import spark.implicits._
+    val source = "bars_src"
+    JdbcUpsert.ensureTable(url,
+      ddl.replace("CREATE TABLE bars", s"CREATE TABLE $source"))
+    val src = Seq(("AAA", 20240101L, 11.5), ("DDD", 20240104L, 40.0))
+      .toDF("code", "trade_date", "close_px")
+    JdbcUpsert.upsertViaStaging(src, url, source, Seq("code", "trade_date"), Some("code VARCHAR(16)"))
+
+    val delta = JdbcUpsert.readNewerThan(spark, url, source, "trade_date", w)
+    assert(delta.count() === 1)
+    assert(delta.head().getString(0) === "DDD")
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingHarness
+import graft.streaming.StreamingHarness.Ev
+
+/** Structured Streaming capability harness (SURVEY §5.5): streams the
+  * sf0.001 events through MemoryStream and asserts the streaming aggregates
+  * equal the identical transform applied in batch — Spark compiles both
+  * through the same logical plan, so any divergence is a real bug.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private lazy val batchEvents = {
+    Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id").limit(300)
+  }
+
+  private def streamed(transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      name: String): Array[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = batchEvents.collect().map(r => Ev(
+      r.getLong(0), r.getAs[Timestamp](1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val stream = MemoryStream[Ev]
+    // two chunks → two micro-batches, exercising incremental state merge
+    val (a, b) = rows.splitAt(rows.length / 2)
+    val q = transform(stream.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    stream.addData(a.toIndexedSeq); q.processAllAvailable()
+    stream.addData(b.toIndexedSeq); q.processAllAvailable()
+    val out = spark.table(name).collect()
+    q.stop()
+    out
+  }
+
+  private def sortedSeq(rs: Array[org.apache.spark.sql.Row]) =
+    rs.map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+
+  test("streaming tumbling aggregate equals its batch twin") {
+    val streaming = streamed(StreamingHarness.tumbling, "tumbling_out")
+    val batch = StreamingHarness.tumbling(batchEvents).collect()
+    assert(sortedSeq(streaming) === sortedSeq(batch))
+  }
+
+  test("streaming session windows equal their batch twin") {
+    val streaming = streamed(StreamingHarness.sessions, "sessions_out")
+    val batch = StreamingHarness.sessions(batchEvents).collect()
+    assert(sortedSeq(streaming) === sortedSeq(batch))
+  }
+
+  test("streaming dedup keeps one row per (user_id, event_type)") {
+    val streaming = streamed(
+      df => StreamingHarness.dedup(df).groupBy("user_id", "event_type").count(),
+      "dedup_out")
+    val batchKeys = batchEvents.select("user_id", "event_type").distinct().count()
+    assert(streaming.length.toLong === batchKeys)
+    assert(streaming.forall(_.getLong(2) === 1L))
+  }
+}
