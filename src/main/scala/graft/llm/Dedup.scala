@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Column
 
@@ -130,6 +131,40 @@ object Dedup {
           .orderBy("doc_id")
       },
       None),
+
+    // Embedding-cosine near-dup: for each query vector, the best-matching
+    // PRIOR vector (lower vec_id — "have I seen this before?" scan) with
+    // its cosine and a dup flag. Query side bounded (vec_id < 200) and
+    // broadcast; candidates stay partitioned, so at 100 TB only the small
+    // query set replicates. The fixtures contain no planted vector dups
+    // (verified: max pairwise cosine < 0.8), so is_dup is all-false here —
+    // the mechanism, ranking, and threshold plumbing are what's asserted.
+    QueryDef(
+      "dedup_embedding",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val q = broadcast(e.filter(col("vec_id") < 200)
+          .select(col("vec_id"), col("v").as("qv")))
+        val c = e.select(col("vec_id").as("prior_id"), col("v").as("cv"))
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("prior_id"))
+        q.join(c, col("prior_id") < col("vec_id"))
+          .withColumn("sim", Exact.roundN(Similarity.cosine(col("qv"), col("cv")), 4))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("prior_id").as("best_prior_id"), col("sim"),
+            (col("sim") >= 0.95d).as("is_dup"))
+          .orderBy("vec_id")
+      },
+      Some(s"""SELECT vec_id, best_prior_id, sim, sim >= 0.95 AS is_dup FROM (
+              |  SELECT q.vec_id, c.vec_id AS best_prior_id,
+              |    ${Exact.roundNSql("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))", 4)} AS sim,
+              |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              |      ${Exact.roundNSql("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))", 4)} DESC,
+              |      c.vec_id) AS rn
+              |  FROM embeddings q JOIN embeddings c ON c.vec_id < q.vec_id
+              |  WHERE q.vec_id < 200) t
+              |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
 
     // 16-bit SimHash fingerprint per document, built from the portable token
     // hash so the DuckDB oracle can replay it exactly in plain SQL.

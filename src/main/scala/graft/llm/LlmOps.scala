@@ -6,5 +6,6 @@ import graft.QueryDef
   * entry point for dedup, similarity search, and text analysis.
   */
 object LlmOps {
-  val defs: Seq[QueryDef] = Dedup.defs ++ Similarity.defs ++ TextOps.defs
+  val defs: Seq[QueryDef] =
+    Dedup.defs ++ Similarity.defs ++ TextOps.defs ++ Multimodal.defs
 }

@@ -1,0 +1,118 @@
+package graft.llm
+
+import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2 B.10 / north-star multimodal columns: media as opaque `binary`
+  * columns with typed metadata, processed by per-partition feature
+  * extractors.
+  *
+  * No image/audio codecs exist in this container, so the decode step is a
+  * deterministic stub ([[FakeDecoder]]); everything around it — the binary
+  * column, the metadata struct, the `mapPartitions` batch shape, the output
+  * schema — is the real plumbing a codec would drop into. The declared
+  * queries restrict themselves to exact byte arithmetic so they remain
+  * oracle-checkable.
+  *
+  * Scale notes: the extractor is `mapPartitions`, so a real decoder
+  * amortizes model/codec init once per partition (the reason production
+  * pipelines use partition-wise UDFs); binary payloads stay columnar in
+  * parquet and are never collected to the driver.
+  */
+object Multimodal {
+
+  /** Stub decoder: stands in for an image/audio codec. Deterministic pure
+    * byte arithmetic ⇒ testable; swap `decode` for a real codec call and
+    * the pipeline around it is unchanged.
+    */
+  object FakeDecoder {
+    /** "Decode" a payload into (width, height, mean_luma): header-style
+      * fields derived from leading bytes and a byte-mean.
+      */
+    def decode(payload: Array[Byte]): (Int, Int, Double) = {
+      val w = 64 + (if (payload.nonEmpty) (payload(0) & 0x7f) else 0)
+      val h = 64 + (if (payload.length > 1) (payload(1) & 0x7f) else 0)
+      val luma =
+        if (payload.isEmpty) 0.0
+        else payload.map(b => (b & 0xff).toDouble).sum / payload.length
+      (w, h, luma)
+    }
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_luma", DoubleType)))
+
+  /** The capability: binary payload column + metadata struct → per-partition
+    * feature extraction. Exercised by MultimodalSpec; the declared queries
+    * below cover the oracle-checkable subset.
+    */
+  def extractFeatures(withPayload: DataFrame): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select("doc_id", "payload").rdd.mapPartitions { it =>
+      // codec/model init would happen HERE, once per partition
+      it.map { r =>
+        val (w, h, luma) = FakeDecoder.decode(r.getAs[Array[Byte]]("payload"))
+        Row(r.getLong(0), w, h, luma)
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** documents.text encoded as the stand-in binary payload. */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("media_meta", struct(
+        lit("text/plain").as("mime"),
+        octet_length(col("payload")).as("n_bytes"),
+        col("lang")))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Binary column + typed metadata, filtered on nested metadata fields;
+    // output is flat exact byte arithmetic → exact oracle.
+    QueryDef(
+      "multimodal_binary_meta",
+      (s, d) => {
+        withPayload(Tables.documents(s, d))
+          .filter(col("media_meta.n_bytes") > 70 && col("media_meta.lang") =!= "zh")
+          .select(
+            col("doc_id"),
+            col("media_meta.mime").as("mime"),
+            col("media_meta.n_bytes").cast("long").as("n_bytes"),
+            substring(hex(col("payload")), 1, 8).as("head_hex"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 'text/plain' AS mime,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  substring(upper(hex(encode(text))), 1, 8) AS head_hex
+             |FROM documents WHERE octet_length(encode(text)) > 70 AND lang <> 'zh'
+             |ORDER BY doc_id""".stripMargin)),
+
+    // The mapPartitions extractor as a declared query: the stub decode is
+    // plain byte arithmetic, so DuckDB replays it exactly (byte 1/2 of
+    // UTF-8 text = ascii of chars; mean byte value over ASCII text =
+    // mean ascii). Proves the partition-wise pipeline end-to-end.
+    QueryDef(
+      "multimodal_decode_features",
+      (s, d) => {
+        val feats = extractFeatures(withPayload(Tables.documents(s, d)))
+        feats.select(
+          col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          Exact.roundN(col("mean_luma"), 4).as("mean_luma"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  64 + (ascii(substring(text, 1, 1)) % 128) AS width,
+              |  64 + (ascii(substring(text, 2, 1)) % 128) AS height,
+              |  ${Exact.roundNSql(
+                 "list_sum(list_transform(range(1, length(text)+1), i -> ascii(substring(text, i, 1)))) * 1.0 / length(text)", 4)} AS mean_luma
+              |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -172,6 +172,75 @@ object TextOps {
              |SELECT doc_id, SUM(h * pos) % 2147483648 AS fingerprint
              |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Token counting two ways (the pre-training budget accounting op):
+    // whitespace tokens and BPE-ish regex tokens (runs of letters/digits).
+    // The regex keeps to char-classes + alternation so Java regex and RE2
+    // agree (SURVEY B.8 fn_string note).
+    QueryDef(
+      "text_token_count",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+            size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+              .cast("long").as("re_tokens"),
+            length(col("text")).cast("long").as("text_chars"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS ws_tokens,
+             |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens,
+             |  length(text) AS text_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Profile-based language ID (Cavnar–Trenkle-lite): build a top-20 term
+    // profile per language from the corpus itself, then guess each doc's
+    // language as the profile with the largest distinct-term overlap
+    // (ties → lexicographically smaller lang). The profiles are tiny and
+    // broadcast; the per-doc work is one explode + one aggregated join —
+    // the same shape a char-n-gram profile would use at 100 TB.
+    QueryDef(
+      "text_langid",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val terms = docs.select(col("doc_id"), col("lang"),
+          explode(array_distinct(split(col("text"), " "))).as("term"))
+        val wProf = Window.partitionBy(col("plang")).orderBy(col("cnt").desc, col("term"))
+        val profile = terms.groupBy(col("lang").as("plang"), col("term"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("prn", row_number().over(wProf))
+          .filter(col("prn") <= 20)
+          .select("plang", "term")
+        val wGuess = Window.partitionBy(col("doc_id")).orderBy(col("overlap").desc, col("plang"))
+        terms.join(broadcast(profile), "term")
+          .groupBy(col("doc_id"), col("plang"))
+          .agg(count(lit(1)).as("overlap"))
+          .withColumn("grn", row_number().over(wGuess))
+          .filter(col("grn") === 1 && col("doc_id") < 100)
+          .select(col("doc_id"), col("plang").as("guess_lang"), col("overlap"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id, lang, term FROM (
+             |    SELECT doc_id, lang,
+             |      unnest(list_distinct(string_split(text, ' '))) AS term
+             |    FROM documents) x),
+             |profile AS (
+             |  SELECT plang, term FROM (
+             |    SELECT lang AS plang, term, COUNT(*) AS cnt,
+             |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, term) AS prn
+             |    FROM terms GROUP BY lang, term) p
+             |  WHERE prn <= 20),
+             |ovl AS (
+             |  SELECT t.doc_id, p.plang, COUNT(*) AS overlap
+             |  FROM terms t JOIN profile p ON t.term = p.term
+             |  GROUP BY t.doc_id, p.plang)
+             |SELECT doc_id, plang AS guess_lang, overlap FROM (
+             |  SELECT doc_id, plang, overlap,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY overlap DESC, plang) AS grn
+             |  FROM ovl) g
+             |WHERE grn = 1 AND doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     // Nested struct column built, filtered on nested fields, flat output.
     QueryDef(
       "multimodal_struct",

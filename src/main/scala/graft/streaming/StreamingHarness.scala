@@ -41,4 +41,28 @@ object StreamingHarness {
   /** Streaming dedup on (user_id, event_type) — keeps the first arrival. */
   def dedup(events: DataFrame): DataFrame =
     events.dropDuplicates("user_id", "event_type")
+
+  /** Custom keyed state via flatMapGroupsWithState: per-user running event
+    * count and running value sum, emitted on every update. This is the
+    * escape hatch for stateful semantics windows can't express; state is
+    * per-key and partition-local, so it scales horizontally with the key
+    * space (SURVEY §1.2's "custom state" row).
+    */
+  def runningTotals(events: org.apache.spark.sql.Dataset[Ev]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var s = s0
+          evs.foreach { e => n += 1; s += e.value }
+          state.update((n, s))
+          Iterator((uid, n, s))
+      }
+      .toDF("user_id", "n_events", "sum_value")
+  }
 }

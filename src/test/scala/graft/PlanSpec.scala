@@ -1,0 +1,61 @@
+package graft
+
+/** Physical-plan assertions (SURVEY §4): the scale properties the engine
+  * RELIES on must be visible in the plan, not assumed — predicate pushdown
+  * to the parquet scan, column pruning, broadcast joins for dimensions,
+  * partial (map-side) aggregation, and top-k without a global sort.
+  * A regression here doesn't change results, it changes what happens at
+  * 100 TB — which is why it's tested.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Registry.queries(name)(spark, sf0001).queryExecution.sparkPlan.toString
+
+  test("scan_project_filter pushes the predicate into the parquet scan") {
+    val p = plan("scan_project_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"predicate not pushed:\n$p")
+  }
+
+  test("scan_project_filter prunes to the three referenced columns") {
+    val p = plan("scan_project_filter")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"columns not pruned:\n$p")
+  }
+
+  test("join_broadcast uses BroadcastHashJoin for both dimensions") {
+    val p = plan("join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, s"expected 2 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join fell back to SMJ:\n$p")
+  }
+
+  test("join_star_q5 broadcasts the small dims and never cartesian-joins") {
+    val p = plan("join_star_q5")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast in star join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in star join:\n$p")
+  }
+
+  test("agg_pricing_summary does partial (map-side) aggregation") {
+    val p = plan("agg_pricing_summary")
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+    assert(p.contains("partial_"), s"no partial aggregation — all rows shuffle:\n$p")
+  }
+
+  test("limit_topk plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$p")
+  }
+
+  test("dedup_minhash has no cartesian/nested-loop pair explosion") {
+    val p = plan("dedup_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair-explosion join shape:\n$p")
+  }
+
+  test("sim_cosine_topk broadcasts the query side") {
+    val p = plan("sim_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+  }
+}
