@@ -21,8 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Double-precision cosine between two array<double> columns. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Double-precision cosine between two array<double> columns — a native
+    * codegen'd Catalyst expression ([[graft.functions.CosineSimilarity]]).
+    * Same left-to-right summation order as the higher-order-function
+    * formulation and DuckDB's `list_cosine_similarity`, so oracle parity
+    * is preserved while the hot loop stays in WholeStageCodegen.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosine(a, b)
+
+  /** The interpreted higher-order-function twin, kept for the parity test
+    * in LlmPropsSpec (proves the custom expression computes the same
+    * doubles bit-for-bit).
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
     val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))

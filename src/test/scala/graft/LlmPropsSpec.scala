@@ -65,6 +65,18 @@ class LlmPropsSpec extends SparkSpec {
     assert(math.abs(sim - 1.0) < 1e-12)
   }
 
+  test("codegen cosine expression is bit-identical to the HOF formulation") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.select(col("vec_id").as("qid"), col("v").as("qv")).filter(col("qid") < 20)
+    val pairs = q.crossJoin(e.filter(col("vec_id") < 50))
+    val diff = pairs.select(
+      llm.Similarity.cosine(col("qv"), col("v")).as("native"),
+      llm.Similarity.cosineHof(col("qv"), col("v")).as("hof"))
+      .filter(col("native") =!= col("hof")) // exact double equality
+    assert(diff.count() === 0)
+  }
+
   test("every event lands in exactly one session window") {
     val sessions = Registry.queries("stream_session")(spark, sf0001)
     val total = sessions.agg(sum(col("n_events"))).head().getLong(0)
