@@ -53,6 +53,14 @@ class PlanSpec extends SparkSpec {
       s"pair-explosion join shape:\n$p")
   }
 
+  test("dedup_jaccard_pairs joins on the block keys, not a nested loop") {
+    val p = plan("dedup_jaccard_pairs")
+    assert(!p.contains("CartesianProduct"), s"unblocked cross product:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"no equi-join on (lang, source) blocks:\n$p")
+  }
+
   test("sim_cosine_topk broadcasts the query side") {
     val p = plan("sim_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
