@@ -22,6 +22,7 @@ object Registry {
       operators.Joins.defs ++
       operators.Aggregates.defs ++
       operators.Windows.defs ++
+      operators.Reshape.defs ++
       functions.Scalars.defs ++
       streaming.StreamShaped.defs ++
       llm.LlmOps.defs

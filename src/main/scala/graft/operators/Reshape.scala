@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 B.11 — the reference's pandas reshaping/time-series idioms
+  * (Part A rows: `pivot`, `resample`, `pct_change`, `reindex/ffill`)
+  * declared as first-class queries.
+  *
+  * Scale notes: pivot with an explicit value list is a single hash
+  * aggregate (no second pass to discover values — mandatory at 100 TB);
+  * resample is a date_trunc group; returns/ffill are per-key windows that
+  * partition by the entity key, so state stays bounded per task.
+  */
+object Reshape {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // pandas pivot long→wide: order counts per priority × status. The
+    // explicit value list (F/O/P, FIXTURES.md domain) keeps it one-pass.
+    QueryDef(
+      "reshape_pivot",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(
+            col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("n_f"),
+            coalesce(col("O"), lit(0L)).as("n_o"),
+            coalesce(col("P"), lit(0L)).as("n_p"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+             |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+             |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // pandas resample('M'): monthly order counts + money sums.
+    QueryDef(
+      "reshape_resample_monthly",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+          .agg(count(lit(1)).as("n_orders"),
+            Exact.sumMoney2(col("o_totalprice")).as("sum_price"))
+          .orderBy("month"),
+      Some(s"""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+              |  COUNT(*) AS n_orders, ${Exact.sumMoney2Sql("o_totalprice")} AS sum_price
+              |FROM orders GROUP BY 1 ORDER BY month""".stripMargin)),
+
+    // pandas pct_change: per-user sequential returns on event value.
+    QueryDef(
+      "ts_returns",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        Tables.events(s, d)
+          .select(
+            col("user_id"), col("event_id"), col("value"),
+            Exact.roundN(
+              (col("value") - lag(col("value"), 1).over(w)) /
+                nullif(lag(col("value"), 1).over(w), lit(0.0d)), 4).as("ret"))
+          .orderBy("user_id", "event_id")
+      },
+      Some(s"""SELECT user_id, event_id, value,
+              |  ${Exact.roundNSql(
+                 "(value - LAG(value, 1) OVER w) / NULLIF(LAG(value, 1) OVER w, 0.0)", 4)} AS ret
+              |FROM events
+              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+              |ORDER BY user_id, event_id""".stripMargin)),
+
+    // pandas reindex+ffill: mask low values to NULL, forward-fill with the
+    // last non-null per user — the calendar-alignment idiom.
+    QueryDef(
+      "ts_ffill",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("v_masked", when(col("value") >= 100d, col("value")))
+          .select(
+            col("user_id"), col("event_id"), col("v_masked"),
+            last(col("v_masked"), ignoreNulls = true).over(w).as("v_filled"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, v_masked,
+             |  LAST_VALUE(v_masked IGNORE NULLS) OVER (
+             |    PARTITION BY user_id ORDER BY event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+             |FROM (SELECT user_id, event_id,
+             |        CASE WHEN value >= 100 THEN value END AS v_masked
+             |      FROM events) t
+             |ORDER BY user_id, event_id""".stripMargin))
+  )
+}

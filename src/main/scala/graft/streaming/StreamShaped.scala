@@ -49,8 +49,10 @@ object StreamShaped {
 
     // Per-user session windows, 30-min gap, on second-truncated ts. Oracle
     // is the gaps-and-islands rewrite; a new session starts when the gap is
-    // >= 30 min, matching Spark's session_window non-overlap rule
-    // (next.start < prev.ts + gap merges; equality does not).
+    // STRICTLY greater than 30 min. Spark's session_window merge is
+    // boundary-INCLUSIVE: an event at exactly prev.ts + gap joins the
+    // session (verified empirically at sf0.1 — user 511 has a 1800.0s gap
+    // that Spark merges; a `>=` rewrite splits it and loses one session).
     QueryDef(
       "stream_session",
       (s, d) =>
@@ -66,7 +68,7 @@ object StreamShaped {
              |m AS (
              |  SELECT user_id, t, event_id,
              |    CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
-             |           OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) >= INTERVAL 30 MINUTE
+             |           OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > INTERVAL 30 MINUTE
              |         THEN 1 ELSE 0 END AS brk
              |  FROM e),
              |g AS (
