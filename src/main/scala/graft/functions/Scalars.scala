@@ -184,6 +184,28 @@ object Scalars {
              |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
              |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin)),
 
+    // Higher-order array functions — transform / filter / aggregate
+    // (the lambda trio) over token lists, all integer arithmetic.
+    QueryDef(
+      "fn_higher_order",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("lens", transform(split(col("text"), " "), t => length(t).cast("long")))
+          .select(
+            col("doc_id"),
+            size(filter(col("lens"), l => l > 4)).cast("long").as("n_long_toks"),
+            aggregate(col("lens"), lit(0L), (acc, l) => acc + l).as("sum_len"),
+            aggregate(col("lens"), lit(0L), (acc, l) => greatest(acc, l)).as("max_len"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(list_filter(lens, l -> l > 4)) AS n_long_toks,
+             |  list_aggregate(lens, 'sum') AS sum_len,
+             |  list_aggregate(lens, 'max') AS max_len
+             |FROM (SELECT doc_id,
+             |        list_transform(string_split(text, ' '), t -> CAST(length(t) AS BIGINT)) AS lens
+             |      FROM documents) t
+             |ORDER BY doc_id""".stripMargin)),
+
     QueryDef(
       "udf_scalar",
       (s, d) => {

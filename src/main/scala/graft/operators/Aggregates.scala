@@ -201,6 +201,39 @@ object Aggregates {
           .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
       None),
 
+    // Ordered string aggregation (listagg): deterministic via sorting the
+    // collected array before joining — collect_list order is
+    // partition-dependent, sort_array normalizes it (D1 discipline).
+    QueryDef(
+      "agg_string_concat",
+      (s, d) =>
+        Tables.customer(s, d)
+          .filter(col("c_custkey") < 50)
+          .groupBy(col("c_mktsegment"))
+          .agg(array_join(sort_array(collect_list(col("c_name"))), ",").as("names"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, string_agg(c_name, ',' ORDER BY c_name) AS names
+             |FROM customer WHERE c_custkey < 50
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Exact interpolated percentiles. Spark `percentile` and DuckDB
+    // `quantile_cont` both linearly interpolate at rank (n-1)*p over the
+    // sorted values; rounding to 3dp absorbs the last-ulp arithmetic
+    // difference of the interpolation step.
+    QueryDef(
+      "agg_percentile",
+      (s, d) =>
+        Tables.customer(s, d)
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            Exact.roundN(expr("percentile(c_acctbal, 0.5)"), 3).as("med_bal"),
+            Exact.roundN(expr("percentile(c_acctbal, 0.9)"), 3).as("p90_bal"))
+          .orderBy("c_mktsegment"),
+      Some(s"""SELECT c_mktsegment,
+              |  ${Exact.roundNSql("quantile_cont(c_acctbal, 0.5)", 3)} AS med_bal,
+              |  ${Exact.roundNSql("quantile_cont(c_acctbal, 0.9)", 3)} AS p90_bal
+              |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     QueryDef(
       "agg_second_max",
       (s, d) => {
