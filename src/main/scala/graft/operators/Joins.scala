@@ -176,6 +176,65 @@ object Joins {
              |  WHERE p.event_type = 'purchase' AND s.event_type = 'signup') t
              |WHERE rn = 1 ORDER BY purchase_id""".stripMargin)),
 
+    // TPC-H Q3 shape: top-10 unshipped orders by revenue. Ranked on the
+    // ROUNDED revenue (D5) with o_orderkey tie-break.
+    QueryDef(
+      "join_star_q3",
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("1997-01-01").cast("date"))
+        val l = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > lit("1997-01-01").cast("date"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+          .agg(round(Exact.sumDec8(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2)
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+              |  ${Exact.sumDec8Money2Sql("l_extendedprice * (1 - l_discount)")} AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |  AND o_orderdate < TIMESTAMP '1997-01-01'
+              |  AND l_shipdate > TIMESTAMP '1997-01-01'
+              |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // TPC-H Q10 shape: returned-item revenue per customer, top-20.
+    QueryDef(
+      "join_star_q10",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val n = broadcast(Tables.nation(s, d))
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+            col("o_orderdate") < lit("1996-07-01").cast("date"))
+        val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(round(Exact.sumDec8(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2)
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, n_name,
+              |  ${Exact.sumDec8Money2Sql("l_extendedprice * (1 - l_discount)")} AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |WHERE l_returnflag = 'R'
+              |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+              |GROUP BY c_custkey, c_name, n_name
+              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
     // TPC-H Q5 shape: revenue per nation for one region + date range.
     // Ranked by the rounded revenue (D5) with n_name tie-break.
     QueryDef(
