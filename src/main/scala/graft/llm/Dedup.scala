@@ -132,6 +132,78 @@ object Dedup {
       },
       None),
 
+    // Word-trigram shingle Jaccard within the same (lang, source) blocks —
+    // the n-gram flavor of near-dup detection: shingles preserve local word
+    // ORDER, so reordered documents that share a token set stop matching.
+    // Threshold lower than the token-set variant (0.3) because shingle
+    // overlap decays faster than token overlap.
+    //
+    // Inverted-index formulation: shingles are xxhash64'd to longs,
+    // exploded, and pairs are generated by joining on (block, shingle-hash)
+    // — work is proportional to actual shingle MATCHES, not to all
+    // intra-block pairs; pairs with zero overlap never materialize, which
+    // is exactly the sparsity a 100 TB corpus has. (All-pairs
+    // array_intersect variant measured 10.5s at sf0.1; this runs ~1s.)
+    //
+    // Shingling uses zip_with over three slices rather than
+    // transform(sequence, i => element_at(toks, i)) — ProjectCollapse
+    // inlines `split(text)` into every collapsed reference, and the
+    // element_at form references toks once PER SHINGLE PER POSITION
+    // (~228 re-splits of the text per document, re-duplicated into the
+    // Generate's pushed-down filters); the slice form references it 3×
+    // per row. The oracle intersects the raw STRING shingles, so a hash
+    // collision (≈n²/2⁶⁴, vanishing) would surface as a mismatch.
+    QueryDef(
+      "dedup_ngram_jaccard",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val nsh = size(toks) - 2
+        val doc = Tables.documents(s, d)
+          .filter(size(toks) >= 3)
+          .select(col("doc_id"), col("lang"), col("source"),
+            array_distinct(transform(
+              zip_with(
+                slice(toks, lit(1), nsh),
+                zip_with(slice(toks, lit(2), nsh), slice(toks, lit(3), nsh),
+                  (b, c) => concat(b, lit(" "), c)),
+                (a, bc) => concat(a, lit(" "), bc)),
+              sgl => xxhash64(sgl))).as("sh"))
+        val sizes = doc.select(col("doc_id"), size(col("sh")).as("n"))
+        val ex = doc.select(col("doc_id"), col("lang"), col("source"),
+          explode(col("sh")).as("h"))
+        val a = ex.select(col("doc_id").as("doc_id_a"), col("lang"), col("source"), col("h"))
+        val b = ex.select(col("doc_id").as("doc_id_b"), col("lang").as("lang_b"),
+          col("source").as("source_b"), col("h").as("h_b"))
+        val inter = a.join(b, col("lang") === col("lang_b") &&
+            col("source") === col("source_b") && col("h") === col("h_b") &&
+            col("doc_id_a") < col("doc_id_b"))
+          .groupBy(col("doc_id_a"), col("doc_id_b"))
+          .agg(count(lit(1)).cast("double").as("inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_id_a"), col("n").as("na")), "doc_id_a")
+          .join(sizes.select(col("doc_id").as("doc_id_b"), col("n").as("nb")), "doc_id_b")
+          .withColumn("sim_raw", col("inter") / (col("na") + col("nb") - col("inter")))
+          .filter(col("sim_raw") >= 0.3d)
+          .select(col("doc_id_a"), col("doc_id_b"), Exact.roundN(col("sim_raw"), 4).as("sim"))
+          .orderBy("doc_id_a", "doc_id_b")
+      },
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, lang, source,
+              |    list_distinct(list_transform(range(1, len(toks) - 1),
+              |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+              |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+              |        FROM documents) t
+              |  WHERE len(toks) >= 3),
+              |pairs AS (
+              |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+              |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS sim_raw
+              |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
+              |    AND a.doc_id < b.doc_id)
+              |SELECT doc_id_a, doc_id_b, ${Exact.roundNSql("sim_raw", 4)} AS sim
+              |FROM pairs WHERE sim_raw >= 0.3
+              |ORDER BY doc_id_a, doc_id_b""".stripMargin)),
+
     // Embedding-cosine near-dup: for each query vector, the best-matching
     // PRIOR vector (lower vec_id — "have I seen this before?" scan) with
     // its cosine and a dup flag. Query side bounded (vec_id < 200) and

@@ -104,6 +104,28 @@ object Windows {
              |FROM orders ORDER BY o_custkey, o_date, o_orderkey""".stripMargin)),
 
     QueryDef(
+      "win_first_nth",
+      (s, d) => {
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.part(s, d)
+          .select(
+            col("p_brand"), col("p_partkey"), col("p_retailprice"),
+            first(col("p_partkey")).over(w).as("top_part"),
+            nth_value(col("p_partkey"), 2).over(w).as("second_part"))
+          .orderBy("p_brand", "p_partkey")
+      },
+      Some("""SELECT p_brand, p_partkey, p_retailprice,
+             |  FIRST_VALUE(p_partkey) OVER w AS top_part,
+             |  NTH_VALUE(p_partkey, 2) OVER w AS second_part
+             |FROM part
+             |WINDOW w AS (PARTITION BY p_brand
+             |  ORDER BY p_retailprice DESC, p_partkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY p_brand, p_partkey""".stripMargin)),
+
+    QueryDef(
       "win_ntile",
       (s, d) => {
         val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
