@@ -201,6 +201,44 @@ object Aggregates {
           .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
       None),
 
+    // Pearson correlation from exact decimal moments (same discipline as
+    // agg_stats): corr = (n·Σxy − Σx·Σy) / √(n·Σx²−(Σx)²) / √(n·Σy²−(Σy)²).
+    // Built-in corr() accumulates co-moments in float on both engines with
+    // engine-specific ordering — the explicit decimal-sum formula is
+    // order-insensitive and therefore oracle-stable.
+    QueryDef(
+      "agg_corr",
+      (s, d) => {
+        val x = col("l_quantity").cast("decimal(18,4)")
+        val y = col("l_discount").cast("decimal(18,4)")
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+            sum(x * x).cast("double").as("sxx"), sum(y * y).cast("double").as("syy"),
+            sum(x * y).cast("double").as("sxy"))
+          .select(
+            col("l_returnflag"),
+            Exact.roundN(
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                  sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4).as("corr_qd"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag,
+              |  ${Exact.roundNSql(
+                 "(n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))", 4)} AS corr_qd
+              |FROM (
+              |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+              |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+              |    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+              |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+              |    CAST(SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+              |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+              |  FROM lineitem GROUP BY l_returnflag) t
+              |ORDER BY l_returnflag""".stripMargin)),
+
     // Ordered string aggregation (listagg): deterministic via sorting the
     // collected array before joining — collect_list order is
     // partition-dependent, sort_array normalizes it (D1 discipline).

@@ -66,4 +66,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query side not broadcast:\n$p")
   }
+
+  // Queries whose semantics genuinely need a non-equi or cross join; each
+  // keeps one side tiny/broadcast so the product stays bounded.
+  private val intentionalProducts = Set(
+    "join_cross",          // declared cartesian (5×3 rows)
+    "join_range",          // non-equi band join, broadcast 5-row band table
+    "sim_cosine_topk",     // broadcast 10-query side × candidates
+    "sim_knn_label",       // builds on sim_cosine_topk
+    "sim_ann_lsh",         // bucket equi-join but id<>id residual
+    "dedup_embedding",     // broadcast 200-query side, id< residual
+    "text_tfidf",          // crossJoin with 1-row N aggregate
+    "stream_watermark_filter") // crossJoin with 1-row max aggregate
+
+  test("no query plans an unintentional cartesian product") {
+    val offenders = Registry.all.map(_.name)
+      .filterNot(intentionalProducts)
+      .filter { n =>
+        val p = plan(n)
+        p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+      }
+    assert(offenders.isEmpty, s"unintentional product joins in: $offenders")
+  }
 }
