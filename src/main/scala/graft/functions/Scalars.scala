@@ -184,6 +184,47 @@ object Scalars {
              |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
              |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin)),
 
+    // Conditional/null scalar family: least/greatest, nvl-style coalesce
+    // chains, nullif round-trip — 3-valued logic edge coverage.
+    QueryDef(
+      "fn_conditional",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            least(col("l_quantity"), col("l_discount") * 100d).as("least_v"),
+            greatest(col("l_quantity"), col("l_discount") * 100d).as("greatest_v"),
+            coalesce(nullif(col("l_tax"), lit(0.0d)), col("l_discount"), lit(-1d)).as("first_nonzero"),
+            (col("l_quantity") <=> col("l_discount")).as("nullsafe_eq"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  LEAST(l_quantity, l_discount * 100) AS least_v,
+             |  GREATEST(l_quantity, l_discount * 100) AS greatest_v,
+             |  COALESCE(NULLIF(l_tax, 0.0), l_discount, -1) AS first_nonzero,
+             |  l_quantity IS NOT DISTINCT FROM l_discount AS nullsafe_eq
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Bitwise family on keys — pure integer ops, bit-identical anywhere.
+    QueryDef(
+      "fn_bitwise",
+      (s, d) =>
+        Tables.customer(s, d)
+          .select(
+            col("c_custkey"),
+            col("c_custkey").bitwiseAND(lit(255L)).as("low_byte"),
+            col("c_custkey").bitwiseOR(lit(16L)).as("or16"),
+            col("c_custkey").bitwiseXOR(lit(21L)).as("xor21"),
+            shiftleft(col("c_custkey"), 3).as("shl3"),
+            shiftright(col("c_custkey"), 2).as("shr2"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |  c_custkey & 255 AS low_byte,
+             |  c_custkey | 16 AS or16,
+             |  xor(c_custkey, 21) AS xor21,
+             |  c_custkey << 3 AS shl3,
+             |  c_custkey >> 2 AS shr2
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // Higher-order array functions — transform / filter / aggregate
     // (the lambda trio) over token lists, all integer arithmetic.
     QueryDef(

@@ -142,6 +142,33 @@ object Relational {
              |INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
              |ORDER BY o_custkey""".stripMargin)),
 
+    // ALL-variants: bag semantics (duplicates preserved per multiplicity) —
+    // Spark plans these as aggregated counts + generate, a different
+    // operator than the DISTINCT variants.
+    QueryDef(
+      "set_intersect_all",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .intersectAll(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |ORDER BY o_custkey""".stripMargin)),
+
+    QueryDef(
+      "set_except_all",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderstatus") === "O").select("o_custkey")
+          .exceptAll(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY o_custkey""".stripMargin)),
+
     QueryDef(
       "set_except",
       (s, d) => {

@@ -103,6 +103,27 @@ object Windows {
              |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_orders
              |FROM orders ORDER BY o_custkey, o_date, o_orderkey""".stripMargin)),
 
+    // percent_rank = (rank−1)/(n−1) and cume_dist = peers≤/n in both
+    // engines — pure int ratios, rounded 4dp (D5).
+    QueryDef(
+      "win_pct_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables.customer(s, d)
+          .select(
+            col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+            graft.Exact.roundN(percent_rank().over(w), 4).as("pct_rank"),
+            graft.Exact.roundN(cume_dist().over(w), 4).as("cume"))
+          .orderBy("c_mktsegment", "c_custkey")
+      },
+      Some(s"""SELECT c_mktsegment, c_custkey, c_acctbal,
+              |  ${graft.Exact.roundNSql("PERCENT_RANK() OVER w", 4)} AS pct_rank,
+              |  ${graft.Exact.roundNSql("CUME_DIST() OVER w", 4)} AS cume
+              |FROM customer
+              |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+              |ORDER BY c_mktsegment, c_custkey""".stripMargin)),
+
     QueryDef(
       "win_first_nth",
       (s, d) => {
