@@ -184,6 +184,44 @@ object Scalars {
              |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
              |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin)),
 
+    // printf-style formatting — same %-directives in both engines.
+    QueryDef(
+      "fn_format",
+      (s, d) =>
+        Tables.part(s, d)
+          .select(
+            col("p_partkey"),
+            format_string("%s-%07d", col("p_brand"), col("p_partkey")).as("sku"),
+            format_string("%08.2f", col("p_retailprice")).as("price_pad"),
+            concat_ws("/", col("p_brand"), col("p_type")).as("path"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  printf('%s-%07d', p_brand, p_partkey) AS sku,
+             |  printf('%08.2f', p_retailprice) AS price_pad,
+             |  concat_ws('/', p_brand, p_type) AS path
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Trig/inverse-trig at 4dp — glibc and JDK libm agree well inside
+    // [-1e3, 1e3] and the decimal re-round (Exact.roundN) absorbs the
+    // final-ulp cases; verified by preflight at both gate SFs.
+    QueryDef(
+      "fn_trig",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            Exact.roundN(sin(col("l_discount")), 4).as("sin_d"),
+            Exact.roundN(cos(col("l_discount")), 4).as("cos_d"),
+            Exact.roundN(atan2(col("l_quantity"), lit(10.0d)), 4).as("at2"),
+            Exact.roundN(degrees(col("l_discount")), 4).as("deg"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some(s"""SELECT l_orderkey, l_linenumber,
+              |  ${Exact.roundNSql("SIN(l_discount)", 4)} AS sin_d,
+              |  ${Exact.roundNSql("COS(l_discount)", 4)} AS cos_d,
+              |  ${Exact.roundNSql("ATAN2(l_quantity, 10.0)", 4)} AS at2,
+              |  ${Exact.roundNSql("DEGREES(l_discount)", 4)} AS deg
+              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // Conditional/null scalar family: least/greatest, nvl-style coalesce
     // chains, nullif round-trip — 3-valued logic edge coverage.
     QueryDef(

@@ -201,6 +201,23 @@ object Aggregates {
           .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
       None),
 
+    // Boolean aggregates: every/any per group.
+    QueryDef(
+      "agg_bool",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            bool_and(col("l_quantity") > 0d).as("all_positive"),
+            bool_or(col("l_discount") > 0.09d).as("any_big_discount"),
+            bool_and(col("l_tax") < 0.01d).as("all_low_tax"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  bool_and(l_quantity > 0) AS all_positive,
+             |  bool_or(l_discount > 0.09) AS any_big_discount,
+             |  bool_and(l_tax < 0.01) AS all_low_tax
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Pearson correlation from exact decimal moments (same discipline as
     // agg_stats): corr = (n·Σxy − Σx·Σy) / √(n·Σx²−(Σx)²) / √(n·Σy²−(Σy)²).
     // Built-in corr() accumulates co-moments in float on both engines with

@@ -104,6 +104,19 @@ object Relational {
       Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
              |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin)),
 
+    // Pagination: ORDER BY + OFFSET + LIMIT (deterministic because the
+    // sort is total).
+    QueryDef(
+      "limit_offset",
+      (s, d) =>
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .offset(10)
+          .limit(15),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15 OFFSET 10""".stripMargin)),
+
     // ---------------------------------------------------------- B.7 set ops
     QueryDef(
       "set_union_all",
