@@ -101,6 +101,35 @@ object Similarity {
               |  GROUP BY query_id, label) t
               |WHERE rn = 1 ORDER BY query_id""".stripMargin)),
 
+    // Per-label embedding norm statistics — the vector-column profiling op
+    // (norm drift is the standard embedding-quality monitor). The per-row
+    // sum of squares folds left-to-right exactly like DuckDB's list_sum;
+    // the cross-row average goes through decimal (D5).
+    QueryDef(
+      "sim_norm_stats",
+      (s, d) => {
+        val v = col("embedding").cast("array<double>")
+        val norm = sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
+        Tables.embeddings(s, d)
+          .select(col("label"), norm.as("norm"))
+          .groupBy(col("label"))
+          .agg(
+            count(lit(1)).as("n"),
+            Exact.roundN(sum(col("norm").cast("decimal(18,8)")).cast("double") / count(lit(1)), 4)
+              .as("avg_norm"),
+            Exact.roundN(min(col("norm")), 4).as("min_norm"),
+            Exact.roundN(max(col("norm")), 4).as("max_norm"))
+          .orderBy("label")
+      },
+      Some(s"""SELECT label, COUNT(*) AS n,
+              |  ${Exact.roundNSql("CAST(SUM(CAST(norm AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)", 4)} AS avg_norm,
+              |  ${Exact.roundNSql("MIN(norm)", 4)} AS min_norm,
+              |  ${Exact.roundNSql("MAX(norm)", 4)} AS max_norm
+              |FROM (SELECT label,
+              |        SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm
+              |      FROM embeddings) t
+              |GROUP BY label ORDER BY label""".stripMargin)),
+
     // Approximate NN via deterministic random-hyperplane LSH: 8 sign bits
     // from fixed LCG-generated hyperplanes → bucket; exact cosine only
     // within the bucket. Approximate recall ⇒ smoke-only (no oracle).

@@ -241,6 +241,50 @@ object TextOps {
              |  FROM ovl) g
              |WHERE grn = 1 AND doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
+    // Composite corpus-cleaning pipeline — the operators above composed the
+    // way a pre-training data pipeline actually runs them: quality-filter
+    // (token count + stopword ratio) → exact-dedup (min doc_id per text) →
+    // per-language survivor stats. One declared query proves the operators
+    // compose under Catalyst into a single plan.
+    QueryDef(
+      "text_clean_pipeline",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("text"),
+            explode(split(col("text"), " ")).as("tok"))
+        val quality = toks.groupBy(col("doc_id"), col("lang"), col("text"))
+          .agg(
+            count(lit(1)).as("n_toks"),
+            sum(when(col("tok").isin(Stopwords: _*), 1L).otherwise(0L)).as("n_stop"))
+          .filter(col("n_toks") >= 10 &&
+            col("n_stop") * 100 < col("n_toks") * 30) // stopword ratio < 0.3, int arithmetic (D7)
+        // min(lang), not first(lang): identical texts can carry different
+        // langs and first() is partition-order-dependent (D3)
+        val deduped = quality.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
+            min(col("n_toks")).as("n_toks"))
+        deduped.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_survivors"),
+            sum(col("n_toks")).as("total_tokens"))
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, text, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |quality AS (
+             |  SELECT doc_id, lang, text, COUNT(*) AS n_toks,
+             |    SUM(CASE WHEN tok IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'on')
+             |        THEN 1 ELSE 0 END) AS n_stop
+             |  FROM toks GROUP BY doc_id, lang, text
+             |  HAVING COUNT(*) >= 10
+             |     AND SUM(CASE WHEN tok IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'on')
+             |         THEN 1 ELSE 0 END) * 100 < COUNT(*) * 30),
+             |deduped AS (
+             |  SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang, MIN(n_toks) AS n_toks
+             |  FROM quality GROUP BY text)
+             |SELECT lang, COUNT(*) AS n_survivors, SUM(n_toks) AS total_tokens
+             |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Nested struct column built, filtered on nested fields, flat output.
     QueryDef(
       "multimodal_struct",
