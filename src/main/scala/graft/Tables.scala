@@ -14,8 +14,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Memoize the scan DataFrame per (session, dir, table): Bench/Verify run
+    * ~95 queries against the same tables, and re-resolving the parquet
+    * footer/file listing per query is pure fixed overhead (VERDICT r01 #5).
+    * A DataFrame is an immutable plan, so sharing one across queries is
+    * safe; keyed by session so test-local sessions never leak across.
+    */
+  private val scanCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    scanCache.getOrElseUpdate((spark, sfDir, name),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")

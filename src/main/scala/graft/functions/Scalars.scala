@@ -119,6 +119,9 @@ object Scalars {
              |  CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // split/sort_array/slice are the operators under test; array outputs are
+    // flattened with array_join because the driver's pandas hash compare
+    // cannot process array-typed columns (round-1 FAIL(harness)).
     QueryDef(
       "fn_array",
       (s, d) =>
@@ -128,14 +131,14 @@ object Scalars {
             col("doc_id"),
             size(col("toks")).cast("long").as("n_toks"),
             array_contains(col("toks"), "spark").as("has_spark"),
-            sort_array(col("toks")).as("sorted_toks"),
-            slice(col("toks"), 1, 3).as("first3"))
+            array_join(sort_array(col("toks")), ",").as("sorted_toks"),
+            array_join(slice(col("toks"), 1, 3), ",").as("first3"))
           .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  len(string_split(text, ' ')) AS n_toks,
              |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
-             |  list_sort(string_split(text, ' ')) AS sorted_toks,
-             |  string_split(text, ' ')[1:3] AS first3
+             |  array_to_string(list_sort(string_split(text, ' ')), ',') AS sorted_toks,
+             |  array_to_string(string_split(text, ' ')[1:3], ',') AS first3
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Real MapType plumbing on the Spark side; the oracle avoids a JSON
@@ -276,10 +279,12 @@ object Scalars {
             aggregate(col("lens"), lit(0L), (acc, l) => acc + l).as("sum_len"),
             aggregate(col("lens"), lit(0L), (acc, l) => greatest(acc, l)).as("max_len"))
           .orderBy("doc_id"),
+      // CAST: DuckDB list_aggregate sum/max over BIGINT lists returns
+      // HUGEINT/INT128 — cast back to BIGINT to match Spark's dtype.
       Some("""SELECT doc_id,
              |  len(list_filter(lens, l -> l > 4)) AS n_long_toks,
-             |  list_aggregate(lens, 'sum') AS sum_len,
-             |  list_aggregate(lens, 'max') AS max_len
+             |  CAST(list_aggregate(lens, 'sum') AS BIGINT) AS sum_len,
+             |  CAST(list_aggregate(lens, 'max') AS BIGINT) AS max_len
              |FROM (SELECT doc_id,
              |        list_transform(string_split(text, ' '), t -> CAST(length(t) AS BIGINT)) AS lens
              |      FROM documents) t

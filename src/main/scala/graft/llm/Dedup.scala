@@ -33,11 +33,19 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Scale shape (VERDICT r01 #6): group on a 128-bit text fingerprint
+    // (two independent xxhash64 streams), not the text itself — at 100 TB
+    // the shuffle then moves 16-byte keys instead of full document bodies.
+    // Two 64-bit hashes make a spurious merge ~2^-128-per-pair (≈0 even at
+    // 10^13 docs); the oracle keeps the declared GROUP BY text semantics.
     QueryDef(
       "dedup_exact",
       (s, d) =>
         Tables.documents(s, d)
-          .groupBy(col("text"))
+          .select(col("doc_id"),
+            xxhash64(col("text")).as("h1"),
+            xxhash64(lit(0x9e3779b9L), col("text")).as("h2"))
+          .groupBy(col("h1"), col("h2"))
           .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
           .select("doc_id", "n_copies")
           .orderBy("doc_id"),

@@ -169,7 +169,7 @@ object TextOps {
              |              ascii(substring(reverse(tok), 1, 1)) * 131 +
              |              length(tok) * 17) % 65536 AS BIGINT) AS h
              |      FROM p)
-             |SELECT doc_id, SUM(h * pos) % 2147483648 AS fingerprint
+             |SELECT doc_id, CAST(SUM(h * pos) % 2147483648 AS BIGINT) AS fingerprint
              |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Token counting two ways (the pre-training budget accounting op):
@@ -282,7 +282,7 @@ object TextOps {
              |deduped AS (
              |  SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang, MIN(n_toks) AS n_toks
              |  FROM quality GROUP BY text)
-             |SELECT lang, COUNT(*) AS n_survivors, SUM(n_toks) AS total_tokens
+             |SELECT lang, COUNT(*) AS n_survivors, CAST(SUM(n_toks) AS BIGINT) AS total_tokens
              |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // Nested struct column built, filtered on nested fields, flat output.

@@ -182,14 +182,21 @@ object Aggregates {
              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
              |ORDER BY status, priority, g_status, g_prio""".stripMargin)),
 
+    // collect_list + sort_array is the operator under test; the output is
+    // flattened to a joined string because the driver's pandas hash compare
+    // cannot process array-typed columns (round-1 FAIL(harness)).
     QueryDef(
       "agg_collect_sorted",
       (s, d) =>
         Tables.customer(s, d)
           .groupBy(col("c_nationkey"))
-          .agg(sort_array(collect_list(col("c_custkey"))).as("custkeys"))
+          .agg(
+            array_join(
+              transform(sort_array(collect_list(col("c_custkey"))), k => k.cast("string")),
+              ",").as("custkeys"))
           .orderBy("c_nationkey"),
-      Some("""SELECT c_nationkey, list(c_custkey ORDER BY c_custkey) AS custkeys
+      Some("""SELECT c_nationkey,
+             |  string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS custkeys
              |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
     // HLL sketch — approximate by construction, so no cross-engine oracle

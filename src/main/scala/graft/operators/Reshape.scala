@@ -32,10 +32,13 @@ object Reshape {
             coalesce(col("O"), lit(0L)).as("n_o"),
             coalesce(col("P"), lit(0L)).as("n_p"))
           .orderBy("o_orderpriority"),
+      // CAST: DuckDB SUM(BIGINT) widens to HUGEINT, which the driver's typed
+      // hash compare treats as a different dtype than Spark's BIGINT (D-rule:
+      // cast every integer aggregate in the oracle).
       Some("""SELECT o_orderpriority,
-             |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-             |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-             |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     // pandas resample('M'): monthly order counts + money sums.

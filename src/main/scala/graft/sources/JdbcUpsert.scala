@@ -49,7 +49,10 @@ object JdbcUpsert {
     */
   def upsertViaStaging(df: DataFrame, url: String, table: String, keys: Seq[String],
       stagingColumnTypes: Option[String] = None): Unit = {
-    val staging = s"${table}_staging"
+    // Unique per-run staging name: two concurrent upserts to the same target
+    // (overlapping scheduled runs, two streams) must not clobber each
+    // other's staging data mid-MERGE (ADVICE r01).
+    val staging = s"${table}_stg_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     val w = df.write.mode("overwrite")
       .format("jdbc").option("url", url).option("dbtable", staging)
     stagingColumnTypes.fold(w)(t => w.option("createTableColumnTypes", t)).save()
@@ -60,16 +63,19 @@ object JdbcUpsert {
     // folding case — so s-side references are quoted, t-side unquoted.
     def sq(c: String) = s"""s."$c""""
     val on = keys.map(k => s"t.$k = ${sq(k)}").mkString(" AND ")
-    val setClause = nonKeys.map(c => s"$c = ${sq(c)}").mkString(", ")
     val insertCols = cols.mkString(", ")
     val insertVals = cols.map(sq).mkString(", ")
+    // All-key frame ⇒ no UPDATE SET clause is expressible; matched rows are
+    // already identical by definition, so emit an insert-only MERGE.
+    val matchedClause =
+      if (nonKeys.isEmpty) ""
+      else s"\nWHEN MATCHED THEN UPDATE SET ${nonKeys.map(c => s"$c = ${sq(c)}").mkString(", ")}"
     val merge =
-      s"""MERGE INTO $table t USING $staging s ON $on
-         |WHEN MATCHED THEN UPDATE SET $setClause
+      s"""MERGE INTO $table t USING $staging s ON $on$matchedClause
          |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin
     withConnection(url) { c =>
-      c.createStatement().executeUpdate(merge)
-      c.createStatement().executeUpdate(s"DROP TABLE $staging")
+      try c.createStatement().executeUpdate(merge)
+      finally c.createStatement().executeUpdate(s"DROP TABLE $staging")
     }
   }
 
@@ -117,7 +123,9 @@ object JdbcUpsert {
     val r = spark.read.format("jdbc").option("url", url)
       .option("query", s"SELECT MAX($col) AS w FROM $table").load()
       .head()
-    if (r.isNullAt(0)) None else Some(r.getLong(0))
+    // getAs[Number]: the watermark column may be INT/DECIMAL/BIGINT
+    // depending on the DB's DDL — don't assume BIGINT (ADVICE r01).
+    if (r.isNullAt(0)) None else Some(r.getAs[Number](0).longValue)
   }
 
   /** Filtered incremental source read; the predicate is pushed down to the

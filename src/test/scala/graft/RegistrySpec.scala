@@ -31,4 +31,83 @@ class RegistrySpec extends SparkSpec {
       assert(df.schema.fields.nonEmpty)
     }
   }
+
+  // --- Round-2 lints (VERDICT r01 #3). The driver's gate is a pandas
+  // dtype-sensitive hash: DuckDB HUGEINT results (un-cast integer SUM /
+  // list_aggregate) fail the hash even when values match, and array/map/
+  // struct output columns crash the compare outright. Fail at test time if
+  // either round-1 bug class is re-introduced.
+
+  /** Index one past the ')' matching the '(' at `open`. */
+  private def matchedParen(s: String, open: Int): Int = {
+    var depth = 1
+    var i = open + 1
+    while (i < s.length && depth > 0) {
+      if (s(i) == '(') depth += 1 else if (s(i) == ')') depth -= 1
+      i += 1
+    }
+    i
+  }
+
+  /** Spans (start, endExclusive) of every CAST(...) call in the SQL. */
+  private def castSpans(sql: String): Seq[(Int, Int)] =
+    "(?i)\\bCAST\\s*\\(".r.findAllMatchIn(sql).map { m =>
+      (m.start, matchedParen(sql, m.end - 1))
+    }.toSeq
+
+  /** Span of the final top-level SELECT list: from the last paren-depth-0
+    * SELECT keyword to the first depth-0 FROM after it. Aggregates inside
+    * CTEs/subqueries are intermediate (never hashed by the driver) and are
+    * deliberately out of scope.
+    */
+  private def finalSelectList(sql: String): (Int, Int) = {
+    val up = sql.toUpperCase
+    def isBound(j: Int) =
+      j < 0 || j >= sql.length || !(sql(j).isLetterOrDigit || sql(j) == '_')
+    var depth = 0
+    var lastSel = 0
+    for (i <- sql.indices) {
+      sql(i) match { case '(' => depth += 1; case ')' => depth -= 1; case _ => () }
+      if (depth == 0 && up.startsWith("SELECT", i) && isBound(i - 1) && isBound(i + 6))
+        lastSel = i
+    }
+    depth = 0
+    var end = sql.length
+    var i = lastSel
+    while (i < sql.length) {
+      sql(i) match { case '(' => depth += 1; case ')' => depth -= 1; case _ => () }
+      if (depth == 0 && up.startsWith("FROM", i) && isBound(i - 1) && isBound(i + 4) &&
+          end == sql.length && i > lastSel)
+        end = i
+      i += 1
+    }
+    (lastSel, end)
+  }
+
+  test("oracle lint: no un-cast integer-widening aggregate in the final SELECT") {
+    val widening = "(?i)\\b(SUM|LIST_AGGREGATE|LIST_SUM)\\s*\\(".r
+    for (q <- Registry.all; sql <- q.oracle) {
+      val (s, e) = finalSelectList(sql)
+      val casts = castSpans(sql)
+      val bad = widening.findAllMatchIn(sql)
+        .filter(m => m.start >= s && m.start < e)
+        .filterNot(m => casts.exists { case (cs, ce) => m.start > cs && m.start < ce })
+        .toSeq
+      assert(bad.isEmpty,
+        s"${q.name}: un-cast ${bad.map(_.matched.trim).mkString(", ")} in the oracle's " +
+          "final SELECT — DuckDB widens to HUGEINT and the driver's typed hash fails")
+    }
+  }
+
+  test("oracle lint: no complex-typed output columns on oracle-bearing queries") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    for (q <- Registry.all if q.oracle.isDefined) {
+      val complex = q.fn(spark, sf0001).schema.fields.filter(f =>
+        f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType])
+      assert(complex.isEmpty,
+        s"${q.name}: complex-typed output ${complex.map(_.name).mkString(", ")} — " +
+          "the driver's pandas hash compare crashes on array/map/struct columns")
+    }
+  }
 }
