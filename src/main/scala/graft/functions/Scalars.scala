@@ -290,6 +290,27 @@ object Scalars {
              |      FROM documents) t
              |ORDER BY doc_id""".stripMargin)),
 
+    // Regexp family: extract-with-group, replace-all, and match-test. The
+    // patterns stick to char classes + anchors so Java regex and DuckDB's
+    // RE2 agree (same constraint as fn_string / text_token_count).
+    QueryDef(
+      "fn_regexp",
+      (s, d) =>
+        Tables.part(s, d)
+          .select(
+            col("p_partkey"),
+            regexp_extract(col("p_brand"), "#([0-9]+)", 1).cast("long").as("brand_num"),
+            regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+            col("p_name").rlike("widget$").as("is_widget"),
+            regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS BIGINT) AS brand_num,
+             |  regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+             |  regexp_matches(p_name, 'widget$') AS is_widget,
+             |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
     QueryDef(
       "udf_scalar",
       (s, d) => {

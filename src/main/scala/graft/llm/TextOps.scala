@@ -241,6 +241,59 @@ object TextOps {
              |  FROM ovl) g
              |WHERE grn = 1 AND doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
+    // Char-n-gram language ID (the classic Cavnar–Trenkle profile, trigram
+    // flavor): build a per-language top-30 character-trigram profile from
+    // the corpus, guess each doc as the profile with the largest distinct-
+    // trigram overlap (ties → smaller lang). Trigrams come from a
+    // transform-over-positions lambda — no UDF, no join, stays in codegen;
+    // the profile table is tiny and broadcast, so at 100 TB the per-doc
+    // work is one explode + one aggregated broadcast join.
+    QueryDef(
+      "text_langid_chargram",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val grams = docs.select(col("doc_id"), col("lang"),
+          explode(array_distinct(expr(
+            "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")))
+            .as("gram"))
+        val wProf = Window.partitionBy(col("plang")).orderBy(col("cnt").desc, col("gram"))
+        val profile = grams.groupBy(col("lang").as("plang"), col("gram"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("prn", row_number().over(wProf))
+          .filter(col("prn") <= 30)
+          .select("plang", "gram")
+        val wGuess = Window.partitionBy(col("doc_id")).orderBy(col("overlap").desc, col("plang"))
+        grams.join(broadcast(profile), "gram")
+          .groupBy(col("doc_id"), col("plang"))
+          .agg(count(lit(1)).as("overlap"))
+          .withColumn("grn", row_number().over(wGuess))
+          .filter(col("grn") === 1 && col("doc_id") < 100)
+          .select(col("doc_id"), col("plang").as("guess_lang"), col("overlap"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id, lang, gram FROM (
+             |    SELECT doc_id, lang,
+             |      unnest(list_distinct(list_transform(
+             |        range(1, greatest(length(text) - 2, 1) + 1),
+             |        i -> substring(text, i, 3)))) AS gram
+             |    FROM documents) x),
+             |profile AS (
+             |  SELECT plang, gram FROM (
+             |    SELECT lang AS plang, gram, COUNT(*) AS cnt,
+             |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, gram) AS prn
+             |    FROM grams GROUP BY lang, gram) p
+             |  WHERE prn <= 30),
+             |ovl AS (
+             |  SELECT g.doc_id, p.plang, COUNT(*) AS overlap
+             |  FROM grams g JOIN profile p ON g.gram = p.gram
+             |  GROUP BY g.doc_id, p.plang)
+             |SELECT doc_id, plang AS guess_lang, overlap FROM (
+             |  SELECT doc_id, plang, overlap,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY overlap DESC, plang) AS grn
+             |  FROM ovl) g
+             |WHERE grn = 1 AND doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     // Composite corpus-cleaning pipeline — the operators above composed the
     // way a pre-training data pipeline actually runs them: quality-filter
     // (token count + stopword ratio) → exact-dedup (min doc_id per text) →

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2 B.4 aggregation.
@@ -310,6 +311,110 @@ object Aggregates {
              |  SELECT o_orderstatus, o_totalprice AS p,
              |    MAX(o_totalprice) OVER (PARTITION BY o_orderstatus) AS m
              |  FROM orders) t
-             |WHERE p < m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |WHERE p < m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Modal value per group, deterministic tie-break (higher count, then
+    // lexicographically smaller value). Both engines' native mode() leaves
+    // ties unspecified, so the count+row_number formulation is the portable
+    // one — and it's also the 100 TB shape: a partial-aggregable count then
+    // a window over the tiny (group × domain) table.
+    QueryDef(
+      "agg_mode",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("n").desc, col("o_orderpriority"))
+        Tables.orders(s, d)
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"), col("n"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, mode_priority, n FROM (
+             |  SELECT o_orderstatus, o_orderpriority AS mode_priority, COUNT(*) AS n,
+             |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+             |      ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+             |  FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+             |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin)),
+
+    // max_by/min_by with a struct ordering key: ties on acctbal are broken
+    // by custkey inside the comparison itself, so the aggregate stays
+    // deterministic (plain max_by leaves ties engine-defined).
+    QueryDef(
+      "agg_minmax_by",
+      (s, d) =>
+        Tables.customer(s, d)
+          .groupBy(col("c_nationkey"))
+          .agg(
+            max_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey"))).as("richest"),
+            min_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey"))).as("poorest"))
+          .orderBy("c_nationkey"),
+      Some("""WITH ranked AS (
+             |  SELECT c_nationkey, c_name,
+             |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+             |      ORDER BY c_acctbal DESC, c_custkey DESC) AS rhi,
+             |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+             |      ORDER BY c_acctbal ASC, c_custkey ASC) AS rlo
+             |  FROM customer)
+             |SELECT hi.c_nationkey, hi.c_name AS richest, lo.c_name AS poorest
+             |FROM (SELECT c_nationkey, c_name FROM ranked WHERE rhi = 1) hi
+             |JOIN (SELECT c_nationkey, c_name FROM ranked WHERE rlo = 1) lo
+             |  USING (c_nationkey)
+             |ORDER BY c_nationkey""".stripMargin)),
+
+    // Conditional counting — count_if in both engines (COUNT semantics, so
+    // no HUGEINT widening; CAST kept for the dtype discipline anyway).
+    QueryDef(
+      "agg_count_if",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count_if(col("l_discount") > 0.05d).as("n_discounted"),
+            count_if(col("l_quantity") >= 25d).as("n_bulk"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
+             |  CAST(count_if(l_quantity >= 25) AS BIGINT) AS n_bulk,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Weighted average: Σ(price·qty)/Σ(qty) in exact decimal partials
+    // (order-insensitive ⇒ AQE-safe), final division in double, rounded.
+    QueryDef(
+      "agg_weighted_avg",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            Exact.roundN(
+              Exact.sumDec8(col("l_extendedprice") * col("l_quantity")).cast("double") /
+                Exact.sumDec(col("l_quantity")).cast("double"), 4).as("wavg_price"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+              |  ${Exact.roundNSql(
+                 "CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,8))) AS DOUBLE) " +
+                   "/ CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)", 4)} AS wavg_price,
+              |  COUNT(*) AS n
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Fixed-width histogram over a metadata column — single hash aggregate
+    // on the bucket key, the shape a 100 TB length-distribution scan needs.
+    QueryDef(
+      "agg_histogram",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("bucket", (floor(col("n_chars") / 100d) * 100).cast("long"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy("bucket"),
+      Some("""SELECT CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS bucket,
+             |  COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+             |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 }

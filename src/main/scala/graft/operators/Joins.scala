@@ -176,6 +176,76 @@ object Joins {
              |  WHERE p.event_type = 'purchase' AND s.event_type = 'signup') t
              |WHERE rn = 1 ORDER BY purchase_id""".stripMargin)),
 
+    // Forward as-of: earliest signup at-or-after each purchase (the mirror
+    // of join_asof's backward look). Same scale shape: equi-join on user +
+    // per-purchase row_number — never a cross product.
+    QueryDef(
+      "join_asof_forward",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .withColumn("tss", date_trunc("second", col("ts")))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("tss").as("purchase_ts"))
+        val sg = e.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("user_id").as("su"),
+            col("tss").as("signup_ts"))
+        val w = Window.partitionBy(col("purchase_id"))
+          .orderBy(col("signup_ts").asc, col("signup_id").asc)
+        p.join(sg, p("user_id") === sg("su") && col("signup_ts") >= col("purchase_ts"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("purchase_id", "user_id", "purchase_ts", "signup_id")
+          .orderBy("purchase_id")
+      },
+      Some("""SELECT purchase_id, user_id, purchase_ts, signup_id FROM (
+             |  SELECT p.event_id AS purchase_id, p.user_id,
+             |    CAST(date_trunc('second', p.ts) AS TIMESTAMP) AS purchase_ts,
+             |    s.event_id AS signup_id,
+             |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+             |      ORDER BY date_trunc('second', s.ts) ASC, s.event_id ASC) AS rn
+             |  FROM events p JOIN events s
+             |    ON s.user_id = p.user_id
+             |   AND date_trunc('second', s.ts) >= date_trunc('second', p.ts)
+             |  WHERE p.event_type = 'purchase' AND s.event_type = 'signup') t
+             |WHERE rn = 1 ORDER BY purchase_id""".stripMargin)),
+
+    // Nearest as-of: the signup closest in time to each purchase, either
+    // direction, measured in whole seconds on the epoch (D4-truncated).
+    // Ties → earlier signup, then smaller signup_id.
+    QueryDef(
+      "join_asof_nearest",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .withColumn("sec", unix_timestamp(date_trunc("second", col("ts"))))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("sec").as("p_sec"))
+        val sg = e.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("user_id").as("su"),
+            col("sec").as("s_sec"))
+        val w = Window.partitionBy(col("purchase_id"))
+          .orderBy(col("diff_sec").asc, col("s_sec").asc, col("signup_id").asc)
+        p.join(sg, p("user_id") === sg("su"))
+          .withColumn("diff_sec", abs(col("p_sec") - col("s_sec")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("purchase_id", "user_id", "signup_id", "diff_sec")
+          .orderBy("purchase_id")
+      },
+      Some("""SELECT purchase_id, user_id, signup_id, diff_sec FROM (
+             |  SELECT p.event_id AS purchase_id, p.user_id, s.event_id AS signup_id,
+             |    ABS(CAST(epoch(date_trunc('second', p.ts)) AS BIGINT)
+             |        - CAST(epoch(date_trunc('second', s.ts)) AS BIGINT)) AS diff_sec,
+             |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+             |      ORDER BY ABS(CAST(epoch(date_trunc('second', p.ts)) AS BIGINT)
+             |                   - CAST(epoch(date_trunc('second', s.ts)) AS BIGINT)) ASC,
+             |               CAST(epoch(date_trunc('second', s.ts)) AS BIGINT) ASC,
+             |               s.event_id ASC) AS rn
+             |  FROM events p JOIN events s ON s.user_id = p.user_id
+             |  WHERE p.event_type = 'purchase' AND s.event_type = 'signup') t
+             |WHERE rn = 1 ORDER BY purchase_id""".stripMargin)),
+
     // TPC-H Q3 shape: top-10 unshipped orders by revenue. Ranked on the
     // ROUNDED revenue (D5) with o_orderkey tie-break.
     QueryDef(

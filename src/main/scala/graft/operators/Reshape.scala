@@ -41,6 +41,38 @@ object Reshape {
              |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // pandas melt / SQL UNPIVOT: the pivoted wide table back to long form,
+    // via Spark's native Dataset.unpivot (Expand under the hood — one pass,
+    // no join). Status codes become the `status` value column.
+    QueryDef(
+      "reshape_unpivot",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(
+            col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("F"),
+            coalesce(col("O"), lit(0L)).as("O"),
+            coalesce(col("P"), lit(0L)).as("P"))
+          .unpivot(
+            Array(col("o_orderpriority")),
+            Array(col("F"), col("O"), col("P")),
+            "status", "n")
+          .orderBy("o_orderpriority", "status"),
+      Some("""WITH w AS (
+             |  SELECT o_orderpriority,
+             |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f,
+             |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o,
+             |    CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p
+             |  FROM orders GROUP BY o_orderpriority)
+             |SELECT o_orderpriority, status, n FROM (
+             |  SELECT o_orderpriority, 'F' AS status, f AS n FROM w
+             |  UNION ALL SELECT o_orderpriority, 'O', o FROM w
+             |  UNION ALL SELECT o_orderpriority, 'P', p FROM w) u
+             |ORDER BY o_orderpriority, status""".stripMargin)),
+
     // pandas resample('M'): monthly order counts + money sums.
     QueryDef(
       "reshape_resample_monthly",

@@ -158,6 +158,40 @@ object Windows {
       },
       Some("""SELECT c_custkey, c_acctbal,
              |  NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
-             |FROM customer ORDER BY c_custkey""".stripMargin))
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // Per-group standardization (z-score). The moments come from exact
+    // decimal window sums (order-insensitive, D1); the final
+    // (x−μ)/σ arithmetic is plain IEEE doubles, identical on both engines,
+    // rounded 4dp (D5). Sample variance (n−1); every priority group has
+    // thousands of rows, so n>1 always holds.
+    QueryDef(
+      "win_zscore",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+        val p = col("o_totalprice")
+        Tables.orders(s, d)
+          .withColumn("s1", Exact.sumDec(p).over(w).cast("double"))
+          .withColumn("s2", sum((p * p).cast("decimal(28,8)")).over(w).cast("double"))
+          .withColumn("n", count(lit(1)).over(w).cast("double"))
+          .select(
+            col("o_orderkey"), col("o_orderpriority"), p,
+            Exact.roundN(
+              (p - col("s1") / col("n")) /
+                sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1d)),
+              4).as("z"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_orderpriority, o_totalprice,
+              |  ${Exact.roundNSql(
+                 "(o_totalprice - s1 / n) / SQRT((s2 - s1 * s1 / n) / (n - 1))", 4)} AS z
+              |FROM (
+              |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+              |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s1,
+              |    CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,8))) OVER w AS DOUBLE) AS s2,
+              |    CAST(COUNT(*) OVER w AS DOUBLE) AS n
+              |  FROM orders
+              |  WINDOW w AS (PARTITION BY o_orderpriority)) t
+              |ORDER BY o_orderkey""".stripMargin))
   )
 }
