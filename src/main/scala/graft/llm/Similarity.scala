@@ -170,6 +170,65 @@ object Similarity {
           .select("query_id", "neighbor_id", "sim")
           .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
       },
-      None)
+      None),
+
+    // IVF-bucketed ANN — the other classic scale path (inverted-file
+    // index): deterministic seed centroids (vec_id < 8), every vector
+    // assigned to its nearest centroid (rounded cosine, centroid-id
+    // tie-break ⇒ fully deterministic ⇒ oracle-able, unlike the LSH
+    // variant), then each query probes ONLY its own cell (nprobe=1).
+    // Scale shape: centroids broadcast (assignment is map-side), cell
+    // search is an equi-join on cell id — work ∝ cell population, never
+    // all-pairs. At 100 TB the assignment pass is one broadcast-map and
+    // the probe is a co-partitioned join on (cell).
+    QueryDef(
+      "sim_ann_ivf",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        val cents = broadcast(e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("emb").as("cent")))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cent_id"))
+        val assigned = e.crossJoin(cents)
+          .withColumn("csim", Exact.roundN(cosine(col("emb"), col("cent")), 4))
+          .withColumn("arn", row_number().over(wAssign))
+          .filter(col("arn") === 1)
+          .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
+        val q = broadcast(assigned.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("cell")))
+        val c = assigned.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"),
+          col("cell").as("ccell"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        q.join(c, col("cell") === col("ccell") && col("query_id") =!= col("neighbor_id"))
+          .withColumn("sim", Exact.roundN(cosine(col("qe"), col("ce")), 4))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("query_id", "cell", "neighbor_id", "sim")
+          .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              |cents AS (SELECT vec_id AS cent_id, emb AS cent FROM e WHERE vec_id < 8),
+              |assigned AS (
+              |  SELECT vec_id, emb, cell FROM (
+              |    SELECT e.vec_id, e.emb, c.cent_id AS cell,
+              |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              |        ${Exact.roundNSql("list_cosine_similarity(e.emb, c.cent)", 4)} DESC,
+              |        c.cent_id) AS arn
+              |    FROM e CROSS JOIN cents c) t
+              |  WHERE arn = 1)
+              |SELECT query_id, cell, neighbor_id, sim FROM (
+              |  SELECT q.vec_id AS query_id, q.cell, c.vec_id AS neighbor_id,
+              |    ${Exact.roundNSql("list_cosine_similarity(q.emb, c.emb)", 4)} AS sim,
+              |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              |      ${Exact.roundNSql("list_cosine_similarity(q.emb, c.emb)", 4)} DESC,
+              |      c.vec_id) AS rn
+              |  FROM assigned q JOIN assigned c
+              |    ON c.cell = q.cell AND c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 10) t
+              |WHERE rn <= 5
+              |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin))
   )
 }

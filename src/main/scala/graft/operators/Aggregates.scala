@@ -401,6 +401,61 @@ object Aggregates {
               |  COUNT(*) AS n
               |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Skewness + excess kurtosis per segment, closed-form from exact
+    // decimal power sums (built-in skewness()/kurtosis() accumulate floats
+    // in partition order → oracle-unstable; decimal Σx..Σx⁴ are
+    // order-insensitive, and the final moment algebra is plain IEEE doubles
+    // written identically on both engines — same approach as agg_corr).
+    // sqrt(v)*v instead of pow(v,1.5): pow's libm implementations differ.
+    QueryDef(
+      "agg_skew",
+      (s, d) => {
+        val x = col("c_acctbal")
+        Tables.customer(s, d)
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(x.cast("decimal(18,4)")).cast("double").as("s1"),
+            sum((x * x).cast("decimal(28,8)")).cast("double").as("s2"),
+            sum((x * x * x).cast("decimal(38,8)")).cast("double").as("s3"),
+            sum((x * x * x * x).cast("decimal(38,8)")).cast("double").as("s4"))
+          .select(
+            col("c_mktsegment"),
+            col("n").cast("long").as("n_rows"),
+            Exact.roundN(
+              (col("s3") / col("n") - lit(3d) * (col("s1") / col("n")) * (col("s2") / col("n")) +
+                lit(2d) * (col("s1") / col("n")) * (col("s1") / col("n")) * (col("s1") / col("n"))) /
+                (sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))) *
+                  (col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))), 4)
+              .as("skew"),
+            Exact.roundN(
+              (col("s4") / col("n") - lit(4d) * (col("s1") / col("n")) * (col("s3") / col("n")) +
+                lit(6d) * (col("s1") / col("n")) * (col("s1") / col("n")) * (col("s2") / col("n")) -
+                lit(3d) * (col("s1") / col("n")) * (col("s1") / col("n")) *
+                  (col("s1") / col("n")) * (col("s1") / col("n"))) /
+                ((col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))) *
+                  (col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))) -
+                lit(3d), 4).as("kurt"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, CAST(n AS BIGINT) AS n_rows,
+              |  ${Exact.roundNSql(
+                 "(s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n)) " +
+                   "/ (SQRT(s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))", 4)} AS skew,
+              |  ${Exact.roundNSql(
+                 "(s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n) " +
+                   "- 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) " +
+                   "/ ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3", 4)} AS kurt
+              |FROM (
+              |  SELECT c_mktsegment,
+              |    CAST(COUNT(*) AS DOUBLE) AS n,
+              |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+              |    CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(28,8))) AS DOUBLE) AS s2,
+              |    CAST(SUM(CAST(c_acctbal * c_acctbal * c_acctbal AS DECIMAL(38,8))) AS DOUBLE) AS s3,
+              |    CAST(SUM(CAST(c_acctbal * c_acctbal * c_acctbal * c_acctbal AS DECIMAL(38,8))) AS DOUBLE) AS s4
+              |  FROM customer GROUP BY c_mktsegment) t
+              |ORDER BY c_mktsegment""".stripMargin)),
+
     // Fixed-width histogram over a metadata column — single hash aggregate
     // on the bucket key, the shape a 100 TB length-distribution scan needs.
     QueryDef(

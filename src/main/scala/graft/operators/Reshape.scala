@@ -86,6 +86,35 @@ object Reshape {
               |  COUNT(*) AS n_orders, ${Exact.sumMoney2Sql("o_totalprice")} AS sum_price
               |FROM orders GROUP BY 1 ORDER BY month""".stripMargin)),
 
+    // pandas reindex-to-calendar: a generated monthly spine (sequence +
+    // explode) LEFT-joined to the monthly aggregate, gaps filled with 0 —
+    // the idiom that guarantees a row for every period even when the data
+    // has none. The spine derives from a 1-row min/max aggregate, so it is
+    // broadcast; the fact side never re-shuffles.
+    QueryDef(
+      "ts_reindex_spine",
+      (s, d) => {
+        val monthly = Tables.orders(s, d)
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+          .agg(count(lit(1)).as("n"))
+        val spine = monthly
+          .agg(min(col("month")).as("mn"), max(col("month")).as("mx"))
+          .select(explode(expr("sequence(mn, mx, interval 1 month)")).as("month"))
+        spine.join(monthly, Seq("month"), "left")
+          .select(col("month"), coalesce(col("n"), lit(0L)).as("n_orders"))
+          .orderBy("month")
+      },
+      Some("""WITH monthly AS (
+             |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, COUNT(*) AS n
+             |  FROM orders GROUP BY 1),
+             |b AS (SELECT MIN(month) AS mn, MAX(month) AS mx FROM monthly),
+             |spine AS (
+             |  SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+             |    CAST(mx AS TIMESTAMP), INTERVAL 1 MONTH)) AS DATE) AS month FROM b)
+             |SELECT s.month, COALESCE(n, 0) AS n_orders
+             |FROM spine s LEFT JOIN monthly m ON s.month = m.month
+             |ORDER BY s.month""".stripMargin)),
+
     // pandas pct_change: per-user sequential returns on event value.
     QueryDef(
       "ts_returns",
