@@ -290,6 +290,20 @@ object Scalars {
              |      FROM documents) t
              |ORDER BY doc_id""".stripMargin)),
 
+    // Cryptographic digests — the content-addressing primitives a dedup
+    // pipeline keys on. Both engines emit lowercase hex for md5/sha256.
+    QueryDef(
+      "fn_hash",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            md5(col("text").cast("binary")).as("md5_hex"),
+            sha2(col("text").cast("binary"), 256).as("sha256_hex"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Regexp family: extract-with-group, replace-all, and match-test. The
     // patterns stick to char classes + anchors so Java regex and DuckDB's
     // RE2 agree (same constraint as fn_string / text_token_count).

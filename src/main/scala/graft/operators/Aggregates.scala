@@ -401,6 +401,22 @@ object Aggregates {
               |  COUNT(*) AS n
               |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Bitwise aggregates over keys — AND/OR/XOR fold per group (both
+    // engines return BIGINT; XOR is the order-insensitive checksum trick).
+    QueryDef(
+      "agg_bit",
+      (s, d) =>
+        Tables.customer(s, d)
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            expr("bit_and(c_custkey)").as("band"),
+            expr("bit_or(c_custkey)").as("bor"),
+            expr("bit_xor(c_custkey)").as("bxor"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, bit_and(c_custkey) AS band,
+             |  bit_or(c_custkey) AS bor, bit_xor(c_custkey) AS bxor
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // Skewness + excess kurtosis per segment, closed-form from exact
     // decimal power sums (built-in skewness()/kurtosis() accumulate floats
     // in partition order → oracle-unstable; decimal Σx..Σx⁴ are

@@ -84,6 +84,71 @@ object Relational {
              |FROM lineitem WHERE NULLIF(l_tax, 0.0) IS NULL
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // Correlated scalar subqueries (Catalyst decorrelates into aggregate +
+    // join — the rewrite is the operator under test). Division-free
+    // above-average formulation: price·count > Σprice keeps every compare
+    // in exact arithmetic (count is exact in double, Σ goes through
+    // decimal), so no avg-accumulation-order drift (D5).
+    QueryDef(
+      "sub_correlated",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_orders_sub")
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+                |FROM graft_orders_sub o
+                |WHERE o_totalprice * (SELECT COUNT(*) FROM graft_orders_sub o2
+                |                      WHERE o2.o_custkey = o.o_custkey)
+                |      > (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                |         FROM graft_orders_sub o2 WHERE o2.o_custkey = o.o_custkey)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders o
+             |WHERE o_totalprice * (SELECT COUNT(*) FROM orders o2
+             |                      WHERE o2.o_custkey = o.o_custkey)
+             |      > (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             |         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // IN / NOT IN subquery predicates (Catalyst → left-semi / null-aware
+    // anti join; subquery keys are non-null so NOT IN is well-defined).
+    QueryDef(
+      "sub_in_filter",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("graft_customer_sub")
+        Tables.orders(s, d).createOrReplaceTempView("graft_orders_sub2")
+        s.sql("""SELECT c_custkey, c_name FROM graft_customer_sub
+                |WHERE c_custkey IN (SELECT o_custkey FROM graft_orders_sub2
+                |                    WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
+                |  AND c_custkey NOT IN (SELECT o_custkey FROM graft_orders_sub2
+                |                        WHERE o_orderpriority = '5-LOW' AND o_orderstatus = 'F')
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders
+             |                    WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
+             |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+             |                        WHERE o_orderpriority = '5-LOW' AND o_orderstatus = 'F')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Deterministic keyed sampling — the portable LCG (udf_scalar family)
+    // over the key, mod 100 < 10 ⇒ a reproducible ~10% sample in ANY
+    // engine. TABLESAMPLE seeds don't transfer across engines; this does,
+    // and at 100 TB it pushes down as a cheap scan-level predicate.
+    QueryDef(
+      "scan_sample_hash",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter((col("l_orderkey") * 1103515245L + 12345L) % 2147483648L % 100 < 10)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_sampled"),
+            Exact.sumMoney2(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n_sampled,
+              |  ${Exact.sumMoney2Sql("l_quantity")} AS sum_qty
+              |FROM lineitem
+              |WHERE (l_orderkey * 1103515245 + 12345) % 2147483648 % 100 < 10
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ------------------------------------------------------ B.6 sort / limit
     QueryDef(
       "sort_multi_key",

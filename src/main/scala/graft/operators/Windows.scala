@@ -160,6 +160,36 @@ object Windows {
              |  NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // Gaps-and-islands: maximal runs of the same event_type per user in
+    // event_id order, via the classic difference-of-row_numbers grouping
+    // key. Both windows partition by user, so state stays bounded per key
+    // at any scale; the island aggregate is an ordinary hash agg.
+    QueryDef(
+      "win_islands",
+      (s, d) => {
+        val wAll = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val wTyp = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            (row_number().over(wAll) - row_number().over(wTyp)).as("grp"))
+          .groupBy(col("user_id"), col("event_type"), col("grp"))
+          .agg(min(col("event_id")).as("start_id"), count(lit(1)).as("streak_len"))
+          .filter(col("streak_len") >= 2)
+          .select("user_id", "event_type", "start_id", "streak_len")
+          .orderBy("user_id", "start_id")
+      },
+      Some("""SELECT user_id, event_type, MIN(event_id) AS start_id,
+             |  COUNT(*) AS streak_len
+             |FROM (
+             |  SELECT user_id, event_type, event_id,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+             |    - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS grp
+             |  FROM events) t
+             |GROUP BY user_id, event_type, grp
+             |HAVING COUNT(*) >= 2
+             |ORDER BY user_id, start_id""".stripMargin)),
+
     // Per-group standardization (z-score). The moments come from exact
     // decimal window sums (order-insensitive, D1); the final
     // (x−μ)/σ arithmetic is plain IEEE doubles, identical on both engines,
