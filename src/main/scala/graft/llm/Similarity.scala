@@ -172,6 +172,39 @@ object Similarity {
       },
       None),
 
+    // Per-vector int8 min-max quantization — the storage-compression pass
+    // an embedding pipeline runs before indexing. q_i = round(255·(x−mn)/
+    // (mx−mn)) through Exact.roundN (plain round(double) differs between
+    // engines); the checksum sum stays in exact integer arithmetic. Pure
+    // per-row lambda work, no shuffle.
+    QueryDef(
+      "sim_quantize_int8",
+      (s, d) => {
+        val emb = col("embedding").cast("array<double>")
+        val mn = array_min(emb)
+        val mx = array_max(emb)
+        val q = transform(emb, x =>
+          Exact.roundN((x - mn) / (mx - mn) * 255d, 0).cast("long"))
+        Tables.embeddings(s, d)
+          .select(
+            col("vec_id"),
+            element_at(q, 1).as("q_first"),
+            element_at(q, 64).as("q_last"),
+            aggregate(q, lit(0L), (acc, v) => acc + v).as("q_sum"))
+          .orderBy("vec_id")
+      },
+      Some(s"""SELECT vec_id, q[1] AS q_first, q[64] AS q_last,
+              |  CAST(list_sum(q) AS BIGINT) AS q_sum
+              |FROM (
+              |  SELECT vec_id,
+              |    list_transform(emb, x -> CAST(
+              |      ${Exact.roundNSql("(x - mn) / (mx - mn) * 255", 0)} AS BIGINT)) AS q
+              |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+              |          list_aggregate(CAST(embedding AS DOUBLE[]), 'min') AS mn,
+              |          list_aggregate(CAST(embedding AS DOUBLE[]), 'max') AS mx
+              |        FROM embeddings) b) t
+              |ORDER BY vec_id""".stripMargin)),
+
     // IVF-bucketed ANN — the other classic scale path (inverted-file
     // index): deterministic seed centroids (vec_id < 8), every vector
     // assigned to its nearest centroid (rounded cosine, centroid-id

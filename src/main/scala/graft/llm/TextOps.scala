@@ -241,6 +241,60 @@ object TextOps {
              |  FROM ovl) g
              |WHERE grn = 1 AND doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
+    // Sliding-window chunking (context-window packing): each document split
+    // into overlapping 8-token chunks with stride 4 — the standard way long
+    // documents become training samples. Pure per-row lambda work (no
+    // shuffle at all until the driver's ORDER BY): scales embarrassingly.
+    QueryDef(
+      "text_chunk_sliding",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"),
+            posexplode(expr(
+              "transform(sequence(1, greatest(size(toks), 1), 4), st -> array_join(slice(toks, st, 8), ' '))"))
+              .as(Seq("chunk_idx", "chunk_text")))
+          .select(
+            col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            col("chunk_text"),
+            size(split(col("chunk_text"), " ")).cast("long").as("n_chunk_toks"))
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |c AS (SELECT doc_id,
+             |        list_transform(range(1, greatest(len(toks), 1) + 1, 4),
+             |          st -> array_to_string(toks[st:st+7], ' ')) AS chunks
+             |      FROM t),
+             |u AS (SELECT doc_id,
+             |        unnest(range(0, len(chunks))) AS chunk_idx,
+             |        unnest(chunks) AS chunk_text
+             |      FROM c)
+             |SELECT doc_id, chunk_idx, chunk_text,
+             |  len(string_split(chunk_text, ' ')) AS n_chunk_toks
+             |FROM u ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Stopword removal producing cleaned text — the filter that actually
+    // rewrites the corpus (vs text_quality which only scores it). Flat
+    // string output so the driver's gate can hash it.
+    QueryDef(
+      "text_remove_stopwords",
+      (s, d) => {
+        val sw = Stopwords
+        Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("kept", filter(col("toks"), t => !t.isInCollection(sw)))
+          .select(
+            col("doc_id"),
+            array_join(col("kept"), " ").as("cleaned"),
+            (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  array_to_string(list_filter(string_split(text, ' '),
+              |    t -> t NOT IN $StopwordsSql), ' ') AS cleaned,
+              |  len(string_split(text, ' '))
+              |    - len(list_filter(string_split(text, ' '), t -> t NOT IN $StopwordsSql)) AS n_removed
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Char-n-gram language ID (the classic Cavnar–Trenkle profile, trigram
     // flavor): build a per-language top-30 character-trigram profile from
     // the corpus, guess each doc as the profile with the largest distinct-
