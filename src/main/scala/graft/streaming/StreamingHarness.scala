@@ -42,6 +42,30 @@ object StreamingHarness {
   def dedup(events: DataFrame): DataFrame =
     events.dropDuplicates("user_id", "event_type")
 
+  /** Stream-stream interval join: each purchase matched to signups of the
+    * same user with `s_ts ∈ [p_ts − 2h, p_ts]`. Both sides carry
+    * watermarks, so the join buffers only rows inside the interval ±
+    * delay — state stays bounded however long the stream runs (the
+    * standard Structured Streaming join-state eviction contract).
+    * `delay` is the allowed out-of-orderness; tests pass a large value so
+    * chunked replay can't evict rows the batch twin would keep.
+    */
+  def purchaseSignupJoin(events: DataFrame, delay: String = "10 minutes"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", delay)
+    val sg = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", delay)
+    p.join(sg,
+      col("p_user") === col("s_user") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS") &&
+        col("s_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("signup_id"))
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: per-user running event
     * count and running value sum, emitted on every update. This is the
     * escape hatch for stateful semantics windows can't express; state is

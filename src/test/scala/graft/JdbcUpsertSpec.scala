@@ -53,6 +53,23 @@ class JdbcUpsertSpec extends SparkSpec {
       ("BBB", 20240101L, 21.0), ("CCC", 20240103L, 30.0)))
   }
 
+  test("all-key frame upserts via insert-only MERGE (no UPDATE SET clause)") {
+    import spark.implicits._
+    JdbcUpsert.ensureTable(url,
+      """CREATE TABLE seen_keys (
+        |  code VARCHAR(16) NOT NULL,
+        |  trade_date BIGINT NOT NULL,
+        |  PRIMARY KEY (code, trade_date))""".stripMargin)
+    val keys = Seq(("AAA", 20240101L), ("BBB", 20240102L)).toDF("code", "trade_date")
+    JdbcUpsert.upsertViaStaging(keys, url, "seen_keys", Seq("code", "trade_date"), Some("code VARCHAR(16)"))
+    // re-applying the same all-key delta must neither fail (empty UPDATE
+    // SET would be malformed SQL) nor duplicate
+    JdbcUpsert.upsertViaStaging(keys, url, "seen_keys", Seq("code", "trade_date"), Some("code VARCHAR(16)"))
+    val n = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "seen_keys").load().count()
+    assert(n === 2)
+  }
+
   test("incremental watermark load fetches only newer rows") {
     val w = JdbcUpsert.maxWatermark(spark, url, "bars", "trade_date")
     assert(w === Some(20240103L))

@@ -67,6 +67,35 @@ class PlanSpec extends SparkSpec {
       s"query side not broadcast:\n$p")
   }
 
+  test("sub_correlated decorrelates into aggregate + broadcast joins") {
+    val p = plan("sub_correlated")
+    assert(p.contains("BroadcastHashJoin"), s"subquery not decorrelated to a join:\n$p")
+    assert(p.contains("partial_"), s"decorrelated aggregate not partial:\n$p")
+    assert(!p.contains("CartesianProduct"), s"correlated subquery became a product:\n$p")
+  }
+
+  test("sub_in_filter plans left-semi and left-anti joins") {
+    val p = plan("sub_in_filter")
+    assert(p.contains("LeftSemi"), s"IN did not become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT IN did not become an anti join:\n$p")
+  }
+
+  test("sim_ann_ivf probes cells via an equi-join, with group-limited top-k") {
+    val p = plan("sim_ann_ivf")
+    assert(p.contains("BroadcastHashJoin [cell"), s"cell probe is not an equi-join:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k not group-limited before the window:\n$p")
+  }
+
+  test("win_islands runs both windows without an intermediate shuffle") {
+    // Exchanges only exist in the executed plan (EnsureRequirements); two
+    // adjacent Window nodes over the same user_id partitioning must not
+    // have one between them — that would be a second shuffle per pass.
+    val p = Registry.queries("win_islands")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val seg = p.substring(p.indexOf("Window"), p.lastIndexOf("Window"))
+    assert(!seg.contains("Exchange"), s"shuffle between the island windows:\n$p")
+  }
+
   // Queries whose semantics genuinely need a non-equi or cross join; each
   // keeps one side tiny/broadcast so the product stays bounded.
   private val intentionalProducts = Set(

@@ -53,6 +53,27 @@ class StreamingSpec extends SparkSpec {
     assert(sortedSeq(streaming) === sortedSeq(batch))
   }
 
+  test("stream-stream interval join equals its batch twin") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = batchEvents.collect().map(r => Ev(
+      r.getLong(0), r.getAs[Timestamp](1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val stream = MemoryStream[Ev]
+    // stream-stream joins emit in append mode only (no complete mode);
+    // the generous delay keeps replay chunking from evicting join state
+    // that the batch twin retains.
+    val q = StreamingHarness.purchaseSignupJoin(stream.toDF(), "30 days")
+      .writeStream.format("memory").queryName("ssjoin_out").outputMode("append").start()
+    val (a, b) = rows.splitAt(rows.length / 2)
+    stream.addData(a.toIndexedSeq); q.processAllAvailable()
+    stream.addData(b.toIndexedSeq); q.processAllAvailable()
+    val streaming = spark.table("ssjoin_out").collect()
+    q.stop()
+    val batch = StreamingHarness.purchaseSignupJoin(batchEvents).collect()
+    assert(batch.nonEmpty, "batch twin produced no joined rows — fixture too small")
+    assert(sortedSeq(streaming) === sortedSeq(batch))
+  }
+
   test("streaming dedup keeps one row per (user_id, event_type)") {
     val streaming = streamed(
       df => StreamingHarness.dedup(df).groupBy("user_id", "event_type").count(),
