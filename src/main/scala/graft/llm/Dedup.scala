@@ -140,6 +140,94 @@ object Dedup {
       },
       None),
 
+    // MinHash-LSH with a PORTABLE hash family + exact-Jaccard verification —
+    // the oracle-backed twin of dedup_minhash. Permutations are LCGs over
+    // the portable tokHash ((aᵢ·t+bᵢ) mod 2¹⁵), so the whole pipeline —
+    // signatures, 4×4 banding, cluster-representative assignment, verify —
+    // is expressible identically in DuckDB SQL and the driver can hash-
+    // check it (upgrades the flagship dedup op from smoke-only). Same
+    // O(n·bands) cluster-rep shape as dedup_minhash: reps are a map-side-
+    // combinable MIN per bucket, never candidate PAIRS (the fixture's
+    // ~2,300-doc near-dup cluster makes pair output O(cluster²)).
+    // Verification filters clusters to exact Jaccard ≥ 0.5.
+    QueryDef(
+      "dedup_minhash_verified",
+      (s, d) => {
+        val numHashes = 16
+        val bandSize = 4
+        def aI(i: Int): Long = 1103515245L + 2L * i
+        def bI(i: Int): Long = 12345L + 7919L * i
+        val doc = Tables.documents(s, d)
+          .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+        val sig: Column = array((0 until numHashes).map { i =>
+          array_min(transform(col("toks"), t => (lit(aI(i)) * tokHash(t) + lit(bI(i))) % 32768L))
+        }: _*)
+        val bandKeys = array((0 until numHashes / bandSize).map { b =>
+          (0 until bandSize).map(r => sig(b * bandSize + r))
+            .reduce((acc, h) => acc * 32768L + h)
+        }: _*)
+        val banded = doc
+          .select(col("doc_id"), col("toks"),
+            posexplode(bandKeys).as(Seq("band_idx", "band_key")))
+        val reps = banded.groupBy(col("band_idx"), col("band_key"))
+          .agg(min(col("doc_id")).as("rep"))
+        val clustered = banded.join(reps, Seq("band_idx", "band_key"))
+          .groupBy(col("doc_id")).agg(min(col("rep")).as("cluster_rep"))
+          .filter(col("cluster_rep") < col("doc_id"))
+        val t1 = doc.select(col("doc_id"), col("toks"))
+        val t2 = doc.select(col("doc_id").as("cluster_rep"), col("toks").as("rep_toks"))
+        clustered.join(t1, "doc_id").join(t2, "cluster_rep")
+          .withColumn("i", size(array_intersect(col("toks"), col("rep_toks"))).cast("double"))
+          .withColumn("u", size(array_union(col("toks"), col("rep_toks"))).cast("double"))
+          .withColumn("sim_raw", col("i") / col("u"))
+          .filter(col("sim_raw") >= 0.5d)
+          .select(col("doc_id"), col("cluster_rep"), Exact.roundN(col("sim_raw"), 4).as("sim"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def aI(i: Int): Long = 1103515245L + 2L * i
+        def bI(i: Int): Long = 12345L + 7919L * i
+        val tokHashLambda =
+          "((ascii(substring(t, 1, 1)) * 8191 + ascii(substring(reverse(t), 1, 1)) * 131 + length(t) * 17) % 65536)"
+        val sigCols = (0 until 16).map { i =>
+          s"list_min(list_transform(toks, t -> (${aI(i)} * $tokHashLambda + ${bI(i)}) % 32768)) AS h$i"
+        }.mkString(",\n  ")
+        val bandRows = (0 until 4).map { b =>
+          val key = (0 until 4).map(r => s"h${b * 4 + r}")
+            .reduce((acc, h) => s"($acc * 32768 + $h)")
+          s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH doc AS (
+           |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+           |sig AS (SELECT doc_id,
+           |  $sigCols
+           |FROM doc),
+           |banded AS (
+           |  $bandRows),
+           |reps AS (SELECT band_idx, band_key, MIN(doc_id) AS rep
+           |         FROM banded GROUP BY 1, 2),
+           |clustered AS (
+           |  SELECT b.doc_id, MIN(r.rep) AS cluster_rep
+           |  FROM banded b JOIN reps r ON r.band_idx = b.band_idx AND r.band_key = b.band_key
+           |  GROUP BY b.doc_id
+           |  HAVING MIN(r.rep) < b.doc_id),
+           |dt AS (SELECT doc_id, unnest(toks) AS tok FROM doc),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY doc_id),
+           |inter AS (
+           |  SELECT c.doc_id, c.cluster_rep, COUNT(*) AS i
+           |  FROM clustered c
+           |  JOIN dt a ON a.doc_id = c.doc_id
+           |  JOIN dt b ON b.doc_id = c.cluster_rep AND b.tok = a.tok
+           |  GROUP BY 1, 2)
+           |SELECT inter.doc_id, inter.cluster_rep,
+           |  ${Exact.roundNSql("CAST(i AS DOUBLE) / (sa.n + sb.n - i)", 4)} AS sim
+           |FROM inter
+           |JOIN sz sa ON sa.doc_id = inter.doc_id
+           |JOIN sz sb ON sb.doc_id = inter.cluster_rep
+           |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+           |ORDER BY inter.doc_id""".stripMargin
+      }),
+
     // Word-trigram shingle Jaccard within the same (lang, source) blocks —
     // the n-gram flavor of near-dup detection: shingles preserve local word
     // ORDER, so reordered documents that share a token set stop matching.

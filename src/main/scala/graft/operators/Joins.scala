@@ -176,6 +176,37 @@ object Joins {
              |  WHERE p.event_type = 'purchase' AND s.event_type = 'signup') t
              |WHERE rn = 1 ORDER BY purchase_id""".stripMargin)),
 
+    // Binned range join — the scale rewrite of join_range: both sides are
+    // keyed by a coarse bin (width 10), the bands explode into every bin
+    // they cover, and the BETWEEN becomes a residual filter on an EQUI-join.
+    // This is the formulation that survives two BIG sides at 100 TB (a
+    // plain theta join is a nested-loop); PlanSpec asserts no
+    // BroadcastNestedLoopJoin is planned. The oracle states the plain
+    // BETWEEN semantics — results must be identical.
+    QueryDef(
+      "join_range_binned",
+      (s, d) => {
+        import s.implicits._
+        val bands = Seq(
+          ("q01_10", 1, 10), ("q11_20", 11, 20), ("q21_30", 21, 30),
+          ("q31_40", 31, 40), ("q41_50", 41, 50))
+          .toDF("band", "lo", "hi")
+        val binnedBands = broadcast(bands.withColumn("bin",
+          explode(expr("sequence(CAST(floor((lo - 1) / 10) AS INT), CAST(floor((hi - 1) / 10) AS INT))"))))
+        Tables.lineitem(s, d)
+          .withColumn("bin", floor((col("l_quantity") - 1d) / 10d).cast("int"))
+          .join(binnedBands, Seq("bin"))
+          .filter(col("l_quantity").between(col("lo"), col("hi")))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_items"))
+          .orderBy("band")
+      },
+      Some("""SELECT band, COUNT(*) AS n_items FROM lineitem
+             |JOIN (VALUES ('q01_10', 1, 10), ('q11_20', 11, 20), ('q21_30', 21, 30),
+             |             ('q31_40', 31, 40), ('q41_50', 41, 50)) AS b(band, lo, hi)
+             |ON l_quantity BETWEEN lo AND hi
+             |GROUP BY band ORDER BY band""".stripMargin)),
+
     // Forward as-of: earliest signup at-or-after each purchase (the mirror
     // of join_asof's backward look). Same scale shape: equi-join on user +
     // per-purchase row_number — never a cross product.

@@ -67,6 +67,20 @@ class PlanSpec extends SparkSpec {
       s"query side not broadcast:\n$p")
   }
 
+  test("join_range_binned plans an equi-join, not a nested loop") {
+    val p = plan("join_range_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"binned range join fell back to a nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), s"no equi-join on bin:\n$p")
+  }
+
+  test("dedup_minhash_verified keeps the cluster-rep shape (no pair explosion)") {
+    val p = plan("dedup_minhash_verified")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair-explosion join shape:\n$p")
+  }
+
   test("sub_correlated decorrelates into aggregate + broadcast joins") {
     val p = plan("sub_correlated")
     assert(p.contains("BroadcastHashJoin"), s"subquery not decorrelated to a join:\n$p")
