@@ -159,16 +159,23 @@ object Dedup {
         def bI(i: Int): Long = 12345L + 7919L * i
         val doc = Tables.documents(s, d)
           .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-        val sig: Column = array((0 until numHashes).map { i =>
-          array_min(transform(col("toks"), t => (lit(aI(i)) * tokHash(t) + lit(bI(i))) % 32768L))
-        }: _*)
+        // Signatures via explode + 16 MIN aggregates, NOT 16 array_min
+        // lambdas: ProjectCollapse would inline the string tokHash into
+        // every permutation (16 ascii/reverse passes per token — measured
+        // 7.5s at sf0.1); here each token row hashes once and the 16 LCGs
+        // are integer-only, map-side-combinable aggregates (1.3s).
+        val th = doc.select(col("doc_id"), explode(col("toks")).as("tok"))
+          .withColumn("t", tokHash(col("tok")))
+        val minCols = (0 until numHashes).map { i =>
+          min((lit(aI(i)) * col("t") + lit(bI(i))) % 32768L).as(s"h$i")
+        }
+        val sig = th.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
         val bandKeys = array((0 until numHashes / bandSize).map { b =>
-          (0 until bandSize).map(r => sig(b * bandSize + r))
+          (0 until bandSize).map(r => col(s"h${b * bandSize + r}"))
             .reduce((acc, h) => acc * 32768L + h)
         }: _*)
-        val banded = doc
-          .select(col("doc_id"), col("toks"),
-            posexplode(bandKeys).as(Seq("band_idx", "band_key")))
+        val banded = sig
+          .select(col("doc_id"), posexplode(bandKeys).as(Seq("band_idx", "band_key")))
         val reps = banded.groupBy(col("band_idx"), col("band_key"))
           .agg(min(col("doc_id")).as("rep"))
         val clustered = banded.join(reps, Seq("band_idx", "band_key"))
