@@ -71,6 +71,36 @@ object Multimodal {
         octet_length(col("payload")).as("n_bytes"),
         col("lang")))
 
+  private val frameSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", LongType),
+    StructField("checksum", LongType)))
+
+  /** Frame sampling: treat the payload as fixed-size frames (16 bytes) and
+    * emit every `stride`-th frame with a byte checksum — the video
+    * frame-sample shape (1 row in → k frame rows out, decode once per
+    * partition). A real codec would replace the checksum with a decoded
+    * frame tensor; the iteration/batching plumbing is identical.
+    */
+  def sampleFrames(withPayload: DataFrame, frameBytes: Int = 16, stride: Int = 4): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        val nFrames = (p.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by stride).iterator.map { f =>
+          val start = f * frameBytes
+          val end = math.min(start + frameBytes, p.length)
+          var sum = 0L
+          var i = start
+          while (i < end) { sum += (p(i) & 0xff); i += 1 }
+          Row(r.getLong(0), f.toLong, sum)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, frameSchema)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Binary column + typed metadata, filtered on nested metadata fields;
@@ -113,6 +143,24 @@ object Multimodal {
               |  64 + (ascii(substring(text, 2, 1)) % 128) AS height,
               |  ${Exact.roundNSql(
                  "list_sum(list_transform(range(1, length(text)+1), i -> ascii(substring(text, i, 1)))) * 1.0 / length(text)", 4)} AS mean_luma
-              |FROM documents ORDER BY doc_id""".stripMargin))
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Frame sampling as a declared query: every 4th 16-byte frame of the
+    // payload with its byte checksum. ASCII text ⇒ byte i == ascii(char i),
+    // so DuckDB replays the sampler in exact integer arithmetic.
+    QueryDef(
+      "multimodal_frame_sample",
+      (s, d) =>
+        sampleFrames(withPayload(Tables.documents(s, d)))
+          .orderBy("doc_id", "frame_idx"),
+      Some("""WITH f AS (
+             |  SELECT doc_id, text, length(text) AS n,
+             |    unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT), 4)) AS frame_idx
+             |  FROM documents)
+             |SELECT doc_id, frame_idx,
+             |  CAST(list_sum(list_transform(
+             |    range(frame_idx * 16 + 1, least(frame_idx * 16 + 16, n) + 1),
+             |    i -> ascii(substring(text, i, 1)))) AS BIGINT) AS checksum
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }
