@@ -130,6 +130,42 @@ object Relational {
              |                        WHERE o_orderpriority = '5-LOW' AND o_orderstatus = 'F')
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Recursive CTE (Spark 4's WITH RECURSIVE): a 0..90 recursive counter (Spark caps recursion depth at 100 levels)
+    // drives a month calendar from the data's own min/max — every month
+    // gets a row even with zero orders. The recursion itself is engine-
+    // independent; only the month-add syntax differs per dialect
+    // (add_months vs i * INTERVAL), which is why query and oracle texts
+    // diverge slightly while computing the same table.
+    QueryDef(
+      "sub_recursive_cte",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_orders_rec")
+        s.sql("""WITH RECURSIVE k(i) AS (
+                |  SELECT 0 UNION ALL SELECT i + 1 FROM k WHERE i < 90),
+                |b AS (SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS mn,
+                |             CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS mx
+                |      FROM graft_orders_rec),
+                |months AS (
+                |  SELECT add_months(mn, i) AS month
+                |  FROM b JOIN k ON add_months(mn, i) <= mx)
+                |SELECT m.month, COUNT(o.o_orderkey) AS n_orders
+                |FROM months m LEFT JOIN graft_orders_rec o
+                |  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m.month
+                |GROUP BY m.month ORDER BY m.month""".stripMargin)
+      },
+      Some("""WITH RECURSIVE k(i) AS (
+             |  SELECT 0 UNION ALL SELECT i + 1 FROM k WHERE i < 90),
+             |b AS (SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS mn,
+             |             CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS mx
+             |      FROM orders),
+             |months AS (
+             |  SELECT CAST(mn + i * INTERVAL 1 MONTH AS DATE) AS month
+             |  FROM b JOIN k ON mn + i * INTERVAL 1 MONTH <= mx)
+             |SELECT m.month, COUNT(o.o_orderkey) AS n_orders
+             |FROM months m LEFT JOIN orders o
+             |  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m.month
+             |GROUP BY m.month ORDER BY m.month""".stripMargin)),
+
     // Deterministic keyed sampling — the portable LCG (udf_scalar family)
     // over the key, mod 100 < 10 ⇒ a reproducible ~10% sample in ANY
     // engine. TABLESAMPLE seeds don't transfer across engines; this does,

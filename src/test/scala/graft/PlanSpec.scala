@@ -122,7 +122,8 @@ class PlanSpec extends SparkSpec {
     "text_tfidf",          // crossJoin with 1-row N aggregate
     "stream_watermark_filter", // crossJoin with 1-row max aggregate
     "sim_ann_ivf",         // crossJoin with broadcast 8-row centroid table
-    "ts_reindex_spine")    // spine from 1-row min/max agg, broadcast left join
+    "ts_reindex_spine",    // spine from 1-row min/max agg, broadcast left join
+    "sub_recursive_cte")   // 1-row bounds × 101-row recursive counter
 
   test("no query plans an unintentional cartesian product") {
     val offenders = Registry.all.map(_.name)
