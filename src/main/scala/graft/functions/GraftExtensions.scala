@@ -1,0 +1,26 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point (SURVEY §2 custom-operator ladder,
+  * rung (c)): registers the library's native expressions into a session's
+  * FunctionRegistry so plain SQL users get them too —
+  * `spark.sql("SELECT graft_cosine(a, b) ...")`.
+  *
+  * Activate via `spark.sql.extensions=graft.functions.GraftExtensions` or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_cosine(arrayA, arrayB) takes 2 arguments")
+        CosineSimilarity(children.head, children(1))
+      }))
+  }
+}

@@ -290,6 +290,27 @@ object Scalars {
              |      FROM documents) t
              |ORDER BY doc_id""".stripMargin)),
 
+    // Edit-distance fuzzy matching (record-linkage / dirty-data cleanup):
+    // Levenshtein distance against a probe string, plus a normalized
+    // similarity in exact integer-ratio arithmetic rounded 4dp.
+    QueryDef(
+      "fn_levenshtein",
+      (s, d) =>
+        Tables.part(s, d)
+          .select(
+            col("p_partkey"), col("p_name"),
+            levenshtein(col("p_name"), lit("small widget")).cast("long").as("lev"),
+            Exact.roundN(
+              lit(1.0d) - levenshtein(col("p_name"), lit("small widget")).cast("double") /
+                greatest(length(col("p_name")), lit(12)).cast("double"), 4).as("sim"))
+          .orderBy("p_partkey"),
+      Some(s"""SELECT p_partkey, p_name,
+              |  CAST(levenshtein(p_name, 'small widget') AS BIGINT) AS lev,
+              |  ${Exact.roundNSql(
+                 "1.0 - CAST(levenshtein(p_name, 'small widget') AS DOUBLE) " +
+                   "/ CAST(greatest(length(p_name), 12) AS DOUBLE)", 4)} AS sim
+              |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // Cryptographic digests — the content-addressing primitives a dedup
     // pipeline keys on. Both engines emit lowercase hex for md5/sha256.
     QueryDef(

@@ -297,6 +297,36 @@ object Aggregates {
               |  ${Exact.roundNSql("quantile_cont(c_acctbal, 0.9)", 3)} AS p90_bal
               |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // Exact DISCRETE percentiles (the value AT rank ⌈p·n⌉, no
+    // interpolation) via the portable row_number formulation — engines
+    // disagree on quantile_disc edge conventions, the rank pick doesn't.
+    QueryDef(
+      "agg_percentile_disc",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        val ranked = Tables.customer(s, d)
+          .select(col("c_mktsegment"), col("c_acctbal"),
+            row_number().over(w).as("rn"),
+            count(lit(1)).over(Window.partitionBy(col("c_mktsegment"))).as("n"))
+        ranked
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            max(when(col("rn") === ceil(col("n") * 0.5d), col("c_acctbal"))).as("med_disc"),
+            max(when(col("rn") === ceil(col("n") * 0.9d), col("c_acctbal"))).as("p90_disc"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+             |  MAX(CASE WHEN rn = CEIL(n * 0.5) THEN c_acctbal END) AS med_disc,
+             |  MAX(CASE WHEN rn = CEIL(n * 0.9) THEN c_acctbal END) AS p90_disc
+             |FROM (
+             |  SELECT c_mktsegment, c_acctbal,
+             |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+             |      ORDER BY c_acctbal, c_custkey) AS rn,
+             |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+             |  FROM customer) t
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     QueryDef(
       "agg_second_max",
       (s, d) => {

@@ -110,4 +110,14 @@ class RegistrySpec extends SparkSpec {
           "the driver's pandas hash compare crashes on array/map/struct columns")
     }
   }
+
+  test("oracle lint: output column names are unique (case-insensitive)") {
+    // The driver sorts columns BY NAME before hashing; duplicate names make
+    // the selection ambiguous on both the Spark-parquet and DuckDB sides.
+    for (q <- Registry.all) {
+      val names = q.fn(spark, sf0001).schema.fieldNames.map(_.toLowerCase)
+      assert(names.distinct.length === names.length,
+        s"${q.name}: duplicate output column names ${names.mkString(", ")}")
+    }
+  }
 }
