@@ -82,4 +82,57 @@ class LlmPropsSpec extends SparkSpec {
     val total = sessions.agg(sum(col("n_events"))).head().getLong(0)
     assert(total === Tables.events(spark, sf0001).count())
   }
+
+  test("minhash-verified clusters: exact duplicates always share a representative") {
+    // LSH guarantee for identical inputs: equal token sets ⇒ equal
+    // signatures ⇒ equal band keys ⇒ same cluster, and the verify stage
+    // scores the pair at exactly 1.0. The fixture corpus has no exact
+    // duplicates, so construct one: write a 4-doc documents table (two
+    // identical, one reordered-dup token set, one disjoint) and run the
+    // declared query against it.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mh").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),      // exact dup of 0
+      (2L, "zeta epsilon delta gamma beta alpha"),      // same token SET as 0
+      (3L, "one two three four five six"))              // disjoint
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Registry.queries("dedup_minhash_verified")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // docs 1 and 2 must both cluster under rep 0 with exact Jaccard 1.0;
+    // doc 3 shares no tokens and must not appear.
+    assert(out.toSeq === Seq((1L, 0L, 1.0), (2L, 0L, 1.0)))
+  }
+
+  test("int8 quantization output is bounded and endpoints hit 0/255") {
+    val q = Registry.queries("sim_quantize_int8")(spark, sf0001)
+    val bad = q.filter(
+      col("q_first") < 0 || col("q_first") > 255 ||
+        col("q_last") < 0 || col("q_last") > 255 ||
+        col("q_sum") < 0 || col("q_sum") > 255L * 64)
+    assert(bad.count() === 0)
+    // per-vector min maps to 0 and max to 255, so q_sum is strictly inside
+    val n = q.count()
+    assert(n === Tables.embeddings(spark, sf0001).count())
+  }
+
+  test("chunking covers every token exactly: stride-4 windows of size 8 over n tokens") {
+    // Each chunk starts at 1,5,9,… ≤ n and holds min(8, n−start+1) tokens;
+    // summing chunk sizes must equal Σ over starts — verified against the
+    // closed form computed from the raw documents.
+    val chunks = Registry.queries("text_chunk_sliding")(spark, sf0001)
+    val got = chunks.groupBy(col("doc_id"))
+      .agg(sum(col("n_chunk_toks")).as("tok_sum"), count(lit(1)).as("n_chunks"))
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    val expected = docs.select(col("doc_id"),
+      expr("aggregate(sequence(1, greatest(n, 1), 4), 0L, (acc, st) -> acc + least(8, n - st + 1))")
+        .as("tok_sum_exp"),
+      expr("size(sequence(1, greatest(n, 1), 4))").cast("long").as("n_chunks_exp"))
+    val mismatch = got.join(expected, "doc_id")
+      .filter(col("tok_sum") =!= col("tok_sum_exp") || col("n_chunks") =!= col("n_chunks_exp"))
+    assert(mismatch.count() === 0)
+  }
 }
