@@ -114,6 +114,35 @@ object StreamShaped {
              |FROM events
              |WHERE CAST(date_trunc('second', ts) AS TIMESTAMP) >=
              |  (SELECT MAX(CAST(date_trunc('second', ts) AS TIMESTAMP)) FROM events) - INTERVAL 10 MINUTE
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // Batch twin of the stream-stream interval join capability
+    // (StreamingHarness.purchaseSignupJoin): purchases matched to same-user
+    // signups within the preceding 2 hours, on second-truncated timestamps
+    // (D4). In a stream both sides carry watermarks and this exact plan
+    // runs with bounded join state.
+    QueryDef(
+      "stream_interval_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .withColumn("tss", date_trunc("second", col("ts")))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("tss").as("p_ts"))
+        val sg = e.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("user_id").as("su"),
+            col("tss").as("s_ts"))
+        p.join(sg, col("user_id") === col("su") &&
+            col("s_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS") &&
+            col("s_ts") <= col("p_ts"))
+          .select("purchase_id", "user_id", "signup_id")
+          .orderBy("purchase_id", "signup_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id, s.event_id AS signup_id
+             |FROM events p JOIN events s ON s.user_id = p.user_id
+             |  AND date_trunc('second', s.ts) >= date_trunc('second', p.ts) - INTERVAL 2 HOUR
+             |  AND date_trunc('second', s.ts) <= date_trunc('second', p.ts)
+             |WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
+             |ORDER BY purchase_id, signup_id""".stripMargin))
   )
 }
