@@ -130,6 +130,29 @@ object Relational {
              |                        WHERE o_orderpriority = '5-LOW' AND o_orderstatus = 'F')
              |ORDER BY c_custkey""".stripMargin)),
 
+    // LATERAL correlated subquery (top-1-per-key flavor): each customer's
+    // most recent order via a correlated ORDER BY/LIMIT — Catalyst rewrites
+    // the lateral into a decorrelated join, the per-key limit into a
+    // window/group-limit. Deterministic: the inner sort is total.
+    QueryDef(
+      "sub_lateral",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("graft_customer_lat")
+        Tables.orders(s, d).createOrReplaceTempView("graft_orders_lat")
+        s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+                |FROM graft_customer_lat c, LATERAL (
+                |  SELECT o_orderkey, o_totalprice FROM graft_orders_lat o
+                |  WHERE o.o_custkey = c.c_custkey
+                |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) t
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+             |FROM customer c, LATERAL (
+             |  SELECT o_orderkey, o_totalprice FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey
+             |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) t
+             |ORDER BY c_custkey""".stripMargin)),
+
     // Recursive CTE (Spark 4's WITH RECURSIVE): a 0..90 recursive counter (Spark caps recursion depth at 100 levels)
     // drives a month calendar from the data's own min/max — every month
     // gets a row even with zero orders. The recursion itself is engine-
