@@ -290,6 +290,24 @@ object Scalars {
              |      FROM documents) t
              |ORDER BY doc_id""".stripMargin)),
 
+    // Base64 encode + round-trip — the binary-payload transport encoding
+    // (how opaque media columns travel through JSON/text systems).
+    QueryDef(
+      "fn_base64",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            // Spark's base64 MIME-wraps at 76 chars (\r\n); strip to the
+            // canonical unwrapped form DuckDB emits.
+            regexp_replace(base64(col("text").cast("binary")), "[\\r\\n]", "").as("b64"),
+            (unbase64(base64(col("text").cast("binary"))).cast("string") === col("text"))
+              .as("roundtrip_ok"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, to_base64(encode(text)) AS b64,
+             |  decode(from_base64(to_base64(encode(text)))) = text AS roundtrip_ok
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Edit-distance fuzzy matching (record-linkage / dirty-data cleanup):
     // Levenshtein distance against a probe string, plus a normalized
     // similarity in exact integer-ratio arithmetic rounded 4dp.

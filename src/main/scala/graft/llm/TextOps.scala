@@ -272,6 +272,35 @@ object TextOps {
              |  len(string_split(chunk_text, ' ')) AS n_chunk_toks
              |FROM u ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // Sequence packing (context-window bin assignment): docs are packed
+    // into ~512-token bins per language via a running token total —
+    // bin = floor((cumsum − n_toks) / 512), the deterministic, fully
+    // parallel approximation of greedy packing (exact greedy is inherently
+    // sequential; this is the shape used at scale). Partitioned by lang so
+    // window state stays bounded per key.
+    QueryDef(
+      "text_pack_bins",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_toks"))
+          .withColumn("cum", sum(col("n_toks")).over(w))
+          .select(col("doc_id"), col("lang"), col("n_toks"),
+            floor((col("cum") - col("n_toks")) / 512d).cast("long").as("bin"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_toks,
+             |  CAST(FLOOR((cum - n_toks) / 512) AS BIGINT) AS bin
+             |FROM (
+             |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks,
+             |    CAST(SUM(len(string_split(text, ' '))) OVER (
+             |      PARTITION BY lang ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |  FROM documents) t
+             |ORDER BY doc_id""".stripMargin)),
+
     // Stopword removal producing cleaned text — the filter that actually
     // rewrites the corpus (vs text_quality which only scores it). Flat
     // string output so the driver's gate can hash it.
