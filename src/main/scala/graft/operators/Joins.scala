@@ -176,6 +176,45 @@ object Joins {
              |  WHERE p.event_type = 'purchase' AND s.event_type = 'signup') t
              |WHERE rn = 1 ORDER BY purchase_id""".stripMargin)),
 
+    // TPC-H Q7 shape: bilateral shipping volume between two nations by
+    // ship year — exercises the same dimension joined TWICE under
+    // different roles (supplier nation vs customer nation), a symmetric
+    // OR-of-pairs filter, and year bucketing. Both nation sides broadcast.
+    QueryDef(
+      "join_star_q7",
+      (s, d) => {
+        val n1 = broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+        val n2 = broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(n1, col("s_nationkey") === col("s_nk"))
+          .join(n2, col("c_nationkey") === col("c_nk"))
+          .filter(
+            (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+              (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(round(Exact.sumDec8(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2)
+            .cast("double").as("volume"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+              |  ${Exact.sumDec8Money2Sql("l_extendedprice * (1 - l_discount)")} AS volume
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+              |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
     // Binned range join — the scale rewrite of join_range: both sides are
     // keyed by a coarse bin (width 10), the bands explode into every bin
     // they cover, and the BETWEEN becomes a residual filter on an EQUI-join.
