@@ -194,8 +194,8 @@ object Joins {
           .join(n1, col("s_nationkey") === col("s_nk"))
           .join(n2, col("c_nationkey") === col("c_nk"))
           .filter(
-            (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-              (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+            (col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+              (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).cast("long").as("l_year"))
           .agg(round(Exact.sumDec8(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2)
@@ -211,8 +211,8 @@ object Joins {
               |JOIN customer ON o_custkey = c_custkey
               |JOIN nation n1 ON s_nationkey = n1.n_nationkey
               |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-              |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-              |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+              |WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+              |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
               |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
 
     // Binned range join — the scale rewrite of join_range: both sides are
