@@ -205,6 +205,36 @@ object Similarity {
               |        FROM embeddings) b) t
               |ORDER BY vec_id""".stripMargin)),
 
+    // Per-label mean embedding (class centroids — the k-means/classifier
+    // prototype step). posexplode to (label, dim, value) rows, decimal
+    // sums per cell (order-insensitive), flat (label, dim, centroid)
+    // output. One shuffle keyed (label, dim): at 100 TB this is the
+    // standard map-side-combinable centroid reduction.
+    QueryDef(
+      "sim_label_centroid",
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .select(col("label"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+          .groupBy(col("label"), col("dim").cast("long").as("dim"))
+          .agg(
+            count(lit(1)).as("n"),
+            Exact.roundN(
+              sum(col("x").cast("decimal(28,10)")).cast("double") / count(lit(1)), 6)
+              .as("centroid"))
+          .filter(col("dim") < 8) // bounded output: first 8 dims per label
+          .orderBy("label", "dim"),
+      Some(s"""SELECT label, dim, COUNT(*) AS n,
+              |  ${Exact.roundNSql(
+                 "CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)", 6)} AS centroid
+              |FROM (
+              |  SELECT label,
+              |    unnest(range(0, len(embedding))) AS dim,
+              |    unnest(CAST(embedding AS DOUBLE[])) AS x
+              |  FROM embeddings) t
+              |WHERE dim < 8
+              |GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
+
     // IVF-bucketed ANN — the other classic scale path (inverted-file
     // index): deterministic seed centroids (vec_id < 8), every vector
     // assigned to its nearest centroid (rounded cosine, centroid-id

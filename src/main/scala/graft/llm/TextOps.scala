@@ -272,6 +272,40 @@ object TextOps {
              |  len(string_split(chunk_text, ' ')) AS n_chunk_toks
              |FROM u ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // Unigram log-probability scoring — the perplexity-proxy quality
+    // filter: score(doc) = Σ ln(tf(term)/total) over its tokens, higher =
+    // more "typical" text. Each token's logprob is rounded to 8dp BEFORE
+    // the per-doc sum (which runs in exact decimal), so the result is
+    // independent of summation order on both engines (D5 discipline
+    // applied to irrational logs). Corpus LM = one aggregated table,
+    // broadcast; scoring is a map-side join.
+    QueryDef(
+      "text_logprob_score",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        val total = toks.agg(count(lit(1)).as("total"))
+        val lp = Exact.roundN(log(col("cnt").cast("double") / col("total")), 8)
+        toks.join(broadcast(tf), "term")
+          .crossJoin(broadcast(total))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_toks"),
+            Exact.roundN(sum(lp.cast("decimal(28,10)")).cast("double"), 4).as("logprob"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+              |tf AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+              |tot AS (SELECT COUNT(*) AS total FROM toks)
+              |SELECT doc_id, COUNT(*) AS n_toks,
+              |  ${Exact.roundNSql(
+                 s"CAST(SUM(CAST(${Exact.roundNSql("LN(CAST(cnt AS DOUBLE) / total)", 8)} AS DECIMAL(28,10))) AS DOUBLE)",
+                 4)} AS logprob
+              |FROM toks JOIN tf USING (term) CROSS JOIN tot
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Sequence packing (context-window bin assignment): docs are packed
     // into ~512-token bins per language via a running token total —
     // bin = floor((cumsum − n_toks) / 512), the deterministic, fully

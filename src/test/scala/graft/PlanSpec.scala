@@ -120,6 +120,7 @@ class PlanSpec extends SparkSpec {
     "sim_ann_lsh",         // bucket equi-join but id<>id residual
     "dedup_embedding",     // broadcast 200-query side, id< residual
     "text_tfidf",          // crossJoin with 1-row N aggregate
+    "text_logprob_score",  // crossJoin with 1-row corpus-total aggregate
     "stream_watermark_filter", // crossJoin with 1-row max aggregate
     "sim_ann_ivf",         // crossJoin with broadcast 8-row centroid table
     "ts_reindex_spine",    // spine from 1-row min/max agg, broadcast left join
