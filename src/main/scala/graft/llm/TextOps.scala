@@ -306,6 +306,38 @@ object TextOps {
               |FROM toks JOIN tf USING (term) CROSS JOIN tot
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Language-distribution entropy per source — the corpus-diversity
+    // metric curation pipelines monitor (a source collapsing to one
+    // language is a red flag). Same determinism discipline as
+    // text_logprob_score: each −p·ln(p) term is rounded to 8dp, the
+    // per-source sum runs in exact decimal.
+    QueryDef(
+      "text_source_entropy",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cnt"))
+        val totals = counts.groupBy(col("source")).agg(sum(col("cnt")).as("total"))
+        val p = col("cnt").cast("double") / col("total")
+        val term = Exact.roundN(-p * log(p), 8)
+        counts.join(totals, "source")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_langs"),
+            Exact.roundN(sum(term.cast("decimal(18,10)")).cast("double"), 4).as("entropy"))
+          .orderBy("source")
+      },
+      Some(s"""WITH counts AS (
+              |  SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),
+              |totals AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS total
+              |           FROM counts GROUP BY 1)
+              |SELECT source, COUNT(*) AS n_langs,
+              |  ${Exact.roundNSql(
+                 s"CAST(SUM(CAST(${Exact.roundNSql(
+                    "-(CAST(cnt AS DOUBLE) / total) * LN(CAST(cnt AS DOUBLE) / total)", 8)} AS DECIMAL(18,10))) AS DOUBLE)",
+                 4)} AS entropy
+              |FROM counts JOIN totals USING (source)
+              |GROUP BY source ORDER BY source""".stripMargin)),
+
     // Sequence packing (context-window bin assignment): docs are packed
     // into ~512-token bins per language via a running token total —
     // bin = floor((cumsum − n_toks) / 512), the deterministic, fully
