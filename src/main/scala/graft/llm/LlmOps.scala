@@ -7,5 +7,5 @@ import graft.QueryDef
   */
 object LlmOps {
   val defs: Seq[QueryDef] =
-    Dedup.defs ++ Similarity.defs ++ TextOps.defs ++ Multimodal.defs
+    Dedup.defs ++ Similarity.defs ++ TextOps.defs ++ Multimodal.defs ++ Sketches.defs
 }

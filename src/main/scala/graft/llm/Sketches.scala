@@ -1,0 +1,152 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 B.10 — sketch operators with DETERMINISTIC hash families, so
+  * unlike `approx_count_distinct` (engine-internal HLL ⇒ smoke-only) these
+  * carry full DuckDB oracles: both engines build bit-identical sketches.
+  *
+  * Scale design: a sketch is a tiny fixed-size aggregate (4×256 cells /
+  * 256 bits) built with map-side-combinable SUM/BIT_OR partials — the
+  * canonical "bounded state over unbounded input" shape. Estimation then
+  * joins the (broadcast-sized) sketch, never the raw stream.
+  */
+object Sketches {
+
+  private val Rows = 4
+  private val Width = 256 // power of two keeps the modulo cheap
+
+  private def aI(i: Int): Long = 1103515245L + 2L * i
+  private def bI(i: Int): Long = 12345L + 7919L * i
+
+  /** Portable token hash (same family as Dedup.tokHash). */
+  private def tokHash(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((ascii(substring(tok, 1, 1)) * 8191 +
+      ascii(substring(reverse(tok), 1, 1)) * 131 +
+      length(tok) * 17) % 65536).cast("long")
+
+  private val tokHashSql =
+    "((ascii(substring(term, 1, 1)) * 8191 + ascii(substring(reverse(term), 1, 1)) * 131 + length(term) * 17) % 65536)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Count-min sketch heavy-hitter estimation: 4 LCG hash rows × 256
+    // buckets; est(term) = MIN over rows of its bucket cell. The estimate
+    // always ≥ the true count (collisions only add); both engines build
+    // the identical sketch, so the overestimates match exactly.
+    QueryDef(
+      "sketch_cms_heavy_hitters",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("term"))
+          .withColumn("t", tokHash(col("term")))
+        val cells = toks
+          .select(posexplode(array((0 until Rows).map { i =>
+            (lit(aI(i)) * col("t") + lit(bI(i))) % Width
+          }: _*)).as(Seq("row_i", "bucket")))
+          .groupBy(col("row_i"), col("bucket"))
+          .agg(count(lit(1)).as("cell"))
+        val wTop = Window.orderBy(col("true_cnt").desc, col("term"))
+        val top = toks.groupBy(col("term"), col("t"))
+          .agg(count(lit(1)).as("true_cnt"))
+          .withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= 10)
+        val probes = top.select(col("term"), col("true_cnt"), col("rk"),
+          posexplode(array((0 until Rows).map { i =>
+            (lit(aI(i)) * col("t") + lit(bI(i))) % Width
+          }: _*)).as(Seq("row_i", "bucket")))
+        probes.join(cells, Seq("row_i", "bucket"))
+          .groupBy(col("term"), col("true_cnt"), col("rk"))
+          .agg(min(col("cell")).as("est_cnt"))
+          .select("term", "true_cnt", "est_cnt")
+          .orderBy(col("true_cnt").desc, col("term"))
+      },
+      Some {
+        val cellRows = (0 until Rows).map { i =>
+          s"SELECT $i AS row_i, (${aI(i)} * t + ${bI(i)}) % $Width AS bucket FROM toks"
+        }.mkString("\n  UNION ALL ")
+        val probeRows = (0 until Rows).map { i =>
+          s"SELECT term, true_cnt, $i AS row_i, (${aI(i)} * t + ${bI(i)}) % $Width AS bucket FROM top"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH toks AS (
+           |  SELECT term, $tokHashSql AS t FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS term FROM documents) x),
+           |cells AS (
+           |  SELECT row_i, bucket, COUNT(*) AS cell FROM (
+           |  $cellRows) h
+           |  GROUP BY 1, 2),
+           |top AS (
+           |  SELECT term, t, true_cnt FROM (
+           |    SELECT term, t, COUNT(*) AS true_cnt,
+           |      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rk
+           |    FROM toks GROUP BY term, t) r
+           |  WHERE rk <= 10),
+           |probes AS (
+           |  $probeRows)
+           |SELECT term, true_cnt, CAST(MIN(cell) AS BIGINT) AS est_cnt
+           |FROM probes JOIN cells USING (row_i, bucket)
+           |GROUP BY term, true_cnt
+           |ORDER BY true_cnt DESC, term""".stripMargin
+      }),
+
+    // Bloom-filter membership: a 256-bit filter as 8 32-bit words (in BIGINTs — bit 63 would overflow DuckDB's checked shift) built
+    // with BIT_OR partials over 3 LCG bit positions per key; probes report
+    // whether all their bits are set. Zero false negatives by
+    // construction; false positives (if any) are identical cross-engine
+    // because the filters are bit-identical.
+    QueryDef(
+      "sketch_bloom_membership",
+      (s, d) => {
+        import s.implicits._
+        val keys = Tables.orders(s, d).select(col("o_custkey").as("k"))
+        val bits = keys.select(posexplode(array((0 until 3).map { i =>
+          (lit(aI(i)) * col("k") + lit(bI(i))) % 256L
+        }: _*)).as(Seq("h_i", "pos")))
+          // `div` / `//`: double-division + cast differs between engines
+          // (Spark truncates, DuckDB rounds) — integer division on both.
+          .select(expr("CAST(pos div 32 AS INT)").as("word"),
+            pmod(col("pos"), lit(32)).cast("int").as("bit"))
+          .groupBy(col("word"))
+          .agg(expr("bit_or(shiftleft(1L, bit))").as("bits"))
+        // probes: 10 custkeys that exist + 10 beyond the key domain
+        val probeIds = ((0L until 10L) ++ (1000000L until 1000010L))
+        val probes = broadcast(probeIds.toDF("probe"))
+        val probeBits = probes.select(col("probe"), posexplode(array((0 until 3).map { i =>
+          (lit(aI(i)) * col("probe") + lit(bI(i))) % 256L
+        }: _*)).as(Seq("h_i", "pos")))
+          .select(col("probe"), expr("CAST(pos div 32 AS INT)").as("word"),
+            pmod(col("pos"), lit(32)).cast("int").as("bit"))
+        probeBits.join(bits, Seq("word"))
+          .groupBy(col("probe"))
+          .agg(bool_and(
+            expr("shiftright(bits, bit) & 1") === 1).as("maybe_present"))
+          .orderBy("probe")
+      },
+      Some {
+        val bitRows = (0 until 3).map { i =>
+          s"SELECT (${aI(i)} * k + ${bI(i)}) % 256 AS pos FROM keys"
+        }.mkString("\n  UNION ALL ")
+        val probeBitRows = (0 until 3).map { i =>
+          s"SELECT probe, (${aI(i)} * probe + ${bI(i)}) % 256 AS pos FROM probes"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH keys AS (SELECT o_custkey AS k FROM orders),
+           |bits AS (
+           |  SELECT CAST(pos // 32 AS INT) AS word,
+           |    bit_or((CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))) AS bits
+           |  FROM ($bitRows) b
+           |  GROUP BY 1),
+           |probes AS (
+           |  SELECT CAST(unnest([0, 1, 2, 3, 4, 5, 6, 7, 8, 9,
+           |    1000000, 1000001, 1000002, 1000003, 1000004,
+           |    1000005, 1000006, 1000007, 1000008, 1000009]) AS BIGINT) AS probe),
+           |pb AS (
+           |  SELECT probe, CAST(pos // 32 AS INT) AS word, CAST(pos % 32 AS INT) AS bit
+           |  FROM ($probeBitRows) p)
+           |SELECT probe, bool_and(((bits >> bit) & 1) = 1) AS maybe_present
+           |FROM pb JOIN bits USING (word)
+           |GROUP BY probe ORDER BY probe""".stripMargin
+      })
+  )
+}
