@@ -290,6 +290,36 @@ object Scalars {
              |      FROM documents) t
              |ORDER BY doc_id""".stripMargin)),
 
+    // Z-order (Morton) interleave key over two dimensions — the
+    // space-filling-curve layout primitive behind multi-dimension data
+    // clustering (files sorted by z cluster BOTH p_size and brand ranges,
+    // so either predicate prunes). Pure integer bit arithmetic, generated
+    // identically for both engines.
+    QueryDef(
+      "fn_zorder_key",
+      (s, d) => {
+        // z = Σ_b ((size>>b & 1) << 2b) | ((brand>>b & 1) << 2b+1), b<8
+        val zExprSql = (0 until 8).map { b =>
+          s"(((p_size >> $b) & 1) << ${2 * b}) + (((bnum >> $b) & 1) << ${2 * b + 1})"
+        }.mkString(" + ")
+        Tables.part(s, d)
+          .withColumn("bnum",
+            regexp_extract(col("p_brand"), "#([0-9]+)", 1).cast("long"))
+          .withColumn("z", expr(zExprSql).cast("long"))
+          .select("p_partkey", "p_size", "bnum", "z")
+          .orderBy("z", "p_partkey")
+      },
+      Some {
+        val zExprSql = (0 until 8).map { b =>
+          s"(((p_size >> $b) & 1) << ${2 * b}) + (((bnum >> $b) & 1) << ${2 * b + 1})"
+        }.mkString(" + ")
+        s"""SELECT p_partkey, p_size, bnum, CAST($zExprSql AS BIGINT) AS z
+           |FROM (SELECT p_partkey, p_size,
+           |        CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS BIGINT) AS bnum
+           |      FROM part) t
+           |ORDER BY z, p_partkey""".stripMargin
+      }),
+
     // Base64 encode + round-trip — the binary-payload transport encoding
     // (how opaque media columns travel through JSON/text systems).
     QueryDef(

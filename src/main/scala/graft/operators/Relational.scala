@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2 B.1 scans, B.2 projection/filter, B.6 sort/limit, B.7 set ops.
@@ -207,6 +208,27 @@ object Relational {
               |FROM lineitem
               |WHERE (l_orderkey * 1103515245 + 12345) % 2147483648 % 100 < 10
               |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Stratified deterministic sampling: exactly 10 docs per language,
+    // picked by the portable LCG over doc_id (reproducible "random" order
+    // within each stratum) — the class-balanced subsample curation step.
+    QueryDef(
+      "scan_sample_stratified",
+      (s, d) => {
+        val lcg = (col("doc_id") * 1103515245L + 12345L) % 2147483648L
+        val w = Window.partitionBy(col("lang")).orderBy(lcg.asc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 10)
+          .orderBy("lang", "rn")
+      },
+      Some("""SELECT doc_id, lang, rn FROM (
+             |  SELECT doc_id, lang,
+             |    ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY (doc_id * 1103515245 + 12345) % 2147483648 ASC, doc_id ASC) AS rn
+             |  FROM documents) t
+             |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin)),
 
     // ------------------------------------------------------ B.6 sort / limit
     QueryDef(
