@@ -56,4 +56,41 @@ class StreamingUpsertSpec extends SparkSpec {
       assert(math.abs(gs - es) < 0.02, s"user $gu: $gs vs $es")
     }
   }
+
+  test("restart from checkpoint resumes state without losing or duplicating") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    JdbcUpsert.ensureTable(url,
+      """CREATE TABLE user_totals_ck (
+        |  user_id BIGINT NOT NULL PRIMARY KEY,
+        |  n_events BIGINT)""".stripMargin)
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft_ck").toString
+
+    val rows = Tables.events(spark, sf0001)
+      .select("event_id", "user_id").orderBy("event_id").limit(300)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val stream = MemoryStream[(Long, Long)]
+    def agg = stream.toDF().toDF("event_id", "user_id")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    def startQuery() = StreamingUpsert
+      .upsertSink(agg, url, "user_totals_ck", Seq("user_id"))
+      .option("checkpointLocation", checkpoint).start()
+
+    val (a, b) = rows.splitAt(150)
+    val q1 = startQuery()
+    stream.addData(a.toIndexedSeq); q1.processAllAvailable(); q1.stop()
+    // a NEW query from the SAME checkpoint: offsets + aggregation state
+    // resume, so batch b merges on top of a's totals — the crash-restart
+    // contract of the incremental pipeline.
+    val q2 = startQuery()
+    stream.addData(b.toIndexedSeq); q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "user_totals_ck").load()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val expected = rows.groupBy(_._2).map { case (u, es) => (u, es.length.toLong) }
+      .toArray.sortBy(_._1)
+    assert(got.toSeq === expected.toSeq)
+  }
 }
