@@ -176,6 +176,29 @@ object Joins {
              |  WHERE p.event_type = 'purchase' AND s.event_type = 'signup') t
              |WHERE rn = 1 ORDER BY purchase_id""".stripMargin)),
 
+    // Existence join: the IN-subquery in the PROJECTION (not the WHERE)
+    // becomes Catalyst's ExistenceJoin — rows are kept and annotated with
+    // a membership flag instead of filtered. The "tag, don't drop" shape
+    // data-quality pipelines use.
+    QueryDef(
+      "join_existence",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("graft_customer_ex")
+        Tables.orders(s, d).createOrReplaceTempView("graft_orders_ex")
+        s.sql("""SELECT c_custkey,
+                |  c_custkey IN (SELECT o_custkey FROM graft_orders_ex
+                |                WHERE o_orderpriority = '1-URGENT') AS has_urgent,
+                |  c_custkey IN (SELECT o_custkey FROM graft_orders_ex
+                |                WHERE o_orderstatus = 'P') AS has_pending
+                |FROM graft_customer_ex ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey,
+             |  c_custkey IN (SELECT o_custkey FROM orders
+             |                WHERE o_orderpriority = '1-URGENT') AS has_urgent,
+             |  c_custkey IN (SELECT o_custkey FROM orders
+             |                WHERE o_orderstatus = 'P') AS has_pending
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // TPC-H Q7 shape: bilateral shipping volume between two nations by
     // ship year — exercises the same dimension joined TWICE under
     // different roles (supplier nation vs customer nation), a symmetric

@@ -41,6 +41,34 @@ object Reshape {
              |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Pivot with MULTIPLE aggregates per cell (count + money sum): Spark
+    // suffixes the value columns per aggregate alias; the oracle builds
+    // the same 6 columns with conditional aggregation.
+    QueryDef(
+      "reshape_pivot_multi",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)).as("n"), Exact.sumMoney2(col("o_totalprice")).as("sum"))
+          .select(
+            col("o_orderpriority"),
+            coalesce(col("F_n"), lit(0L)).as("f_n"),
+            coalesce(col("F_sum"), lit(0.0d)).as("f_sum"),
+            coalesce(col("O_n"), lit(0L)).as("o_n"),
+            coalesce(col("O_sum"), lit(0.0d)).as("o_sum"),
+            coalesce(col("P_n"), lit(0L)).as("p_n"),
+            coalesce(col("P_sum"), lit(0.0d)).as("p_sum"))
+          .orderBy("o_orderpriority"),
+      Some(s"""SELECT o_orderpriority,
+              |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_n,
+              |  COALESCE(${Exact.sumMoney2Sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")}, 0.0) AS f_sum,
+              |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_n,
+              |  COALESCE(${Exact.sumMoney2Sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")}, 0.0) AS o_sum,
+              |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_n,
+              |  COALESCE(${Exact.sumMoney2Sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")}, 0.0) AS p_sum
+              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // pandas melt / SQL UNPIVOT: the pivoted wide table back to long form,
     // via Spark's native Dataset.unpivot (Expand under the hood — one pass,
     // no join). Status codes become the `status` value column.
