@@ -1,0 +1,27 @@
+#!/usr/bin/env bash
+# Full local gate: compile, tests, correctness at sf0.001 + sf0.01 (the
+# driver's t1/t2 scales), and the sf0.1 bench. Run from the repo root.
+# Any failing step aborts. ~6 minutes total.
+set -euo pipefail
+
+cd "$(dirname "$0")/.."
+
+echo "=== compile ==="
+sbt -batch compile
+
+echo "=== tests ==="
+sbt -batch test
+
+for SF in 0.001 0.01; do
+  OUT="/tmp/gate_verify_sf${SF}"
+  echo "=== verify + preflight sf${SF} ==="
+  rm -rf "$OUT"
+  sbt -batch "runMain graft.Verify /root/testdata/sf${SF} ${OUT}"
+  python3 tools/preflight.py "/root/testdata/sf${SF}" "$OUT"
+done
+
+echo "=== bench sf0.1 ==="
+SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  sbt -batch "runMain graft.Bench" | grep -o '{"metric".*}' | tee /tmp/gate_bench.json
+
+echo "=== gate green ==="
