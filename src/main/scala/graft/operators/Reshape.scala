@@ -143,6 +143,54 @@ object Reshape {
              |FROM spine s LEFT JOIN monthly m ON s.month = m.month
              |ORDER BY s.month""".stripMargin)),
 
+    // OHLC bars — the financial resample: per (user, hour) open/high/low/
+    // close of `value`, open/close picked by event_id order (unique ⇒
+    // deterministic) via min_by/max_by; high/low are plain extrema. All
+    // outputs are raw doubles passed through untouched (exact cross-engine).
+    QueryDef(
+      "ts_ohlc",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"),
+            date_trunc("hour", col("ts")).as("bar_ts"))
+          .agg(
+            min_by(col("value"), col("event_id")).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max_by(col("value"), col("event_id")).as("close"),
+            count(lit(1)).as("n_ticks"))
+          .orderBy("user_id", "bar_ts"),
+      Some("""SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar_ts,
+             |  arg_min(value, event_id) AS open,
+             |  MAX(value) AS high,
+             |  MIN(value) AS low,
+             |  arg_max(value, event_id) AS close,
+             |  COUNT(*) AS n_ticks
+             |FROM events GROUP BY 1, 2 ORDER BY user_id, bar_ts""".stripMargin)),
+
+    // Max drawdown per user: min over time of (value − running max) in
+    // event_id order — raw-double subtraction and extrema, no rounding
+    // needed. The risk metric every financial reference pipeline computes.
+    QueryDef(
+      "ts_drawdown",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("cummax", max(col("value")).over(w))
+          .groupBy(col("user_id"))
+          .agg(min(col("value") - col("cummax")).as("max_drawdown"),
+            max(col("cummax")).as("peak"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, MIN(value - cummax) AS max_drawdown, MAX(cummax) AS peak
+             |FROM (
+             |  SELECT user_id, value,
+             |    MAX(value) OVER (PARTITION BY user_id ORDER BY event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cummax
+             |  FROM events) t
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // pandas pct_change: per-user sequential returns on event value.
     QueryDef(
       "ts_returns",
