@@ -20,9 +20,11 @@ object Registry {
   lazy val all: Seq[QueryDef] =
     operators.Relational.defs ++
       operators.Joins.defs ++
+      operators.SaltedJoinQuery.defs ++
       operators.Aggregates.defs ++
       operators.Windows.defs ++
       operators.Reshape.defs ++
+      operators.Behavior.defs ++
       functions.Scalars.defs ++
       streaming.StreamShaped.defs ++
       llm.LlmOps.defs

@@ -394,6 +394,28 @@ object Scalars {
              |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // parse_url over a synthesized deterministic URL column (the fixture
+    // has no URL field); the oracle re-derives host/path with anchored
+    // regexes — same semantics for well-formed http(s) URLs.
+    QueryDef(
+      "fn_url_parse",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("url", concat(lit("https://"), col("source"),
+            lit(".example.com/"), col("lang"), lit("/doc/"),
+            col("doc_id").cast("string")))
+          .select(col("doc_id"), col("url"),
+            expr("parse_url(url, 'HOST')").as("host"),
+            expr("parse_url(url, 'PATH')").as("path"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  'https://' || source || '.example.com/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+             |  regexp_extract('https://' || source || '.example.com/' || lang || '/doc/' || CAST(doc_id AS VARCHAR),
+             |    '^[a-z]+://([^/]+)', 1) AS host,
+             |  regexp_extract('https://' || source || '.example.com/' || lang || '/doc/' || CAST(doc_id AS VARCHAR),
+             |    '^[a-z]+://[^/]+(/.*)$', 1) AS path
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     QueryDef(
       "udf_scalar",
       (s, d) => {

@@ -374,6 +374,78 @@ object Dedup {
            |    $bitSums
            |  FROM h GROUP BY doc_id)
            |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM b ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Transitive closure of the near-dup pair graph: pairs only say "A~B";
+    // production dedup keeps ONE doc per connected component (A~B, B~C ⇒
+    // {A,B,C} together even though A!~C). Spark side: iterative min-label
+    // propagation — label(x) := min(label(x), min over neighbors' labels) —
+    // the MapReduce-CC shape (Kiveris et al.), each round one shuffle, until
+    // a fixpoint. localCheckpoint truncates lineage per round so plans stay
+    // O(1); the only driver-side data is the per-round "did anything
+    // change?" Boolean (an isEmpty on a filtered diff), which is how every
+    // iterative fixpoint on Spark terminates — no row data is collected.
+    // Near-dup clusters are dense (diameter ~1-2), so it converges in 2-3
+    // rounds; worst case is O(log n) with doubling. The oracle replays the
+    // closure as a recursive CTE.
+    QueryDef(
+      "dedup_components",
+      (s, d) => {
+        val doc = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"),
+            array_distinct(split(col("text"), " ")).as("toks"))
+        val a = doc.select(col("doc_id").as("da"), col("lang"), col("source"),
+          col("toks").as("toks_a"))
+        val b = doc.select(col("doc_id").as("db"), col("lang").as("lang_b"),
+          col("source").as("source_b"), col("toks").as("toks_b"))
+        val pairs = a.join(b, col("lang") === col("lang_b") &&
+            col("source") === col("source_b") && col("da") < col("db"))
+          .filter(size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+            size(array_union(col("toks_a"), col("toks_b"))).cast("double") >= 0.6d)
+          .select(col("da"), col("db"))
+        val edges = pairs
+          .union(pairs.select(col("db").as("da"), col("da").as("db")))
+          .localCheckpoint()
+        // Init fuses round 1: comp = min(self, neighbors) straight off the
+        // edge list (edges are bidirectional, so every node appears as da).
+        var labels = edges.groupBy(col("da")).agg(min(col("db")).as("mn"))
+          .select(col("da").as("id"), least(col("da"), col("mn")).as("comp"))
+          .localCheckpoint()
+        var converged = false
+        while (!converged) {
+          val prop = edges.join(labels, edges("db") === labels("id"))
+            .groupBy(col("da")).agg(min(col("comp")).as("ncomp"))
+          // Carry the previous label through so convergence is a filter on
+          // the (already materialized) checkpoint — no second join/action.
+          val next = labels.join(prop, labels("id") === prop("da"), "left")
+            .select(labels("id"), col("comp").as("old"),
+              least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+            .localCheckpoint()
+          converged = next.filter(col("comp") =!= col("old")).isEmpty
+          labels = next.select(col("id"), col("comp"))
+        }
+        labels.select(col("id").as("doc_id"), col("comp").as("component"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE dt AS (
+             |  SELECT DISTINCT doc_id, lang, source, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |sz AS (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+             |  FROM dt a JOIN dt b ON a.lang = b.lang AND a.source = b.source
+             |    AND a.tok = b.tok AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT da, db FROM inter
+             |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+             |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6),
+             |edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+             |walk(a, b) AS (
+             |  SELECT a, b FROM edges
+             |  UNION
+             |  SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a WHERE e.b <> w.a)
+             |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+             |FROM walk GROUP BY a ORDER BY doc_id""".stripMargin))
   )
 }

@@ -487,6 +487,38 @@ object TextOps {
              |SELECT lang, COUNT(*) AS n_survivors, CAST(SUM(n_toks) AS BIGINT) AS total_tokens
              |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // PII redaction: email + phone patterns replaced before a document can
+    // enter a training mix. The fixture text has no PII, so a deterministic
+    // email/phone payload is synthesized per doc and the redaction regexes
+    // (kept to the Java∩RE2 common subset — char classes, bounded repeats)
+    // are the operators under test. Pure per-row map: no shuffle, fully
+    // codegen'd, scales linearly.
+    QueryDef(
+      "text_pii_redact",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("payload", concat(
+            lit("contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or 555-"),
+            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" re: "), substring(col("text"), 1, 40)))
+          .select(col("doc_id"),
+            regexp_replace(
+              regexp_replace(col("payload"), "[a-z0-9._]+@[a-z0-9.]+[a-z]", "<EMAIL>"),
+              "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>").as("redacted"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  regexp_replace(
+             |    regexp_replace(
+             |      'contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or 555-'
+             |        || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+             |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |        || ' re: ' || substr(text, 1, 40),
+             |      '[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+             |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Nested struct column built, filtered on nested fields, flat output.
     QueryDef(
       "multimodal_struct",

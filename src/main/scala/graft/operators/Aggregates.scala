@@ -283,6 +283,34 @@ object Aggregates {
     // `quantile_cont` both linearly interpolate at rank (n-1)*p over the
     // sorted values; rounding to 3dp absorbs the last-ulp arithmetic
     // difference of the interpolation step.
+    // pandas DataFrame.describe() as one grouped aggregate: count, mean,
+    // quartiles, extrema per priority — one shuffle, all map-side-partial
+    // except the exact percentiles (which are the declared semantics; the
+    // approx_percentile sketch is the 100 TB relaxation).
+    QueryDef(
+      "agg_describe",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n"),
+            Exact.roundN(Exact.sumDec(col("o_totalprice")).cast("double") / count(lit(1)), 4)
+              .as("mean_price"),
+            Exact.roundN(expr("percentile(o_totalprice, 0.25)"), 4).as("q1"),
+            Exact.roundN(expr("percentile(o_totalprice, 0.5)"), 4).as("med"),
+            Exact.roundN(expr("percentile(o_totalprice, 0.75)"), 4).as("q3"),
+            min(col("o_totalprice")).as("mn"),
+            max(col("o_totalprice")).as("mx"))
+          .orderBy("o_orderpriority"),
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+              |  ${Exact.roundNSql(
+                 "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)", 4)} AS mean_price,
+              |  ${Exact.roundNSql("quantile_cont(o_totalprice, 0.25)", 4)} AS q1,
+              |  ${Exact.roundNSql("quantile_cont(o_totalprice, 0.5)", 4)} AS med,
+              |  ${Exact.roundNSql("quantile_cont(o_totalprice, 0.75)", 4)} AS q3,
+              |  MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     QueryDef(
       "agg_percentile",
       (s, d) =>

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 B.12 — behavioral event analytics over the append-only
+  * `events` log: funnel conversion and cohort retention, the two aggregate
+  * shapes every product-telemetry (and training-data curation-telemetry)
+  * pipeline computes.
+  *
+  * Scale notes: both queries reduce events to user grain before anything
+  * else — `groupBy(user_id)` is one hash shuffle with map-side combine, so
+  * the join input is |users|, not |events|. At 100 TB the raw event scan
+  * stays embarrassingly parallel; only user-grain rows (orders of magnitude
+  * smaller) flow through the joins, and the final cohort aggregate is a few
+  * hundred rows.
+  */
+object Behavior {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Signup→purchase funnel: of users whose first signup is in week W, how
+    // many purchased within 7 days of that signup. The LEFT join keeps
+    // non-converting users in the denominator (a funnel that drops them
+    // overstates conversion).
+    QueryDef(
+      "funnel_conversion",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val signup = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+        val conv = signup.join(e, Seq("user_id"), "left")
+          .groupBy(col("user_id"),
+            date_trunc("week", col("signup_ts")).cast("date").as("cohort_week"))
+          .agg(max(when(col("event_type") === "purchase" &&
+            col("ts") > col("signup_ts") &&
+            col("ts") <= col("signup_ts") + expr("INTERVAL 7 DAY"), 1).otherwise(0))
+            .as("converted"))
+        conv.groupBy(col("cohort_week"))
+          .agg(count(lit(1)).as("n_signups"),
+            sum(col("converted")).cast("long").as("n_converted"),
+            Exact.roundN(sum(col("converted")).cast("double") / count(lit(1)), 4)
+              .as("conv_rate"))
+          .orderBy("cohort_week")
+      },
+      Some(s"""WITH s AS (
+              |  SELECT user_id, MIN(ts) AS signup_ts FROM events
+              |  WHERE event_type = 'signup' GROUP BY 1),
+              |conv AS (
+              |  SELECT s.user_id, CAST(date_trunc('week', s.signup_ts) AS DATE) AS cohort_week,
+              |    MAX(CASE WHEN e.event_type = 'purchase'
+              |         AND e.ts > s.signup_ts
+              |         AND e.ts <= s.signup_ts + INTERVAL 7 DAY THEN 1 ELSE 0 END) AS converted
+              |  FROM s LEFT JOIN events e ON e.user_id = s.user_id
+              |  GROUP BY 1, 2)
+              |SELECT cohort_week, COUNT(*) AS n_signups,
+              |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+              |  ${Exact.roundNSql("CAST(SUM(converted) AS DOUBLE) / COUNT(*)", 4)} AS conv_rate
+              |FROM conv GROUP BY cohort_week ORDER BY cohort_week""".stripMargin)),
+
+    // Cohort retention triangle: users cohorted by the week of their first
+    // event; n_active = distinct users from cohort C active in week C+k.
+    // Both engines truncate weeks to Monday, so the day-diff is always an
+    // exact multiple of 7 and the /7 division is exact in ieee754.
+    QueryDef(
+      "cohort_retention",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val first = e.groupBy(col("user_id"))
+          .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort"))
+        e.join(first, Seq("user_id"))
+          .select(col("user_id"), col("cohort"),
+            (datediff(date_trunc("week", col("ts")).cast("date"), col("cohort")) / 7)
+              .cast("long").as("week_offset"))
+          .distinct()
+          .groupBy(col("cohort"), col("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy("cohort", "week_offset")
+      },
+      Some("""WITH fw AS (
+             |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+             |  FROM events GROUP BY 1),
+             |act AS (
+             |  SELECT DISTINCT e.user_id, fw.cohort,
+             |    CAST(date_diff('day', fw.cohort, CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS BIGINT) AS week_offset
+             |  FROM events e JOIN fw ON e.user_id = fw.user_id)
+             |SELECT cohort, week_offset, COUNT(*) AS n_active
+             |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+}

@@ -430,3 +430,33 @@ object Joins {
               |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin))
   )
 }
+
+/** The salted-join utility exercised as a declared query: results must be
+  * IDENTICAL to the plain equi-join (salting is a physical rewrite, not a
+  * semantic change), which is exactly what the oracle asserts — it runs the
+  * unsalted join. At 100 TB this is the manual fallback when one fact key
+  * is hot enough that AQE's skew split (which only splits partitions, not
+  * single keys' hash buckets across joins) isn't sufficient.
+  */
+object SaltedJoinQuery {
+  import org.apache.spark.sql.functions._
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "join_skew_salted",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+        SkewJoin.saltedJoin(o, c, col("o_custkey"), col("c_custkey"),
+            col("o_custkey"), salts = 8)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            Exact.sumMoney2(col("o_totalprice")).as("sum_price"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+              |  ${Exact.sumMoney2Sql("o_totalprice")} AS sum_price
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+  )
+}

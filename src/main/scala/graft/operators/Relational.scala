@@ -338,6 +338,29 @@ object Relational {
       },
       Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
              |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-             |ORDER BY o_custkey""".stripMargin))
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // Per-stratum weighted sampling (data mixing): dominant language
+    // downsampled to 30%, the rest kept at 80% — the rate-per-source
+    // curation step that shapes a training mix. Same portable LCG as
+    // scan_sample_hash, so the "random" keep-decision is reproducible and
+    // oracle-replayable; the predicate is scan-level (no shuffle) and at
+    // 100 TB pushes to the reader as a cheap row filter.
+    QueryDef(
+      "scan_sample_weighted",
+      (s, d) => {
+        val rate = when(col("lang") === "en", lit(30)).otherwise(lit(80))
+        Tables.documents(s, d)
+          .filter((col("doc_id") * 1103515245L + 12345L) % 2147483648L % 100 < rate)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents
+             |WHERE (doc_id * 1103515245 + 12345) % 2147483648 % 100
+             |      < CASE WHEN lang = 'en' THEN 30 ELSE 80 END
+             |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

@@ -211,6 +211,46 @@ object Reshape {
               |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
               |ORDER BY user_id, event_id""".stripMargin)),
 
+    // Truncated EWMA (α=0.5, K=8 taps) per user in event_id order. The
+    // closed-form recurrence needs unbounded look-back (not expressible as
+    // a window aggregate without pow overflow), so this is the standard
+    // finite-impulse truncation: weights 2^-k are EXACT binary doubles,
+    // each product is an exact power-of-two scaling, and the sum order is
+    // fixed left-to-right in one expression — bit-identical cross-engine
+    // with no rounding step. Tail weight 2^-8 < 0.4% ⇒ truncation is below
+    // double-display precision for this data.
+    QueryDef(
+      "ts_ewma",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val taps = 8
+        val terms: Seq[org.apache.spark.sql.Column] =
+          (col("value") * lit(1.0d)) +:
+            (1 until taps).map(k =>
+              coalesce(lag(col("value"), k).over(w) * lit(math.pow(0.5, k)), lit(0.0d)))
+        val weights: Seq[org.apache.spark.sql.Column] =
+          lit(1.0d) +:
+            (1 until taps).map(k =>
+              when(lag(col("value"), k).over(w).isNotNull, lit(math.pow(0.5, k)))
+                .otherwise(lit(0.0d)))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("value"),
+            (terms.reduceLeft(_ + _) / weights.reduceLeft(_ + _)).as("ewma"))
+          .orderBy("user_id", "event_id")
+      },
+      Some {
+        val terms = ("value * 1.0" +:
+          (1 until 8).map(k => s"COALESCE(LAG(value, $k) OVER w * ${math.pow(0.5, k)}, 0.0)"))
+          .mkString(" + ")
+        val weights = ("1.0" +:
+          (1 until 8).map(k =>
+            s"CASE WHEN LAG(value, $k) OVER w IS NOT NULL THEN ${math.pow(0.5, k)} ELSE 0.0 END"))
+          .mkString(" + ")
+        s"""SELECT user_id, event_id, value, ($terms) / ($weights) AS ewma
+           |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+           |ORDER BY user_id, event_id""".stripMargin
+      }),
+
     // pandas reindex+ffill: mask low values to NULL, forward-fill with the
     // last non-null per user — the calendar-alignment idiom.
     QueryDef(

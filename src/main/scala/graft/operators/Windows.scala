@@ -195,6 +195,23 @@ object Windows {
     // (x−μ)/σ arithmetic is plain IEEE doubles, identical on both engines,
     // rounded 4dp (D5). Sample variance (n−1); every priority group has
     // thousands of rows, so n>1 always holds.
+    // cume_dist with a fully-deterministic ordering (acctbal, custkey ⇒ no
+    // peers), so cd = rank/n exactly; the int/int division is the same
+    // ieee754 quotient on both engines.
+    QueryDef(
+      "win_cume_dist",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+            Exact.roundN(cume_dist().over(w), 6).as("cd"))
+          .orderBy("c_custkey")
+      },
+      Some(s"""SELECT c_custkey, c_mktsegment, c_acctbal,
+              |  ${Exact.roundNSql("cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)", 6)} AS cd
+              |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     QueryDef(
       "win_zscore",
       (s, d) => {
