@@ -283,6 +283,54 @@ object Aggregates {
     // `quantile_cont` both linearly interpolate at rank (n-1)*p over the
     // sorted values; rounding to 3dp absorbs the last-ulp arithmetic
     // difference of the interpolation step.
+    // Spearman rank correlation per returnflag: rank both measures with
+    // min-rank (SQL rank()) convention — integer ranks make every moment
+    // sum exact in decimal, so the closed-form Pearson-on-ranks is
+    // bit-deterministic cross-engine (the scipy average-rank convention
+    // would need fractional ranks; min-rank is declared and mirrored in the
+    // oracle). Two ordered windows + one hash agg; ranks never leave their
+    // partition.
+    QueryDef(
+      "agg_spearman",
+      (s, d) => {
+        val wq = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+        val wd = Window.partitionBy(col("l_returnflag")).orderBy(col("l_discount"))
+        val r = Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+            rank().over(wq).cast("long").as("rx"),
+            rank().over(wd).cast("long").as("ry"))
+        r.groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(col("rx")).cast("double").as("sx"),
+            sum(col("ry")).cast("double").as("sy"),
+            sum(col("rx") * col("rx")).cast("double").as("sxx"),
+            sum(col("ry") * col("ry")).cast("double").as("syy"),
+            sum(col("rx") * col("ry")).cast("double").as("sxy"))
+          .select(col("l_returnflag"),
+            Exact.roundN(
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                  (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("spearman"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag,
+              |  ${Exact.roundNSql(
+                 "(n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))", 4)} AS spearman
+              |FROM (
+              |  SELECT l_returnflag,
+              |    CAST(COUNT(*) AS DOUBLE) AS n,
+              |    CAST(SUM(rx) AS DOUBLE) AS sx, CAST(SUM(ry) AS DOUBLE) AS sy,
+              |    CAST(SUM(rx * rx) AS DOUBLE) AS sxx, CAST(SUM(ry * ry) AS DOUBLE) AS syy,
+              |    CAST(SUM(rx * ry) AS DOUBLE) AS sxy
+              |  FROM (
+              |    SELECT l_returnflag,
+              |      RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rx,
+              |      RANK() OVER (PARTITION BY l_returnflag ORDER BY l_discount) AS ry
+              |    FROM lineitem) r
+              |  GROUP BY l_returnflag) m
+              |ORDER BY l_returnflag""".stripMargin)),
+
     // pandas DataFrame.describe() as one grouped aggregate: count, mean,
     // quartiles, extrema per priority — one shuffle, all map-side-partial
     // except the exact percentiles (which are the declared semantics; the

@@ -211,6 +211,67 @@ object Reshape {
               |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
               |ORDER BY user_id, event_id""".stripMargin)),
 
+    // Sweep-line max concurrency: treat each event as a 30-minute session
+    // and find, per event_type, the peak number of simultaneously-open
+    // sessions — the classic interval-overlap reduction. Each interval
+    // becomes a +1/−1 boundary row; a running sum in boundary order is the
+    // live-session count; max of that is the answer. Ordered by (ts, delta)
+    // so a session ending exactly when another starts closes first (ends
+    // don't overlap starts). Windows partition by event_type, so each
+    // type's sweep is an independent task; at 100 TB the same shape runs
+    // per (type, day) to bound partition width.
+    QueryDef(
+      "ts_active_concurrency",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val bounds = e.select(col("event_type"), col("ts").as("bt"), lit(1).as("delta"))
+          .unionAll(e.select(col("event_type"),
+            (col("ts") + expr("INTERVAL 30 MINUTE")).as("bt"), lit(-1).as("delta")))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("bt"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bounds
+          .withColumn("live", sum(col("delta")).over(w))
+          .groupBy(col("event_type"))
+          .agg(max(col("live")).cast("long").as("peak_concurrent"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(MAX(live) AS BIGINT) AS peak_concurrent
+             |FROM (
+             |  SELECT event_type,
+             |    SUM(delta) OVER (PARTITION BY event_type ORDER BY bt, delta
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+             |  FROM (
+             |    SELECT event_type, ts AS bt, 1 AS delta FROM events
+             |    UNION ALL
+             |    SELECT event_type, ts + INTERVAL 30 MINUTE, -1 FROM events) b) t
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Null imputation with the per-user mean (the fillna(df.mean()) data-
+    // cleaning idiom): values < 100 are masked to NULL, then filled with
+    // that user's mean of the surviving values from exact decimal sums.
+    QueryDef(
+      "ts_impute_mean",
+      (s, d) => {
+        val wu = Window.partitionBy(col("user_id"))
+        Tables.events(s, d)
+          .withColumn("v_masked", when(col("value") >= 100d, col("value")))
+          .withColumn("user_mean",
+            Exact.roundN(
+              sum(col("v_masked").cast("decimal(18,4)")).over(wu).cast("double") /
+                count(col("v_masked")).over(wu), 4))
+          .select(col("user_id"), col("event_id"), col("v_masked"),
+            coalesce(col("v_masked"), col("user_mean")).as("v_imputed"))
+          .orderBy("user_id", "event_id")
+      },
+      Some(s"""SELECT user_id, event_id, v_masked,
+              |  COALESCE(v_masked, ${Exact.roundNSql(
+                 "CAST(SUM(CAST(v_masked AS DECIMAL(18,4))) OVER w AS DOUBLE) / COUNT(v_masked) OVER w", 4)}) AS v_imputed
+              |FROM (SELECT user_id, event_id,
+              |        CASE WHEN value >= 100 THEN value END AS v_masked
+              |      FROM events) t
+              |WINDOW w AS (PARTITION BY user_id)
+              |ORDER BY user_id, event_id""".stripMargin)),
+
     // Truncated EWMA (α=0.5, K=8 taps) per user in event_id order. The
     // closed-form recurrence needs unbounded look-back (not expressible as
     // a window aggregate without pow overflow), so this is the standard

@@ -195,6 +195,36 @@ object Windows {
     // (x−μ)/σ arithmetic is plain IEEE doubles, identical on both engines,
     // rounded 4dp (D5). Sample variance (n−1); every priority group has
     // thousands of rows, so n>1 always holds.
+    // Rolling 7-row median per user (order-statistic smoothing): Spark has
+    // no percentile window aggregate, so the frame is materialized with
+    // collect_list over ROWS BETWEEN 6 PRECEDING, sorted, and the middle
+    // element picked — an O(k log k) per-row cost that is the honest price
+    // of an exact sliding order statistic. Only full frames are emitted
+    // (rn ≥ 7): an odd frame has ONE middle element, so the pick is an
+    // exact double with no interpolation to drift cross-engine (DuckDB's
+    // median interpolates on even counts). The array is intermediate only —
+    // output stays flat.
+    QueryDef(
+      "win_rolling_median",
+      (s, d) => {
+        val wo = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val wf = wo.rowsBetween(-6, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(wo))
+          .withColumn("frame", collect_list(col("value")).over(wf))
+          .filter(col("rn") >= 7)
+          .select(col("user_id"), col("event_id"),
+            element_at(sort_array(col("frame")), 4).as("med7"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, med7 FROM (
+             |  SELECT user_id, event_id,
+             |    ROW_NUMBER() OVER w AS rn,
+             |    median(value) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)) t
+             |WHERE rn >= 7 ORDER BY user_id, event_id""".stripMargin)),
+
     // cume_dist with a fully-deterministic ordering (acctbal, custkey ⇒ no
     // peers), so cd = rank/n exactly; the int/int division is the same
     // ieee754 quotient on both engines.
