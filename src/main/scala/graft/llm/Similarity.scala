@@ -41,6 +41,36 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** IVF nprobe=1 top-5 per query (vec_id < 10): deterministic seed
+    * centroids (vec_id < 8), nearest-centroid assignment, probe only the
+    * query's own cell. Shared by `sim_ann_ivf` (output) and
+    * `sim_ann_recall` (evaluation against the exact top-5).
+    */
+  private def ivfTop5(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cents = broadcast(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cent")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val assigned = e.crossJoin(cents)
+      .withColumn("csim", Exact.roundN(cosine(col("emb"), col("cent")), 4))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
+    val q = broadcast(assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("cell")))
+    val c = assigned.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"),
+      col("cell").as("ccell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(c, col("cell") === col("ccell") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", Exact.roundN(cosine(col("qe"), col("ce")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("query_id", "cell", "neighbor_id", "sim")
+  }
+
   /** Exact top-k cosine neighbors (query side broadcast). */
   private def cosineTopK(s: SparkSession, d: String, k: Int): DataFrame = {
     val e = Tables.embeddings(s, d)
@@ -246,31 +276,8 @@ object Similarity {
     // the probe is a co-partitioned join on (cell).
     QueryDef(
       "sim_ann_ivf",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-        val cents = broadcast(e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cent_id"), col("emb").as("cent")))
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("csim").desc, col("cent_id"))
-        val assigned = e.crossJoin(cents)
-          .withColumn("csim", Exact.roundN(cosine(col("emb"), col("cent")), 4))
-          .withColumn("arn", row_number().over(wAssign))
-          .filter(col("arn") === 1)
-          .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
-        val q = broadcast(assigned.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("cell")))
-        val c = assigned.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"),
-          col("cell").as("ccell"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("sim").desc, col("neighbor_id"))
-        q.join(c, col("cell") === col("ccell") && col("query_id") =!= col("neighbor_id"))
-          .withColumn("sim", Exact.roundN(cosine(col("qe"), col("ce")), 4))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 5)
-          .select("query_id", "cell", "neighbor_id", "sim")
-          .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
-      },
+      (s, d) => ivfTop5(s, d)
+        .orderBy(col("query_id"), col("sim").desc, col("neighbor_id")),
       Some(s"""WITH e AS (
               |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
               |cents AS (SELECT vec_id AS cent_id, emb AS cent FROM e WHERE vec_id < 8),
@@ -292,6 +299,62 @@ object Similarity {
               |    ON c.cell = q.cell AND c.vec_id <> q.vec_id
               |  WHERE q.vec_id < 10) t
               |WHERE rn <= 5
-              |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin))
+              |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin)),
+
+    // ANN quality harness: recall@5 of the IVF nprobe=1 candidates against
+    // the exact cosine top-5 — the evaluation every approximate index needs
+    // before it replaces the exact scan in production. LEFT join keeps
+    // zero-recall queries in the output (dropping them would overstate
+    // recall). Both sides are deterministic and rounded, so the metric is
+    // oracle-backed, unlike typical ANN eval harnesses.
+    QueryDef(
+      "sim_ann_recall",
+      (s, d) => {
+        val exact = cosineTopK(s, d, 5).select(col("query_id"), col("neighbor_id"))
+        val approx = ivfTop5(s, d)
+          .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+        exact.join(approx,
+            col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(col("an")).as("n_hit"))
+          .select(col("query_id"), col("n_hit"),
+            Exact.roundN(col("n_hit").cast("double") / 5d, 4).as("recall_at_5"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              |cents AS (SELECT vec_id AS cent_id, emb AS cent FROM e WHERE vec_id < 8),
+              |assigned AS (
+              |  SELECT vec_id, emb, cell FROM (
+              |    SELECT e.vec_id, e.emb, c.cent_id AS cell,
+              |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              |        ${Exact.roundNSql("list_cosine_similarity(e.emb, c.cent)", 4)} DESC,
+              |        c.cent_id) AS arn
+              |    FROM e CROSS JOIN cents c) t
+              |  WHERE arn = 1),
+              |ivf AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              |        ${Exact.roundNSql("list_cosine_similarity(q.emb, c.emb)", 4)} DESC,
+              |        c.vec_id) AS rn
+              |    FROM assigned q JOIN assigned c
+              |      ON c.cell = q.cell AND c.vec_id <> q.vec_id
+              |    WHERE q.vec_id < 10) t
+              |  WHERE rn <= 5),
+              |exact AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              |        ${Exact.roundNSql("list_cosine_similarity(q.emb, c.emb)", 4)} DESC,
+              |        c.vec_id) AS rn
+              |    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+              |    WHERE q.vec_id < 10) t
+              |  WHERE rn <= 5)
+              |SELECT x.query_id, CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hit,
+              |  ${Exact.roundNSql("CAST(COUNT(i.neighbor_id) AS DOUBLE) / 5", 4)} AS recall_at_5
+              |FROM exact x LEFT JOIN ivf i
+              |  ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+              |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin))
   )
 }

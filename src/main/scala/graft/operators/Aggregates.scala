@@ -283,6 +283,57 @@ object Aggregates {
     // `quantile_cont` both linearly interpolate at rank (n-1)*p over the
     // sorted values; rounding to 3dp absorbs the last-ulp arithmetic
     // difference of the interpolation step.
+    // Simple OLS per returnflag: slope/intercept/r² of extendedprice on
+    // quantity from exact decimal power sums (the regr_slope/regr_r2
+    // family — Spark's built-ins accumulate doubles in partition order, so
+    // the closed form over order-insensitive decimal sums is the
+    // oracle-stable formulation, same discipline as agg_corr/agg_skew).
+    QueryDef(
+      "agg_regression",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            Exact.sumDec(col("l_quantity")).cast("double").as("sx"),
+            Exact.sumDec(col("l_extendedprice")).cast("double").as("sy"),
+            sum((col("l_quantity") * col("l_quantity")).cast("decimal(28,8)"))
+              .cast("double").as("sxx"),
+            sum((col("l_extendedprice") * col("l_extendedprice")).cast("decimal(38,8)"))
+              .cast("double").as("syy"),
+            sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(28,8)"))
+              .cast("double").as("sxy"))
+          .select(col("l_returnflag"),
+            Exact.roundN((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+            Exact.roundN((col("sy") - col("sx") *
+              ((col("n") * col("sxy") - col("sx") * col("sy")) /
+                (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n"), 4)
+              .as("intercept"),
+            Exact.roundN(
+              ((col("n") * col("sxy") - col("sx") * col("sy")) *
+                (col("n") * col("sxy") - col("sx") * col("sy"))) /
+                ((col("n") * col("sxx") - col("sx") * col("sx")) *
+                  (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
+          .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+              |  ${Exact.roundNSql("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 4)} AS slope,
+              |  ${Exact.roundNSql(
+                 "(sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n", 4)} AS intercept,
+              |  ${Exact.roundNSql(
+                 "((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy))",
+                 4)} AS r2
+              |FROM (
+              |  SELECT l_returnflag,
+              |    CAST(COUNT(*) AS DOUBLE) AS n,
+              |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+              |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+              |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+              |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+              |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+              |  FROM lineitem GROUP BY l_returnflag) m
+              |ORDER BY l_returnflag""".stripMargin)),
+
     // Spearman rank correlation per returnflag: rank both measures with
     // min-rank (SQL rank()) convention — integer ranks make every moment
     // sum exact in decimal, so the closed-form Pearson-on-ranks is

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2 B.12 — behavioral event analytics over the append-only
@@ -85,6 +86,39 @@ object Behavior {
              |    CAST(date_diff('day', fw.cohort, CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS BIGINT) AS week_offset
              |  FROM events e JOIN fw ON e.user_id = fw.user_id)
              |SELECT cohort, week_offset, COUNT(*) AS n_active
-             |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // First-order Markov transition matrix of event types per user stream:
+    // count (prev → cur) transitions in event_id order, probability
+    // normalized per prev row. One ordered per-user window (lag) + one hash
+    // agg; the matrix itself is |types|² rows.
+    QueryDef(
+      "behavior_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val t = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val w2 = Window.partitionBy(col("prev_type"))
+        t.select(col("prev_type"), col("next_type"), col("n"),
+            Exact.roundN(col("n").cast("double") /
+              sum(col("n")).over(w2).cast("double"), 4).as("p"))
+          .orderBy("prev_type", "next_type")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+              |  FROM (
+              |    SELECT event_type,
+              |      LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+              |    FROM events) x
+              |  WHERE prev_type IS NOT NULL
+              |  GROUP BY 1, 2)
+              |SELECT prev_type, next_type, n,
+              |  ${Exact.roundNSql(
+                 "CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE)", 4)} AS p
+              |FROM t ORDER BY prev_type, next_type""".stripMargin))
   )
 }

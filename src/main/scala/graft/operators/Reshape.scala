@@ -246,6 +246,47 @@ object Reshape {
              |    SELECT event_type, ts + INTERVAL 30 MINUTE, -1 FROM events) b) t
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Robust outlier detection (median absolute deviation): per user,
+    // med = median(value), mad = median(|value − med|), outlier ⇔
+    // |value − med| > 3·mad. Both medians interpolate identically cross-
+    // engine (same parity as agg_percentile) and are rounded to 4dp BEFORE
+    // the deviation/threshold arithmetic, so the flag compare is exact.
+    // Two grouped aggregates + one broadcast-size rejoin per key — no
+    // window over raw rows, so it scales as two shuffles of user-grain
+    // aggregates.
+    QueryDef(
+      "ts_anomaly_mad",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val med = e.groupBy(col("user_id"))
+          .agg(Exact.roundN(expr("percentile(value, 0.5)"), 4).as("med"))
+        val dev = e.join(med, Seq("user_id"))
+          .withColumn("adev", abs(col("value") - col("med")))
+        val mad = dev.groupBy(col("user_id"))
+          .agg(Exact.roundN(expr("percentile(adev, 0.5)"), 4).as("mad"))
+        dev.join(mad, Seq("user_id"))
+          .groupBy(col("user_id"))
+          .agg(
+            first(col("med")).as("med"),
+            first(col("mad")).as("mad"),
+            sum(when(col("adev") > lit(3.0d) * col("mad"), 1).otherwise(0))
+              .cast("long").as("n_outliers"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH med AS (
+              |  SELECT user_id, ${Exact.roundNSql("quantile_cont(value, 0.5)", 4)} AS med
+              |  FROM events GROUP BY user_id),
+              |dev AS (
+              |  SELECT e.user_id, med, ABS(value - med) AS adev
+              |  FROM events e JOIN med USING (user_id)),
+              |mad AS (
+              |  SELECT user_id, ${Exact.roundNSql("quantile_cont(adev, 0.5)", 4)} AS mad
+              |  FROM dev GROUP BY user_id)
+              |SELECT user_id, MIN(med) AS med, MIN(mad) AS mad,
+              |  CAST(SUM(CASE WHEN adev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+              |FROM dev JOIN mad USING (user_id)
+              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Null imputation with the per-user mean (the fillna(df.mean()) data-
     // cleaning idiom): values < 100 are masked to NULL, then filled with
     // that user's mean of the surviving values from exact decimal sums.

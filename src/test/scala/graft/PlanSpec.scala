@@ -123,6 +123,7 @@ class PlanSpec extends SparkSpec {
     "text_logprob_score",  // crossJoin with 1-row corpus-total aggregate
     "stream_watermark_filter", // crossJoin with 1-row max aggregate
     "sim_ann_ivf",         // crossJoin with broadcast 8-row centroid table
+    "sim_ann_recall",      // reuses sim_cosine_topk scan + ivf assignment
     "ts_reindex_spine",    // spine from 1-row min/max agg, broadcast left join
     "sub_recursive_cte")   // 1-row bounds × 101-row recursive counter
 
