@@ -17,10 +17,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "graft_cosine(arrayA, arrayB) takes 2 arguments")
-        CosineSimilarity(children.head, children(1))
-      }))
+      GraftExtensions.cosineInfo,
+      GraftExtensions.cosineBuilder))
   }
+}
+
+object GraftExtensions {
+  private[graft] val cosineInfo =
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine")
+
+  private[graft] val cosineBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 2, "graft_cosine(arrayA, arrayB) takes 2 arguments")
+    CosineSimilarity(children.head, children(1))
+  }
+
+  /** Register graft functions into an already-built session (idempotent) —
+    * lets a declared query use `graft_cosine` from plain `spark.sql`
+    * without controlling session construction.
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graftbridge.Bridge.registerFunction(
+      spark, "graft_cosine", cosineInfo, cosineBuilder)
 }

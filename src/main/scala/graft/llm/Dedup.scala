@@ -446,6 +446,80 @@ object Dedup {
              |  UNION
              |  SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a WHERE e.b <> w.a)
              |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
-             |FROM walk GROUP BY a ORDER BY doc_id""".stripMargin))
+             |FROM walk GROUP BY a ORDER BY doc_id""".stripMargin)),
+
+    // SimHash near-dup PAIRS — completes the simhash pipeline (fingerprint
+    // → candidate pairs): 16-bit simhash banded into two 8-bit bands;
+    // candidates share a band value inside their (lang, source) block, then
+    // the full Hamming distance (popcount of XOR) filters to ≤ 3 bits. The
+    // band equi-join is the LSH trick again — work ∝ bucket population,
+    // never all-pairs — and popcount-of-XOR is one codegen'd integer op per
+    // candidate. Blocking bounds the dense near-identical cluster exactly
+    // like dedup_jaccard_pairs.
+    QueryDef(
+      "dedup_simhash_pairs",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+          .withColumn("h", tokHash(col("tok")))
+        val bitSums: Seq[Column] = (0 until SimhashBits).map { j =>
+          sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+        }
+        val fp: Column = (0 until SimhashBits).map { j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val sh = toks.groupBy(col("doc_id"), col("lang"), col("source"))
+          .agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"), col("lang"), col("source"), fp.as("sh"))
+        val bands = sh.select(col("doc_id"), col("lang"), col("source"), col("sh"),
+          explode(array(
+            struct(lit(0).as("b"), col("sh").bitwiseAND(lit(255L)).as("bv")),
+            struct(lit(1).as("b"),
+              shiftright(col("sh"), 8).bitwiseAND(lit(255L)).as("bv")))).as("band"))
+          .select(col("doc_id"), col("lang"), col("source"), col("sh"),
+            col("band.b").as("b"), col("band.bv").as("bv"))
+        val a = bands.select(col("doc_id").as("da"), col("lang"), col("source"),
+          col("b"), col("bv"), col("sh").as("ha"))
+        val bb = bands.select(col("doc_id").as("db"), col("lang").as("l2"),
+          col("source").as("s2"), col("b").as("b2"), col("bv").as("bv2"),
+          col("sh").as("hb"))
+        a.join(bb, col("lang") === col("l2") && col("source") === col("s2") &&
+            col("b") === col("b2") && col("bv") === col("bv2") &&
+            col("da") < col("db"))
+          .select(col("da"), col("db"), col("ha"), col("hb")).distinct()
+          .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+          .filter(col("hamming") <= 3)
+          .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"), col("hamming"))
+          .orderBy("doc_id_a", "doc_id_b")
+      },
+      Some {
+        val bitSums = (0 until SimhashBits).map { j =>
+          s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+        }.mkString(",\n    ")
+        val fp = (0 until SimhashBits).map { j =>
+          s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH t AS (
+           |  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |h AS (SELECT doc_id, lang, source, $tokHashSql AS h FROM t),
+           |b AS (SELECT doc_id, lang, source,
+           |    $bitSums
+           |  FROM h GROUP BY doc_id, lang, source),
+           |sh AS (SELECT doc_id, lang, source, CAST($fp AS BIGINT) AS sh FROM b),
+           |bands AS (
+           |  SELECT doc_id, lang, source, sh, 0 AS b, sh & 255 AS bv FROM sh
+           |  UNION ALL
+           |  SELECT doc_id, lang, source, sh, 1, (sh >> 8) & 255 FROM sh),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db, a.sh AS ha, b2.sh AS hb
+           |  FROM bands a JOIN bands b2 ON a.lang = b2.lang AND a.source = b2.source
+           |    AND a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+           |SELECT da AS doc_id_a, db AS doc_id_b,
+           |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+           |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+           |ORDER BY doc_id_a, doc_id_b""".stripMargin
+      })
   )
 }

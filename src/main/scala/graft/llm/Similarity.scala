@@ -355,6 +355,34 @@ object Similarity {
               |  ${Exact.roundNSql("CAST(COUNT(i.neighbor_id) AS DOUBLE) / 5", 4)} AS recall_at_5
               |FROM exact x LEFT JOIN ivf i
               |  ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
-              |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin))
+              |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin)),
+
+    // The native graft_cosine expression exercised through PLAIN SQL — the
+    // SparkSessionExtensions surface a SQL-only user sees. install() is
+    // idempotent registry injection (the extensions-config path only works
+    // at session build; a library handed a live session registers late).
+    // Similarity of every vector (vec_id < 100) to vector 0, 4dp.
+    QueryDef(
+      "sim_cosine_sql",
+      (s, d) => {
+        graft.functions.GraftExtensions.install(s)
+        Tables.embeddings(s, d).createOrReplaceTempView("graft_emb_sql")
+        s.sql("""SELECT e.vec_id,
+                |  CAST(ROUND(CAST(graft_cosine(CAST(e.embedding AS ARRAY<DOUBLE>), q.qe)
+                |    AS DECIMAL(38,10)), 4) AS DOUBLE) AS sim
+                |FROM graft_emb_sql e
+                |CROSS JOIN (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS qe
+                |            FROM graft_emb_sql WHERE vec_id = 0) q
+                |WHERE e.vec_id > 0 AND e.vec_id < 100
+                |ORDER BY e.vec_id""".stripMargin)
+      },
+      Some(s"""SELECT e.vec_id,
+              |  ${Exact.roundNSql(
+                 "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)", 4)} AS sim
+              |FROM embeddings e
+              |CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qe
+              |            FROM embeddings WHERE vec_id = 0) q
+              |WHERE e.vec_id > 0 AND e.vec_id < 100
+              |ORDER BY e.vec_id""".stripMargin))
   )
 }
