@@ -31,6 +31,33 @@ object Dedup {
 
   private val SimhashBits = 16
 
+  /** Connected components by iterative min-label propagation over a
+    * bidirectional edge list `(da, db)` — the MapReduce-CC shape (one
+    * shuffle per round, O(diameter) rounds, O(log n) with doubling).
+    * `localCheckpoint` truncates lineage each round; the only driver-side
+    * data is the per-round convergence Boolean. Exposed for the
+    * worst-case-topology property test (a path graph maximizes rounds).
+    */
+  def connectedComponents(edgesIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val edges = edgesIn.localCheckpoint()
+    var labels = edges.groupBy(col("da")).agg(min(col("db")).as("mn"))
+      .select(col("da").as("id"), least(col("da"), col("mn")).as("comp"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val prop = edges.join(labels, edges("db") === labels("id"))
+        .groupBy(edges("da")).agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(prop, labels("id") === prop("da"), "left")
+        .select(labels("id"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next.filter(col("comp") =!= col("old")).isEmpty
+      labels = next.select(col("id"), col("comp"))
+    }
+    labels
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Scale shape (VERDICT r01 #6): group on a 128-bit text fingerprint
@@ -405,26 +432,8 @@ object Dedup {
           .select(col("da"), col("db"))
         val edges = pairs
           .union(pairs.select(col("db").as("da"), col("da").as("db")))
-          .localCheckpoint()
-        // Init fuses round 1: comp = min(self, neighbors) straight off the
-        // edge list (edges are bidirectional, so every node appears as da).
-        var labels = edges.groupBy(col("da")).agg(min(col("db")).as("mn"))
-          .select(col("da").as("id"), least(col("da"), col("mn")).as("comp"))
-          .localCheckpoint()
-        var converged = false
-        while (!converged) {
-          val prop = edges.join(labels, edges("db") === labels("id"))
-            .groupBy(col("da")).agg(min(col("comp")).as("ncomp"))
-          // Carry the previous label through so convergence is a filter on
-          // the (already materialized) checkpoint — no second join/action.
-          val next = labels.join(prop, labels("id") === prop("da"), "left")
-            .select(labels("id"), col("comp").as("old"),
-              least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-            .localCheckpoint()
-          converged = next.filter(col("comp") =!= col("old")).isEmpty
-          labels = next.select(col("id"), col("comp"))
-        }
-        labels.select(col("id").as("doc_id"), col("comp").as("component"))
+        connectedComponents(edges)
+          .select(col("id").as("doc_id"), col("comp").as("component"))
           .orderBy("doc_id")
       },
       Some("""WITH RECURSIVE dt AS (
@@ -447,6 +456,49 @@ object Dedup {
              |  SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a WHERE e.b <> w.a)
              |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
              |FROM walk GROUP BY a ORDER BY doc_id""".stripMargin)),
+
+    // Jaccard CONTAINMENT pairs: i/min(|A|,|B|) ≥ 0.8 within (lang, source)
+    // blocks — catches subset duplication (one doc embedded in another)
+    // that symmetric Jaccard misses: a 10-token doc inside a 100-token doc
+    // has Jaccard ≈ 0.1 but containment 1.0. Same inverted-index shape as
+    // dedup_jaccard_pairs' oracle: explode distinct tokens, equi-join on
+    // (block, token), count matches — work ∝ shared tokens, not pairs.
+    QueryDef(
+      "dedup_containment_pairs",
+      (s, d) => {
+        val dt = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val sz = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = dt.alias("a")
+          .join(dt.alias("b"),
+            col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+              col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("i"))
+        inter
+          .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+          .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+          .withColumn("cont_raw", col("i").cast("double") / least(col("na"), col("nb")))
+          .filter(col("cont_raw") >= 0.8d)
+          .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"),
+            Exact.roundN(col("cont_raw"), 4).as("containment"))
+          .orderBy("doc_id_a", "doc_id_b")
+      },
+      Some(s"""WITH dt AS (
+              |  SELECT DISTINCT doc_id, lang, source, unnest(string_split(text, ' ')) AS tok
+              |  FROM documents),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+              |  FROM dt a JOIN dt b ON a.lang = b.lang AND a.source = b.source
+              |    AND a.tok = b.tok AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT da AS doc_id_a, db AS doc_id_b,
+              |  ${Exact.roundNSql("CAST(i AS DOUBLE) / LEAST(sa.n, sb.n)", 4)} AS containment
+              |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+              |WHERE CAST(i AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.8
+              |ORDER BY doc_id_a, doc_id_b""".stripMargin)),
 
     // SimHash near-dup PAIRS — completes the simhash pipeline (fingerprint
     // → candidate pairs): 16-bit simhash banded into two 8-bit bands;

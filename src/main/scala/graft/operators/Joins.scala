@@ -427,7 +427,34 @@ object Joins {
               |JOIN region ON n_regionkey = r_regionkey
               |WHERE r_name = 'ASIA'
               |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
-              |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin))
+              |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // Null-safe equi-join (<=> / IS NOT DISTINCT FROM): keys are NULLed on
+    // a synthetic 1-in-97 stripe, and NULL must MATCH NULL — the result is
+    // the normal matches plus a bounded null×null block. Spark plans
+    // EqualNullSafe as a real equi-join key (coalesce-wrapped hash key),
+    // not a nested loop; the null-side match count is the semantic witness.
+    QueryDef(
+      "join_null_safe",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(when(col("o_custkey") % 97 === 0, lit(null).cast("long"))
+            .otherwise(col("o_custkey")).as("ok"))
+        val c = Tables.customer(s, d)
+          .select(when(col("c_custkey") % 97 === 0, lit(null).cast("long"))
+            .otherwise(col("c_custkey")).as("ck"))
+        o.join(c, col("ok") <=> col("ck"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("ok").isNull, 1).otherwise(0)).cast("long")
+              .as("n_null_matches"))
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+             |  CAST(SUM(CASE WHEN o.ok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_matches
+             |FROM (SELECT CASE WHEN o_custkey % 97 = 0 THEN NULL ELSE o_custkey END AS ok
+             |      FROM orders) o
+             |JOIN (SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END AS ck
+             |      FROM customer) c
+             |  ON o.ok IS NOT DISTINCT FROM c.ck""".stripMargin))
   )
 }
 

@@ -246,6 +246,51 @@ object Reshape {
              |    SELECT event_type, ts + INTERVAL 30 MINUTE, -1 FROM events) b) t
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Lag-1 autocorrelation per user: Pearson over the (x_t, x_{t-1})
+    // pairs from exact decimal moments — the serial-dependence diagnostic
+    // (is this series noise or trend?). One ordered window for the lag,
+    // then the same order-insensitive closed form as agg_corr.
+    QueryDef(
+      "ts_autocorr",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val q = Tables.events(s, d)
+          .select(col("user_id"), col("value").as("x"),
+            lag(col("value"), 1).over(w).as("xl"))
+          .filter(col("xl").isNotNull)
+        q.groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            Exact.sumDec(col("x")).cast("double").as("sx"),
+            Exact.sumDec(col("xl")).cast("double").as("sy"),
+            sum((col("x") * col("x")).cast("decimal(28,8)")).cast("double").as("sxx"),
+            sum((col("xl") * col("xl")).cast("decimal(28,8)")).cast("double").as("syy"),
+            sum((col("x") * col("xl")).cast("decimal(28,8)")).cast("double").as("sxy"))
+          .select(col("user_id"),
+            Exact.roundN(
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                  (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("ac1"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH p AS (
+              |  SELECT user_id, value AS x,
+              |    LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS xl
+              |  FROM events),
+              |q AS (SELECT user_id, x, xl FROM p WHERE xl IS NOT NULL),
+              |m AS (
+              |  SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+              |    CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+              |    CAST(SUM(CAST(xl AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+              |    CAST(SUM(CAST(x * x AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+              |    CAST(SUM(CAST(xl * xl AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+              |    CAST(SUM(CAST(x * xl AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+              |  FROM q GROUP BY user_id)
+              |SELECT user_id,
+              |  ${Exact.roundNSql(
+                 "(n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))", 4)} AS ac1
+              |FROM m ORDER BY user_id""".stripMargin)),
+
     // Robust outlier detection (median absolute deviation): per user,
     // med = median(value), mad = median(|value − med|), outlier ⇔
     // |value − med| > 3·mad. Both medians interpolate identically cross-

@@ -118,6 +118,26 @@ class LlmPropsSpec extends SparkSpec {
     assert(n === Tables.embeddings(spark, sf0001).count())
   }
 
+  test("connectedComponents converges on worst-case topologies (path, forest, dense)") {
+    import spark.implicits._
+    // Path 0-1-2-…-19 (diameter 19 — maximizes propagation rounds), plus a
+    // disjoint triangle {100,101,102}, a pair {200,201}, and a dense clique
+    // {300..304}: every node must label with its component's minimum.
+    val path = (0L until 19L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val pair = Seq((200L, 201L))
+    val clique = (for { a <- 300L to 304L; b <- 300L to 304L if a < b } yield (a, b))
+    val pairs = (path ++ tri ++ pair ++ clique).toDF("da", "db")
+    val edges = pairs.union(pairs.select(col("db").as("da"), col("da").as("db")))
+    val got = graft.llm.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 19L).foreach(i => assert(got(i) === 0L, s"path node $i"))
+    Seq(100L, 101L, 102L).foreach(i => assert(got(i) === 100L))
+    Seq(200L, 201L).foreach(i => assert(got(i) === 200L))
+    (300L to 304L).foreach(i => assert(got(i) === 300L))
+    assert(got.size === 20 + 3 + 2 + 5)
+  }
+
   test("chunking covers every token exactly: stride-4 windows of size 8 over n tokens") {
     // Each chunk starts at 1,5,9,… ≤ n and holds min(8, n−start+1) tokens;
     // summing chunk sizes must equal Σ over starts — verified against the
