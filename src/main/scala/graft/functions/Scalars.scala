@@ -394,6 +394,31 @@ object Scalars {
              |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // ANSI-safe arithmetic (try_divide / try_add): errors become NULL
+    // instead of job failures — the data-quality posture a 100 TB pipeline
+    // needs (one bad row must not kill a 6-hour job). The divisor uses
+    // floor() so both engines derive the same integer (CAST double→int
+    // truncates in Spark but rounds in DuckDB); the try_add probe pushes a
+    // near-Long.Max literal over the edge on a deterministic stripe.
+    QueryDef(
+      "fn_try_arith",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("k", (floor(col("value")).cast("long") % 7).cast("long"))
+          .select(col("event_id"),
+            expr("try_divide(value, k)").as("try_div"),
+            expr("try_add(9223372036854775800L, CASE WHEN k > 5 THEN event_id ELSE 0 END)")
+              .as("try_sum"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CASE WHEN k = 0 THEN NULL ELSE value / k END AS try_div,
+             |  CASE WHEN k > 5 AND event_id > 7 THEN NULL
+             |       ELSE 9223372036854775800 + (CASE WHEN k > 5 THEN event_id ELSE 0 END)
+             |  END AS try_sum
+             |FROM (SELECT event_id, value, CAST(FLOOR(value) AS BIGINT) % 7 AS k
+             |      FROM events) t
+             |ORDER BY event_id""".stripMargin)),
+
     // parse_url over a synthesized deterministic URL column (the fixture
     // has no URL field); the oracle re-derives host/path with anchored
     // regexes — same semantics for well-formed http(s) URLs.

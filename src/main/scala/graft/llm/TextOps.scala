@@ -487,6 +487,37 @@ object TextOps {
              |SELECT lang, COUNT(*) AS n_survivors, CAST(SUM(n_toks) AS BIGINT) AS total_tokens
              |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Vocabulary-growth (Heaps-law) curve per language: distinct tokens
+    // seen among the first k docs (doc_id order) at doubling checkpoints —
+    // the corpus-saturation diagnostic for "is more data adding new
+    // vocabulary?". Reduced to token grain first (first-occurrence doc per
+    // (lang, token) is a min-agg), then a tiny checkpoint×token count; the
+    // raw token stream is never joined.
+    QueryDef(
+      "text_vocab_growth",
+      (s, d) => {
+        import s.implicits._
+        val ft = Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"),
+            explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("lang"), col("tok"))
+          .agg(min(col("doc_id")).as("first_doc"))
+        ft.crossJoin(broadcast(Seq(1L, 2L, 4L, 8L, 16L, 32L).toDF("checkpoint")))
+          .groupBy(col("lang"), col("checkpoint"))
+          .agg(count(when(col("first_doc") < col("checkpoint"), 1)).as("vocab"))
+          .orderBy("lang", "checkpoint")
+      },
+      Some("""WITH ft AS (
+             |  SELECT lang, tok, MIN(doc_id) AS first_doc
+             |  FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok
+             |        FROM documents) t
+             |  GROUP BY lang, tok),
+             |cp AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS checkpoint)
+             |SELECT lang, CAST(checkpoint AS BIGINT) AS checkpoint,
+             |  CAST(COUNT(CASE WHEN first_doc < checkpoint THEN 1 END) AS BIGINT) AS vocab
+             |FROM ft CROSS JOIN cp
+             |GROUP BY lang, checkpoint ORDER BY lang, checkpoint""".stripMargin)),
+
     // PII redaction: email + phone patterns replaced before a document can
     // enter a training mix. The fixture text has no PII, so a deterministic
     // email/phone payload is synthesized per doc and the redaction regexes

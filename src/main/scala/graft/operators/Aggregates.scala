@@ -283,6 +283,69 @@ object Aggregates {
     // `quantile_cont` both linearly interpolate at rank (n-1)*p over the
     // sorted values; rounding to 3dp absorbs the last-ulp arithmetic
     // difference of the interpolation step.
+    // Gini coefficient of order value per priority (inequality measure):
+    // G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n with ranks total-ordered by
+    // (value, key) — rank·x sums are exact in decimal, so the closed form
+    // is deterministic. One ordered window + one hash agg.
+    QueryDef(
+      "agg_gini",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            Exact.sumDec(col("o_totalprice")).cast("double").as("sx"),
+            sum((col("rn") * col("o_totalprice")).cast("decimal(28,8)"))
+              .cast("double").as("swx"))
+          .select(col("o_orderpriority"),
+            Exact.roundN(
+              lit(2.0d) * col("swx") / (col("n") * col("sx")) -
+                (col("n") + 1.0d) / col("n"), 4).as("gini"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority,
+              |  ${Exact.roundNSql("(2.0 * swx) / (n * sx) - (n + 1.0) / n", 4)} AS gini
+              |FROM (
+              |  SELECT o_orderpriority, CAST(COUNT(*) AS DOUBLE) AS n,
+              |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+              |    CAST(SUM(CAST(rn * o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS swx
+              |  FROM (
+              |    SELECT o_orderpriority, o_totalprice,
+              |      ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+              |        ORDER BY o_totalprice, o_orderkey) AS rn
+              |    FROM orders) t
+              |  GROUP BY o_orderpriority) m
+              |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Column profiling (the data-quality summary every ingest pipeline
+    // runs): null/NaN-aware counts, distinct cardinality, extrema of a
+    // masked measure per event_type — one hash agg, all map-side partial
+    // except the exact distinct.
+    QueryDef(
+      "agg_profile_nulls",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("v_masked", when(col("value") >= 100d, col("value")))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("v_masked").isNull, 1).otherwise(0)).cast("long")
+              .as("n_null"),
+            countDistinct(col("v_masked")).as("n_distinct"),
+            min(col("v_masked")).as("mn"),
+            max(col("v_masked")).as("mx"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n_rows,
+             |  CAST(SUM(CASE WHEN v_masked IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |  COUNT(DISTINCT v_masked) AS n_distinct,
+             |  MIN(v_masked) AS mn, MAX(v_masked) AS mx
+             |FROM (SELECT event_type, CASE WHEN value >= 100 THEN value END AS v_masked
+             |      FROM events) t
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Simple OLS per returnflag: slope/intercept/r² of extendedprice on
     // quantity from exact decimal power sums (the regr_slope/regr_r2
     // family — Spark's built-ins accumulate doubles in partition order, so

@@ -340,6 +340,28 @@ object Relational {
              |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
              |ORDER BY o_custkey""".stripMargin)),
 
+    // Symmetric difference (A∖B) ∪ (B∖A) — the reconciliation shape for
+    // comparing two snapshots: customers exclusive to either order-status
+    // population, tagged with which side they came from.
+    QueryDef(
+      "set_symmetric_diff",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val a = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        val b = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        a.except(b).withColumn("side", lit("only_open"))
+          .unionAll(b.except(a).withColumn("side", lit("only_final")))
+          .orderBy("o_custkey", "side")
+      },
+      Some("""SELECT o_custkey, 'only_open' AS side FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |  EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') a
+             |UNION ALL
+             |SELECT o_custkey, 'only_final' AS side FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |  EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') b
+             |ORDER BY o_custkey, side""".stripMargin)),
+
     // Per-stratum weighted sampling (data mixing): dominant language
     // downsampled to 30%, the rest kept at 80% — the rate-per-source
     // curation step that shapes a training mix. Same portable LCG as
