@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_cosine"),
       GraftExtensions.cosineInfo,
       GraftExtensions.cosineBuilder))
+    ext.injectOptimizerRule(_ => graft.plans.CollapseRedundantRound)
   }
 }
 

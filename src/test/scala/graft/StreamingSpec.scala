@@ -82,4 +82,26 @@ class StreamingSpec extends SparkSpec {
     assert(streaming.length.toLong === batchKeys)
     assert(streaming.forall(_.getLong(2) === 1L))
   }
+
+  test("dropDuplicatesWithinWatermark suppresses exact re-delivery of a batch") {
+    // The at-least-once ingestion shape: the same chunk delivered twice
+    // (e.g. a source retry) must not duplicate downstream rows, and state
+    // is bounded by the watermark rather than growing forever like plain
+    // dropDuplicates — this is the API's reason to exist (Spark 3.5+).
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = batchEvents.collect().take(100).map(r => Ev(
+      r.getLong(0), r.getAs[Timestamp](1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val stream = MemoryStream[Ev]
+    val q = stream.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("ddww_out").outputMode("append").start()
+    stream.addData(rows.toIndexedSeq); q.processAllAvailable()
+    stream.addData(rows.toIndexedSeq); q.processAllAvailable() // redelivery
+    val out = spark.table("ddww_out").collect()
+    q.stop()
+    assert(out.length === rows.length, "re-delivered rows were not suppressed")
+    assert(out.map(_.getLong(0)).toSet === rows.map(_.event_id).toSet)
+  }
 }
