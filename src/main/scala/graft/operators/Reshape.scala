@@ -246,6 +246,49 @@ object Reshape {
              |    SELECT event_type, ts + INTERVAL 30 MINUTE, -1 FROM events) b) t
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Batch sessionization by inactivity gap (the batch twin of the
+    // streaming session window): a session breaks when > 30 min pass
+    // between a user's consecutive events; session id is the running count
+    // of breaks. Gap compare uses floor-of-epoch-seconds on BOTH engines
+    // (Spark cast-to-long vs DuckDB date_diff both reduce to
+    // floor(b)−floor(a)), so the boundary decision is exact.
+    QueryDef(
+      "ts_sessionize",
+      (s, d) => {
+        val wo = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sess = Tables.events(s, d)
+          .withColumn("gap_s",
+            col("ts").cast("long") - lag(col("ts"), 1).over(wo).cast("long"))
+          .withColumn("new_s",
+            when(col("gap_s").isNull || col("gap_s") > 1800L, 1).otherwise(0))
+          .withColumn("sid", sum(col("new_s")).over(wr))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(count(lit(1)).as("n"))
+        sess.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            max(col("n")).as("max_session_events"),
+            Exact.roundN(sum(col("n")).cast("double") / count(lit(1)), 2)
+              .as("avg_session_events"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH g AS (
+              |  SELECT user_id, ts, event_id,
+              |    date_diff('second', LAG(ts) OVER w, ts) AS gap_s
+              |  FROM events
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              |x AS (
+              |  SELECT user_id,
+              |    SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              |  FROM g),
+              |sess AS (SELECT user_id, sid, COUNT(*) AS n FROM x GROUP BY 1, 2)
+              |SELECT user_id, COUNT(*) AS n_sessions,
+              |  CAST(MAX(n) AS BIGINT) AS max_session_events,
+              |  ${Exact.roundNSql("CAST(SUM(n) AS DOUBLE) / COUNT(*)", 2)} AS avg_session_events
+              |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Lag-1 autocorrelation per user: Pearson over the (x_t, x_{t-1})
     // pairs from exact decimal moments — the serial-dependence diagnostic
     // (is this series noise or trend?). One ordered window for the lag,

@@ -118,6 +118,22 @@ class LlmPropsSpec extends SparkSpec {
     assert(n === Tables.embeddings(spark, sf0001).count())
   }
 
+  test("simhash pairs are consistent with the fingerprint query (hamming = popcount of xor)") {
+    // Cross-query invariant: joining each reported pair back to the
+    // dedup_simhash fingerprints must reproduce the reported hamming
+    // distance exactly, and every distance obeys the declared <= 3 bound
+    // with ids ordered a < b.
+    val pairs = Registry.queries("dedup_simhash_pairs")(spark, sf0001)
+    val fp = Registry.queries("dedup_simhash")(spark, sf0001)
+    val bad = pairs
+      .join(fp.select(col("doc_id").as("doc_id_a"), col("simhash").as("ha")), "doc_id_a")
+      .join(fp.select(col("doc_id").as("doc_id_b"), col("simhash").as("hb")), "doc_id_b")
+      .filter(col("hamming") =!= expr("CAST(bit_count(ha ^ hb) AS BIGINT)") ||
+        col("hamming") > 3 || col("doc_id_a") >= col("doc_id_b"))
+    assert(bad.count() === 0)
+    assert(pairs.count() > 0, "no simhash pairs at sf0.001 — banding too strict")
+  }
+
   test("connectedComponents converges on worst-case topologies (path, forest, dense)") {
     import spark.implicits._
     // Path 0-1-2-…-19 (diameter 19 — maximizes propagation rounds), plus a

@@ -27,6 +27,26 @@ class SourceFormatsSpec extends SparkSpec {
   test("json round-trips with explicit schema")(roundTrip("json"))
   test("orc round-trips with explicit schema")(roundTrip("orc"))
 
+  test("parquet schema evolution: mergeSchema unions old and new columns") {
+    // The 100 TB reality: years of partitions written under different
+    // schema versions must read as ONE table — new columns null-filled for
+    // old files, old columns intact for new ones.
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    base.select(col("n_nationkey"), col("n_name"))
+      .write.mode("overwrite").parquet(s"$dir/v=1")
+    base.select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        lit("2024").as("ingest_tag"))
+      .write.mode("overwrite").parquet(s"$dir/v=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet ===
+      Set("n_nationkey", "n_name", "n_regionkey", "ingest_tag", "v"))
+    val n = base.count()
+    assert(merged.count() === 2 * n)
+    // old files surface the evolved columns as nulls, not errors
+    assert(merged.filter(col("v") === 1 && col("ingest_tag").isNull).count() === n)
+    assert(merged.filter(col("v") === 2 && col("n_regionkey").isNotNull).count() === n)
+  }
+
   test("csv malformed rows are isolated in the corrupt-record column") {
     val dir = Files.createTempDirectory("graft_badcsv").toString
     Files.writeString(java.nio.file.Path.of(dir, "data.csv"),
