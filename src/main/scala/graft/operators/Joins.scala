@@ -429,6 +429,53 @@ object Joins {
               |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
               |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
 
+    // SCD2 dimension lookup — the warehouse idiom for "which version of
+    // the dimension was true when this fact happened": a two-version
+    // validity-interval dimension (synthesized deterministically from
+    // nation) joined on the key PLUS a date-range residual. Planned as a
+    // broadcast equi-join on nationkey with the interval predicate as a
+    // cheap residual filter — at 100 TB the dim stays broadcast and the
+    // fact never shuffles for the lookup.
+    QueryDef(
+      "join_scd2_lookup",
+      (s, d) => {
+        val n = Tables.nation(s, d)
+        val v1 = n.select(col("n_nationkey"), col("n_name"), lit(1).as("version"),
+          lit("1992-01-01").cast("date").as("valid_from"),
+          lit("1996-01-01").cast("date").as("valid_to"),
+          (col("n_nationkey").cast("double") * 0.01d).as("rate"))
+        val v2 = n.select(col("n_nationkey"), col("n_name"), lit(2).as("version"),
+          lit("1996-01-01").cast("date").as("valid_from"),
+          lit("9999-12-31").cast("date").as("valid_to"),
+          (col("n_nationkey").cast("double") * 0.01d + 0.005d).as("rate"))
+        val dim = broadcast(v1.unionAll(v2))
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(dim, col("c_nationkey") === col("n_nationkey") &&
+            col("o_orderdate") >= col("valid_from") &&
+            col("o_orderdate") < col("valid_to"))
+          .groupBy(col("n_name"), col("version"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum((col("o_totalprice") * col("rate")).cast("decimal(28,8)")), 2)
+              .cast("double").as("tax_revenue"))
+          .orderBy("n_name", "version")
+      },
+      Some("""WITH dim AS (
+             |  SELECT n_nationkey, n_name, 1 AS version,
+             |    DATE '1992-01-01' AS valid_from, DATE '1996-01-01' AS valid_to,
+             |    CAST(n_nationkey AS DOUBLE) * 0.01 AS rate FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey, n_name, 2,
+             |    DATE '1996-01-01', DATE '9999-12-31',
+             |    CAST(n_nationkey AS DOUBLE) * 0.01 + 0.005 FROM nation)
+             |SELECT n_name, version, COUNT(*) AS n_orders,
+             |  CAST(ROUND(SUM(CAST(o_totalprice * rate AS DECIMAL(28,8))), 2) AS DOUBLE) AS tax_revenue
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN dim ON c_nationkey = dim.n_nationkey
+             |  AND o_orderdate >= valid_from AND o_orderdate < valid_to
+             |GROUP BY n_name, version ORDER BY n_name, version""".stripMargin)),
+
     // Null-safe equi-join (<=> / IS NOT DISTINCT FROM): keys are NULLed on
     // a synthetic 1-in-97 stripe, and NULL must MATCH NULL — the result is
     // the normal matches plus a bounded null×null block. Spark plans

@@ -23,6 +23,38 @@ class SkewJoinSpec extends SparkSpec {
     assert(s.toSeq === p.toSeq)
   }
 
+  test("AQE splits a skewed shuffle-join partition (skew=true in the adaptive plan)") {
+    // The runtime half of the skew story: before reaching for manual
+    // salting, AQE itself must detect and split a hot partition. Thresholds
+    // are lowered so the fixture-scale hot key qualifies; broadcast is
+    // disabled to force the shuffle join AQE operates on.
+    val conf = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val olds = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(50000)
+        .select(lit(1L).as("k"), concat(lit("p"), col("id")).as("pay"))
+        .union(spark.range(1000)
+          .select((col("id") % 50 + 2).as("k"), concat(lit("q"), col("id")).as("pay")))
+      val dim = spark.range(52).select(col("id").as("dk"), col("id").as("dv"))
+      val j = fact.join(dim, col("k") === col("dk"))
+      // execute THIS DataFrame (count() would build its own execution and
+      // leave j's adaptive plan unfinalized)
+      assert(j.collect().length === 51000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in adaptive plan:\n$plan")
+    } finally olds.foreach { case (k, o) =>
+      o.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("salt spreads the hot key across all sub-partitions") {
     import spark.implicits._
     val fact = spark.range(10000).select(lit(1L).as("k"), col("id").as("payload"))
