@@ -418,17 +418,25 @@ object Dedup {
     QueryDef(
       "dedup_components",
       (s, d) => {
-        val doc = Tables.documents(s, d)
+        // Pair generation in the inverted-index formulation (explode
+        // distinct tokens, equi-join on (block, token), count matches,
+        // Jaccard from i/(na+nb−i)) — measurably faster than the blocked
+        // array-intersect self-join and work ∝ shared tokens, not pairs.
+        // Same pair set as dedup_jaccard_pairs by construction.
+        val dt = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("source"),
-            array_distinct(split(col("text"), " ")).as("toks"))
-        val a = doc.select(col("doc_id").as("da"), col("lang"), col("source"),
-          col("toks").as("toks_a"))
-        val b = doc.select(col("doc_id").as("db"), col("lang").as("lang_b"),
-          col("source").as("source_b"), col("toks").as("toks_b"))
-        val pairs = a.join(b, col("lang") === col("lang_b") &&
-            col("source") === col("source_b") && col("da") < col("db"))
-          .filter(size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-            size(array_union(col("toks_a"), col("toks_b"))).cast("double") >= 0.6d)
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val sz = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val pairs = dt.alias("a")
+          .join(dt.alias("b"),
+            col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+              col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("i"))
+          .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+          .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+          .filter(col("i").cast("double") /
+            (col("na") + col("nb") - col("i")).cast("double") >= 0.6d)
           .select(col("da"), col("db"))
         val edges = pairs
           .union(pairs.select(col("db").as("da"), col("da").as("db")))

@@ -110,6 +110,12 @@ class PlanSpec extends SparkSpec {
     assert(!seg.contains("Exchange"), s"shuffle between the island windows:\n$p")
   }
 
+  test("join_scd2_lookup broadcasts the versioned dimension (no dim-side shuffle)") {
+    val p = Registry.queries("join_scd2_lookup")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"SCD2 dim not broadcast:\n$p")
+  }
+
   // Queries whose semantics genuinely need a non-equi or cross join; each
   // keeps one side tiny/broadcast so the product stays bounded.
   private val intentionalProducts = Set(
