@@ -283,6 +283,25 @@ object Aggregates {
     // `quantile_cont` both linearly interpolate at rank (n-1)*p over the
     // sorted values; rounding to 3dp absorbs the last-ulp arithmetic
     // difference of the interpolation step.
+    // pandas value_counts(normalize=True): category frequencies + 4dp
+    // shares — the share denominator comes from an unpartitioned window
+    // over the 5-row aggregate, not the raw table.
+    QueryDef(
+      "agg_value_counts",
+      (s, d) => {
+        val counts = Tables.events(s, d)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        counts.select(col("event_type"), col("n"),
+            Exact.roundN(col("n").cast("double") /
+              sum(col("n")).over(Window.partitionBy()).cast("double"), 4).as("share"))
+          .orderBy(col("n").desc, col("event_type"))
+      },
+      Some(s"""SELECT event_type, n,
+              |  ${Exact.roundNSql(
+                 "CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)", 4)} AS share
+              |FROM (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type) t
+              |ORDER BY n DESC, event_type""".stripMargin)),
+
     // Gini coefficient of order value per priority (inequality measure):
     // G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n with ranks total-ordered by
     // (value, key) — rank·x sums are exact in decimal, so the closed form

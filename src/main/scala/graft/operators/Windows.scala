@@ -195,6 +195,36 @@ object Windows {
     // (x−μ)/σ arithmetic is plain IEEE doubles, identical on both engines,
     // rounded 4dp (D5). Sample variance (n−1); every priority group has
     // thousands of rows, so n>1 always holds.
+    // Bounded sliding TIME-range frame (vs win_frame_range's cumulative
+    // frame): orders within the trailing 7 DAYS of each order, per
+    // customer — RANGE over epoch-days, so rows at unevenly spaced dates
+    // get value-based (not row-based) neighborhoods. Epoch-day integers
+    // make the frame bounds exact on both engines.
+    QueryDef(
+      "win_rolling_7d",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("epoch_day"))
+          .rangeBetween(-6, Window.currentRow)
+        Tables.orders(s, d)
+          .withColumn("epoch_day",
+            datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+              .cast("long"))
+          .select(col("o_custkey"), col("o_orderkey"), col("epoch_day"),
+            count(lit(1)).over(w).as("n_7d"),
+            round(sum(col("o_totalprice").cast("decimal(18,4)")).over(w), 2)
+              .cast("double").as("rev_7d"))
+          .orderBy("o_custkey", "epoch_day", "o_orderkey")
+      },
+      Some(s"""SELECT o_custkey, o_orderkey, epoch_day,
+              |  COUNT(*) OVER w AS n_7d,
+              |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE) AS rev_7d
+              |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+              |        date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS epoch_day
+              |      FROM orders) t
+              |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_day
+              |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+              |ORDER BY o_custkey, epoch_day, o_orderkey""".stripMargin)),
+
     // Rolling 7-row median per user (order-statistic smoothing): Spark has
     // no percentile window aggregate, so the frame is materialized with
     // collect_list over ROWS BETWEEN 6 PRECEDING, sorted, and the middle
