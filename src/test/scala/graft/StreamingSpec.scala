@@ -83,6 +83,32 @@ class StreamingSpec extends SparkSpec {
     assert(streaming.forall(_.getLong(2) === 1L))
   }
 
+  test("Trigger.AvailableNow drains newly arrived files exactly once per run") {
+    // The scheduled-incremental production shape: each run processes files
+    // that arrived since the last checkpoint, then exits — re-runs without
+    // new data are no-ops, new files are consumed exactly once.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_avnow").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_avnow_ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_avnow_out").toString
+    def runOnce(): Long = {
+      // file sink: the durable-output shape that supports checkpoint resume
+      // (the in-memory sink can't recover a checkpoint by design)
+      val q = spark.readStream.schema("id BIGINT, v STRING").parquet(dir)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).count()
+    }
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("append").parquet(dir)
+    assert(runOnce() === 2)
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(dir)
+    assert(runOnce() === 3, "second run must add only the new file's rows")
+    assert(runOnce() === 3, "run with no new files must be a no-op")
+  }
+
   test("dropDuplicatesWithinWatermark suppresses exact re-delivery of a batch") {
     // The at-least-once ingestion shape: the same chunk delivered twice
     // (e.g. a source retry) must not duplicate downstream rows, and state
