@@ -85,18 +85,26 @@ object Dedup {
     QueryDef(
       "dedup_jaccard_pairs",
       (s, d) => {
-        val doc = Tables.documents(s, d)
+        // Inverted-index formulation (mirrors the oracle): explode distinct
+        // tokens, equi-join on (block, token), count shared tokens, Jaccard
+        // = i/(na+nb−i). Work ∝ shared tokens rather than block², and the
+        // token join carries 8-byte ids instead of full token arrays —
+        // measured faster than the array_intersect self-join at sf0.1 and
+        // the shape that survives 100 TB.
+        val dt = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("source"),
-            array_distinct(split(col("text"), " ")).as("toks"))
-        val a = doc.select(col("doc_id").as("doc_id_a"), col("lang"), col("source"),
-          col("toks").as("toks_a"))
-        val b = doc.select(col("doc_id").as("doc_id_b"), col("lang").as("lang_b"),
-          col("source").as("source_b"), col("toks").as("toks_b"))
-        a.join(b, col("lang") === col("lang_b") && col("source") === col("source_b") &&
-            col("doc_id_a") < col("doc_id_b"))
-          .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
-          .withColumn("uni", size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
-          .withColumn("sim_raw", col("inter") / col("uni"))
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val sz = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        dt.alias("a")
+          .join(dt.alias("b"),
+            col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+              col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+          .agg(count(lit(1)).as("i"))
+          .join(sz.select(col("doc_id").as("doc_id_a"), col("n").as("na")), Seq("doc_id_a"))
+          .join(sz.select(col("doc_id").as("doc_id_b"), col("n").as("nb")), Seq("doc_id_b"))
+          .withColumn("sim_raw", col("i").cast("double") /
+            (col("na") + col("nb") - col("i")).cast("double"))
           .filter(col("sim_raw") >= 0.6d)
           .select(col("doc_id_a"), col("doc_id_b"), Exact.roundN(col("sim_raw"), 4).as("sim"))
           .orderBy("doc_id_a", "doc_id_b")

@@ -161,6 +161,24 @@ object Multimodal {
              |  CAST(list_sum(list_transform(
              |    range(frame_idx * 16 + 1, least(frame_idx * 16 + 16, n) + 1),
              |    i -> ascii(substring(text, i, 1)))) AS BIGINT) AS checksum
-             |FROM f ORDER BY doc_id, frame_idx""".stripMargin))
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // Content-addressed media dedup: group binary payloads by md5 digest —
+    // the "same bytes, keep one" pass every media-ingest pipeline runs
+    // before decode. Shuffles 16-byte digests, never payloads; the oracle
+    // hashes the identical UTF-8 bytes via md5(text).
+    QueryDef(
+      "multimodal_dedup_content",
+      (s, d) =>
+        withPayload(Tables.documents(s, d))
+          .groupBy(md5(col("payload")).as("content_key"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            count(lit(1)).as("n_copies"),
+            min(octet_length(col("payload"))).cast("long").as("n_bytes"))
+          .select("doc_id", "content_key", "n_copies", "n_bytes")
+          .orderBy("doc_id"),
+      Some("""SELECT MIN(doc_id) AS doc_id, md5(text) AS content_key,
+             |  COUNT(*) AS n_copies, CAST(MIN(strlen(text)) AS BIGINT) AS n_bytes
+             |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin))
   )
 }

@@ -88,6 +88,47 @@ object Behavior {
              |SELECT cohort, week_offset, COUNT(*) AS n_active
              |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // First-touch attribution: each user credited to their FIRST event
+    // type; conversion = purchase within 3 days of that first touch. The
+    // window bound makes rates non-trivial (unbounded, every active user
+    // eventually purchases in this fixture).
+    QueryDef(
+      "behavior_attribution",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val ft = e.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("first_touch"),
+            col("ts").as("first_ts"))
+        ft.join(e, Seq("user_id"))
+          .groupBy(col("user_id"), col("first_touch"))
+          .agg(max(when(col("event_type") === "purchase" &&
+            col("ts") > col("first_ts") &&
+            col("ts") <= col("first_ts") + expr("INTERVAL 3 DAY"), 1).otherwise(0))
+            .as("purchased"))
+          .groupBy(col("first_touch"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("purchased")).cast("long").as("n_purchasers"),
+            Exact.roundN(sum(col("purchased")).cast("double") / count(lit(1)), 4)
+              .as("conv_rate"))
+          .orderBy("first_touch")
+      },
+      Some(s"""WITH ft AS (
+              |  SELECT user_id, event_type AS first_touch, ts AS first_ts FROM (
+              |    SELECT user_id, event_type, ts,
+              |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              |    FROM events) t WHERE rn = 1),
+              |conv AS (
+              |  SELECT ft.user_id, ft.first_touch,
+              |    MAX(CASE WHEN e.event_type = 'purchase' AND e.ts > ft.first_ts
+              |         AND e.ts <= ft.first_ts + INTERVAL 3 DAY THEN 1 ELSE 0 END) AS purchased
+              |  FROM ft JOIN events e ON e.user_id = ft.user_id GROUP BY 1, 2)
+              |SELECT first_touch, COUNT(*) AS n_users,
+              |  CAST(SUM(purchased) AS BIGINT) AS n_purchasers,
+              |  ${Exact.roundNSql("CAST(SUM(purchased) AS DOUBLE) / COUNT(*)", 4)} AS conv_rate
+              |FROM conv GROUP BY first_touch ORDER BY first_touch""".stripMargin)),
+
     // First-order Markov transition matrix of event types per user stream:
     // count (prev → cur) transitions in event_id order, probability
     // normalized per prev row. One ordered per-user window (lag) + one hash
