@@ -211,12 +211,15 @@ object TextOps {
           .withColumn("prn", row_number().over(wProf))
           .filter(col("prn") <= 20)
           .select("plang", "term")
+        // prune to the queried docs BEFORE the join (commutes with the
+        // per-doc window); the profile still sees the whole corpus
         val wGuess = Window.partitionBy(col("doc_id")).orderBy(col("overlap").desc, col("plang"))
-        terms.join(broadcast(profile), "term")
+        terms.filter(col("doc_id") < 100)
+          .join(broadcast(profile), "term")
           .groupBy(col("doc_id"), col("plang"))
           .agg(count(lit(1)).as("overlap"))
           .withColumn("grn", row_number().over(wGuess))
-          .filter(col("grn") === 1 && col("doc_id") < 100)
+          .filter(col("grn") === 1)
           .select(col("doc_id"), col("plang").as("guess_lang"), col("overlap"))
           .orderBy("doc_id")
       },
@@ -411,12 +414,17 @@ object TextOps {
           .withColumn("prn", row_number().over(wProf))
           .filter(col("prn") <= 30)
           .select("plang", "gram")
+        // doc_id < 100 commutes with the per-doc window/groupBy (doc_id is
+        // the partition key), so the guess side prunes BEFORE the join —
+        // the profile still aggregates the whole corpus, but the overlap
+        // join touches only the queried docs' grams.
         val wGuess = Window.partitionBy(col("doc_id")).orderBy(col("overlap").desc, col("plang"))
-        grams.join(broadcast(profile), "gram")
+        grams.filter(col("doc_id") < 100)
+          .join(broadcast(profile), "gram")
           .groupBy(col("doc_id"), col("plang"))
           .agg(count(lit(1)).as("overlap"))
           .withColumn("grn", row_number().over(wGuess))
-          .filter(col("grn") === 1 && col("doc_id") < 100)
+          .filter(col("grn") === 1)
           .select(col("doc_id"), col("plang").as("guess_lang"), col("overlap"))
           .orderBy("doc_id")
       },
@@ -436,12 +444,13 @@ object TextOps {
              |ovl AS (
              |  SELECT g.doc_id, p.plang, COUNT(*) AS overlap
              |  FROM grams g JOIN profile p ON g.gram = p.gram
+             |  WHERE g.doc_id < 100
              |  GROUP BY g.doc_id, p.plang)
              |SELECT doc_id, plang AS guess_lang, overlap FROM (
              |  SELECT doc_id, plang, overlap,
              |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY overlap DESC, plang) AS grn
              |  FROM ovl) g
-             |WHERE grn = 1 AND doc_id < 100 ORDER BY doc_id""".stripMargin)),
+             |WHERE grn = 1 ORDER BY doc_id""".stripMargin)),
 
     // Composite corpus-cleaning pipeline — the operators above composed the
     // way a pre-training data pipeline actually runs them: quality-filter
