@@ -283,6 +283,60 @@ object Aggregates {
     // `quantile_cont` both linearly interpolate at rank (n-1)*p over the
     // sorted values; rounding to 3dp absorbs the last-ulp arithmetic
     // difference of the interpolation step.
+    // Bitmap distinct counting (the roaring-bitmap pattern ClickHouse/Druid
+    // use for COUNT DISTINCT at scale): bucket ids into 32-bit words,
+    // bit_or the masks per (group, word) — a map-side-combinable integer
+    // aggregate — then popcount-sum the words. Exact distinct counts with
+    // no per-group hash set; shuffle carries one long per populated word.
+    QueryDef(
+      "agg_bitmap_distinct",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"), expr("user_id DIV 32").as("word"))
+          .agg(expr("bit_or(shiftleft(1L, CAST(user_id % 32 AS INT)))").as("mask"))
+          .groupBy(col("event_type"))
+          .agg(sum(expr("bit_count(mask)")).cast("long").as("n_distinct_users"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, CAST(SUM(bit_count(mask)) AS BIGINT) AS n_distinct_users
+             |FROM (
+             |  SELECT event_type, user_id // 32 AS word,
+             |    bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS mask
+             |  FROM events GROUP BY 1, 2) t
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Top-N concentration: the top-10 orders' share of each priority's
+    // total revenue — "how head-heavy is this distribution" (the row-level
+    // complement of agg_gini). Rank window + one conditional decimal agg.
+    QueryDef(
+      "agg_topn_share",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            round(sum(when(col("rn") <= 10, col("o_totalprice").cast("decimal(18,4)"))
+              .otherwise(lit(0).cast("decimal(18,4)"))), 2).cast("double").as("top10_rev"),
+            Exact.roundN(
+              sum(when(col("rn") <= 10, col("o_totalprice").cast("decimal(18,4)"))
+                .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+                Exact.sumDec(col("o_totalprice")).cast("double"), 4).as("top10_share"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""WITH r AS (
+              |  SELECT o_orderpriority, o_totalprice,
+              |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+              |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              |  FROM orders)
+              |SELECT o_orderpriority,
+              |  CAST(ROUND(SUM(CASE WHEN rn <= 10 THEN CAST(o_totalprice AS DECIMAL(18,4))
+              |    ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS top10_rev,
+              |  ${Exact.roundNSql(
+                 "CAST(SUM(CASE WHEN rn <= 10 THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) " +
+                   "/ CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)", 4)} AS top10_share
+              |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // pandas value_counts(normalize=True): category frequencies + 4dp
     // shares — the share denominator comes from an unpartitioned window
     // over the 5-row aggregate, not the raw table.

@@ -88,6 +88,30 @@ object Behavior {
              |SELECT cohort, week_offset, COUNT(*) AS n_active
              |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Cumulative-distinct growth curve ("users to date"): per event day,
+    // how many users have EVER been seen — computed from the user-grain
+    // first-day reduce crossed with the tiny distinct-days spine, NOT a
+    // running distinct over raw events (which would need per-day state at
+    // 100 TB; first-occurrence + threshold count needs none).
+    QueryDef(
+      "ts_cumulative_users",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val fu = e.groupBy(col("user_id"))
+          .agg(min(col("ts").cast("date")).as("first_day"))
+        val days = e.select(col("ts").cast("date").as("day")).distinct()
+        broadcast(days).crossJoin(fu)
+          .groupBy(col("day"))
+          .agg(count(when(col("first_day") <= col("day"), 1)).as("cum_users"))
+          .orderBy("day")
+      },
+      Some("""WITH fu AS (
+             |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+             |  FROM events GROUP BY 1),
+             |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+             |SELECT day, CAST(COUNT(CASE WHEN first_day <= day THEN 1 END) AS BIGINT) AS cum_users
+             |FROM days CROSS JOIN fu GROUP BY day ORDER BY day""".stripMargin)),
+
     // First-touch attribution: each user credited to their FIRST event
     // type; conversion = purchase within 3 days of that first touch. The
     // window bound makes rates non-trivial (unbounded, every active user
