@@ -246,6 +246,53 @@ object Reshape {
              |    SELECT event_type, ts + INTERVAL 30 MINUTE, -1 FROM events) b) t
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Inter-arrival time stats per user (mean + median gap seconds) — the
+    // activity-cadence diagnostic behind rate limiting and churn scoring.
+    // Gaps are exact integers (floor-of-epoch diff both engines); the mean
+    // sums them in decimal, the median reuses the proven percentile parity.
+    QueryDef(
+      "ts_interarrival",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("gap_s",
+            col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+          .filter(col("gap_s").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_gaps"),
+            Exact.roundN(sum(col("gap_s").cast("decimal(18,0)")).cast("double") /
+              count(lit(1)), 2).as("mean_gap_s"),
+            Exact.roundN(expr("percentile(gap_s, 0.5)"), 2).as("med_gap_s"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH g AS (
+              |  SELECT user_id,
+              |    date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+              |  FROM events)
+              |SELECT user_id, COUNT(*) AS n_gaps,
+              |  ${Exact.roundNSql(
+                 "CAST(SUM(CAST(gap_s AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*)", 2)} AS mean_gap_s,
+              |  ${Exact.roundNSql("quantile_cont(gap_s, 0.5)", 2)} AS med_gap_s
+              |FROM g WHERE gap_s IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Day-of-week seasonality profile per event_type (count + exact-decimal
+    // mean value): the weekly-cycle fingerprint. Spark's dayofweek is
+    // 1=Sunday; DuckDB's is 0=Sunday — the oracle shifts by one.
+    QueryDef(
+      "ts_seasonality_dow",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+          .agg(count(lit(1)).as("n"),
+            Exact.roundN(Exact.sumDec(col("value")).cast("double") / count(lit(1)), 4)
+              .as("avg_value"))
+          .orderBy("event_type", "dow"),
+      Some(s"""SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, COUNT(*) AS n,
+              |  ${Exact.roundNSql(
+                 "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)", 4)} AS avg_value
+              |FROM events GROUP BY 1, 2 ORDER BY event_type, dow""".stripMargin)),
+
     // Batch sessionization by inactivity gap (the batch twin of the
     // streaming session window): a session breaks when > 30 min pass
     // between a user's consecutive events; session id is the running count
