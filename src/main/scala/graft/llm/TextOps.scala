@@ -496,6 +496,55 @@ object TextOps {
              |SELECT lang, COUNT(*) AS n_survivors, CAST(SUM(n_toks) AS BIGINT) AS total_tokens
              |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Corpus-drift monitor: Jensen-Shannon divergence of each source's
+    // token distribution vs the whole corpus — the "did this source's
+    // content shift" alarm a training-data pipeline runs per ingest batch.
+    // Computed over the source's OBSERVED vocabulary (inner join; absent
+    // terms would add q·ln2 — on this fixture every source sees the full
+    // 31-token vocabulary, so the restriction is vacuous and declared).
+    // Per-term contributions are rounded to 8dp then summed in decimal, so
+    // the irrational log sums stay order-independent (same discipline as
+    // text_logprob_score / text_source_entropy).
+    QueryDef(
+      "text_source_divergence",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        val sc = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+        val st = sc.groupBy(col("source")).agg(sum(col("c")).cast("long").as("t"))
+        val cc = sc.groupBy(col("tok")).agg(sum(col("c")).cast("long").as("c_all"))
+        val ct = cc.agg(sum(col("c_all")).cast("long").as("t_all"))
+        val terms = sc.join(st, "source").join(broadcast(cc), "tok").crossJoin(broadcast(ct))
+          .withColumn("p", col("c").cast("double") / col("t"))
+          .withColumn("q", col("c_all").cast("double") / col("t_all"))
+        terms
+          .withColumn("contrib", Exact.roundN(
+            col("p") * log(lit(2.0d) * col("p") / (col("p") + col("q"))) +
+              col("q") * log(lit(2.0d) * col("q") / (col("p") + col("q"))), 8))
+          .groupBy(col("source"))
+          .agg(Exact.roundN(lit(0.5d) *
+            sum(col("contrib").cast("decimal(28,10)")).cast("double"), 6).as("js_div"))
+          .orderBy("source")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+              |sc AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+              |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM sc GROUP BY 1),
+              |cc AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS c_all FROM sc GROUP BY 1),
+              |ct AS (SELECT CAST(SUM(c_all) AS BIGINT) AS t_all FROM cc),
+              |terms AS (
+              |  SELECT sc.source,
+              |    CAST(sc.c AS DOUBLE) / st.t AS p,
+              |    CAST(cc.c_all AS DOUBLE) / ct.t_all AS q
+              |  FROM sc JOIN st USING (source) JOIN cc USING (tok) CROSS JOIN ct)
+              |SELECT source,
+              |  ${Exact.roundNSql(
+                 "0.5 * CAST(SUM(CAST(" +
+                   Exact.roundNSql(
+                     "p * LN(2.0 * p / (p + q)) + q * LN(2.0 * q / (p + q))", 8) +
+                   " AS DECIMAL(28,10))) AS DOUBLE)", 6)} AS js_div
+              |FROM terms GROUP BY source ORDER BY source""".stripMargin)),
+
     // Vocabulary-growth (Heaps-law) curve per language: distinct tokens
     // seen among the first k docs (doc_id order) at doubling checkpoints —
     // the corpus-saturation diagnostic for "is more data adding new
