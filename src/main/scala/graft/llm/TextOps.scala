@@ -496,6 +496,21 @@ object TextOps {
              |SELECT lang, COUNT(*) AS n_survivors, CAST(SUM(n_toks) AS BIGINT) AS total_tokens
              |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Document-length histogram (100-char integer bins — exact integer
+    // division, no float-boundary risk): the length-distribution snapshot a
+    // curation pipeline uses to pick truncation/filter thresholds.
+    QueryDef(
+      "text_length_histogram",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy((col("n_chars") / 100).cast("long").as("bin_100c"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+          .orderBy("bin_100c"),
+      Some("""SELECT n_chars // 100 AS bin_100c, COUNT(*) AS n_docs,
+             |  MIN(n_chars) AS mn, MAX(n_chars) AS mx
+             |FROM documents GROUP BY 1 ORDER BY bin_100c""".stripMargin)),
+
     // Corpus-drift monitor: Jensen-Shannon divergence of each source's
     // token distribution vs the whole corpus — the "did this source's
     // content shift" alarm a training-data pipeline runs per ingest batch.

@@ -88,6 +88,29 @@ object Behavior {
              |SELECT cohort, week_offset, COUNT(*) AS n_active
              |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Tenure + engagement rate per user: days between first and last event
+    // (floor-of-epoch-day diff, exact) and events per active day, 4dp —
+    // the lifetime-value grain every churn model starts from.
+    QueryDef(
+      "behavior_tenure",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            datediff(max(col("ts")).cast("date"), min(col("ts")).cast("date"))
+              .cast("long").as("tenure_days"),
+            Exact.roundN(count(lit(1)).cast("double") /
+              (datediff(max(col("ts")).cast("date"), min(col("ts")).cast("date")) + 1)
+                .cast("double"), 4).as("events_per_day"))
+          .orderBy("user_id"),
+      Some(s"""SELECT user_id, COUNT(*) AS n_events,
+              |  CAST(date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS BIGINT) AS tenure_days,
+              |  ${Exact.roundNSql(
+                 "CAST(COUNT(*) AS DOUBLE) / (date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) + 1)",
+                 4)} AS events_per_day
+              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Cumulative-distinct growth curve ("users to date"): per event day,
     // how many users have EVER been seen — computed from the user-grain
     // first-day reduce crossed with the tiny distinct-days spine, NOT a

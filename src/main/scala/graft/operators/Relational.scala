@@ -131,6 +131,28 @@ object Relational {
              |                        WHERE o_orderpriority = '5-LOW' AND o_orderstatus = 'F')
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Correlated scalar subquery in the SELECT list (a different Catalyst
+    // decorrelation path than the WHERE-clause form: ScalarSubquery in the
+    // projection rewrites to a left outer aggregate join): each order
+    // against its priority class's decimal-exact average, plus the delta.
+    QueryDef(
+      "sub_scalar_select",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_orders_scalar")
+        s.sql(s"""SELECT o_orderkey, o_orderpriority, o_totalprice,
+                 |  CAST(ROUND(CAST((SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                 |    FROM graft_orders_scalar o2
+                 |    WHERE o2.o_orderpriority = o.o_orderpriority) AS DECIMAL(38,10)), 2) AS DOUBLE) AS prio_avg
+                 |FROM graft_orders_scalar o
+                 |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+             |  CAST(ROUND(CAST((SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+             |    FROM orders o2
+             |    WHERE o2.o_orderpriority = o.o_orderpriority) AS DECIMAL(38,10)), 2) AS DOUBLE) AS prio_avg
+             |FROM orders o
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // LATERAL correlated subquery (top-1-per-key flavor): each customer's
     // most recent order via a correlated ORDER BY/LIMIT — Catalyst rewrites
     // the lateral into a decorrelated join, the per-key limit into a
