@@ -429,6 +429,60 @@ object Joins {
               |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
               |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
 
+    // TPC-H Q14 shape: promo revenue share — conditional revenue over a
+    // broadcast part join inside one month, a single scalar output from a
+    // two-branch decimal aggregate.
+    QueryDef(
+      "join_promo_share",
+      (s, d) => {
+        val rev = (col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .cast("decimal(28,8)")
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-03-01").cast("date") &&
+            col("l_shipdate") < lit("1996-04-01").cast("date"))
+          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .agg(Exact.roundN(lit(100.0d) *
+            sum(when(col("p_type") === "ECONOMY", rev)
+              .otherwise(lit(0).cast("decimal(28,8)"))).cast("double") /
+            sum(rev).cast("double"), 4).as("promo_share"))
+      },
+      Some(s"""SELECT
+              |  ${Exact.roundNSql(
+                 "100.0 * CAST(SUM(CASE WHEN p_type = 'ECONOMY' " +
+                   "THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8)) " +
+                   "ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE) " +
+                   "/ CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE)",
+                 4)} AS promo_share
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin)),
+
+    // TPC-H Q19 shape: disjunctive multi-attribute band predicates spanning
+    // BOTH join sides — the planner must keep the equi-join key and apply
+    // the OR-of-ANDs as a residual; revenue + count over the union of three
+    // qualification bands.
+    QueryDef(
+      "join_band_disjunction",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "Brand#17" && col("p_size").between(10, 30) &&
+              col("l_quantity").between(10, 40)) ||
+            (col("p_type") === "SMALL" && col("p_size") <= 10 &&
+              col("l_quantity") >= 30))
+          .agg(count(lit(1)).as("n"),
+            round(Exact.sumDec8(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2)
+              .cast("double").as("revenue")),
+      Some(s"""SELECT COUNT(*) AS n,
+              |  ${Exact.sumDec8Money2Sql("l_extendedprice * (1 - l_discount)")} AS revenue
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+              |   OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+              |   OR (p_type = 'SMALL' AND p_size <= 10 AND l_quantity >= 30)""".stripMargin)),
+
     // SCD2 dimension lookup — the warehouse idiom for "which version of
     // the dimension was true when this fact happened": a two-version
     // validity-interval dimension (synthesized deterministically from
