@@ -457,6 +457,37 @@ object Joins {
               |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
               |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin)),
 
+    // TPC-H Q11 shape (adapted to the fixture universe): parts whose
+    // revenue exceeds 1.5× the per-part average — a group filtered by a
+    // fraction of a GLOBAL aggregate, the "important stock" idiom. The
+    // 1-row totals aggregate broadcasts; the threshold is scale-invariant
+    // (multiple-of-average, not absolute), so the query stays non-empty at
+    // every fixture scale.
+    QueryDef(
+      "join_value_concentration",
+      (s, d) => {
+        val pr = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"))
+          .agg(round(Exact.sumDec8(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2)
+            .cast("double").as("rev"))
+        val m = pr.agg(
+          sum(col("rev").cast("decimal(18,2)")).cast("double").as("t"),
+          count(lit(1)).cast("double").as("np"))
+        pr.crossJoin(broadcast(m))
+          .filter(col("rev") > lit(1.5d) * col("t") / col("np"))
+          .select(col("l_partkey"), col("rev"))
+          .orderBy(col("rev").desc, col("l_partkey"))
+      },
+      Some(s"""WITH pr AS (
+              |  SELECT l_partkey,
+              |    ${Exact.sumDec8Money2Sql("l_extendedprice * (1 - l_discount)")} AS rev
+              |  FROM lineitem GROUP BY l_partkey),
+              |m AS (SELECT CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) AS t,
+              |        CAST(COUNT(*) AS DOUBLE) AS np FROM pr)
+              |SELECT l_partkey, rev FROM pr CROSS JOIN m
+              |WHERE rev > 1.5 * t / np
+              |ORDER BY rev DESC, l_partkey""".stripMargin)),
+
     // TPC-H Q19 shape: disjunctive multi-attribute band predicates spanning
     // BOTH join sides — the planner must keep the equi-join key and apply
     // the OR-of-ANDs as a residual; revenue + count over the union of three

@@ -134,6 +134,7 @@ class PlanSpec extends SparkSpec {
     "text_vocab_growth",   // crossJoin with broadcast 6-row checkpoint list
     "ts_cumulative_users", // crossJoin with broadcast distinct-days spine
     "text_source_divergence", // crossJoin with 1-row corpus-total aggregate
+    "join_value_concentration", // crossJoin with 1-row totals aggregate
     "ts_reindex_spine",    // spine from 1-row min/max agg, broadcast left join
     "sub_recursive_cte")   // 1-row bounds × 101-row recursive counter
 

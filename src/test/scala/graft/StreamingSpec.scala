@@ -83,6 +83,29 @@ class StreamingSpec extends SparkSpec {
     assert(streaming.forall(_.getLong(2) === 1L))
   }
 
+  test("update output mode re-emits only changed aggregate keys per micro-batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(id: Long, user: Long) = Ev(id, base, user, "click", 1.0)
+    val q = stream.toDF().groupBy("user_id").count()
+      .writeStream.format("memory").queryName("upd_out").outputMode("update").start()
+    stream.addData(ev(1, 10), ev(2, 10), ev(3, 20)); q.processAllAvailable()
+    val afterB1 = spark.table("upd_out").collect()
+    // batch 1: both keys emitted once
+    assert(afterB1.length === 2)
+    stream.addData(ev(4, 20)); q.processAllAvailable()
+    val afterB2 = spark.table("upd_out").collect()
+    q.stop()
+    // batch 2 touched ONLY user 20 → exactly one more row, and the latest
+    // row for user 20 carries the updated count while user 10's stands
+    assert(afterB2.length === 3, "update mode must emit only the changed key")
+    val latest = afterB2.groupBy(_.getLong(0)).map { case (k, rs) =>
+      k -> rs.map(_.getLong(1)).max }
+    assert(latest === Map(10L -> 2L, 20L -> 2L))
+  }
+
   test("Trigger.AvailableNow drains newly arrived files exactly once per run") {
     // The scheduled-incremental production shape: each run processes files
     // that arrived since the last checkpoint, then exits — re-runs without
