@@ -496,6 +496,39 @@ object TextOps {
              |SELECT lang, COUNT(*) AS n_survivors, CAST(SUM(n_toks) AS BIGINT) AS total_tokens
              |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Gopher-style repetition quality rule: duplicate word-trigram fraction
+    // per doc (1 − distinct/total) — the repetition filter that catches
+    // boilerplate/spam which length and stopword ratios miss. Pure per-row
+    // lambda arithmetic, no shuffle beyond the final sort.
+    QueryDef(
+      "text_repetition_score",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("grams", expr(
+            """transform(sequence(1, greatest(size(toks) - 2, 1)),
+              |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+              |                 element_at(toks, i + 2)))""".stripMargin))
+          .select(col("doc_id"),
+            size(array_distinct(col("grams"))).cast("long").as("n_distinct"),
+            size(col("grams")).cast("long").as("n_total"),
+            Exact.roundN(lit(1.0d) -
+              size(array_distinct(col("grams"))).cast("double") /
+                size(col("grams")).cast("double"), 4).as("rep_score"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+              |  CAST(len(grams) AS BIGINT) AS n_total,
+              |  ${Exact.roundNSql(
+                 "1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)", 4)} AS rep_score
+              |FROM (
+              |  SELECT doc_id, list_transform(
+              |    range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+              |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+              |         || ' ' || string_split(text, ' ')[i + 2]) AS grams
+              |  FROM documents) t
+              |ORDER BY doc_id""".stripMargin)),
+
     // Document-length histogram (100-char integer bins — exact integer
     // division, no float-boundary risk): the length-distribution snapshot a
     // curation pipeline uses to pick truncation/filter thresholds.

@@ -88,6 +88,38 @@ object Behavior {
              |SELECT cohort, week_offset, COUNT(*) AS n_active
              |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // DAU/WAU stickiness per week: weekly active users, mean daily actives,
+    // and their ratio — the engagement-intensity KPI. Both distinct counts
+    // are exact; the mean sums integer DAUs in decimal.
+    QueryDef(
+      "behavior_dau_wau",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val dau = e.groupBy(col("ts").cast("date").as("day"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+        val wau = e.groupBy(date_trunc("week", col("ts")).cast("date").as("wk"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+        wau.join(dau, date_trunc("week", col("day")).cast("date") === col("wk"))
+          .groupBy(col("wk"), col("wau"))
+          .agg(count(col("day")).as("n_days"),
+            Exact.roundN(sum(col("dau").cast("decimal(18,0)")).cast("double") /
+              count(col("day")) / col("wau"), 4).as("stickiness"))
+          .orderBy("wk")
+      },
+      Some(s"""WITH dau AS (
+              |  SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau
+              |  FROM events GROUP BY 1),
+              |wk AS (
+              |  SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+              |    COUNT(DISTINCT user_id) AS wau
+              |  FROM events GROUP BY 1)
+              |SELECT wk.wk, wau, CAST(COUNT(d.day) AS BIGINT) AS n_days,
+              |  ${Exact.roundNSql(
+                 "CAST(SUM(CAST(d.dau AS DECIMAL(18,0))) AS DOUBLE) / COUNT(d.day) / wau",
+                 4)} AS stickiness
+              |FROM wk JOIN dau d ON CAST(date_trunc('week', d.day) AS DATE) = wk.wk
+              |GROUP BY wk.wk, wau ORDER BY wk.wk""".stripMargin)),
+
     // Tenure + engagement rate per user: days between first and last event
     // (floor-of-epoch-day diff, exact) and events per active day, 4dp —
     // the lifetime-value grain every churn model starts from.

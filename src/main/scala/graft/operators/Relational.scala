@@ -362,6 +362,29 @@ object Relational {
              |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
              |ORDER BY o_custkey""".stripMargin)),
 
+    // unionByName with missing columns: two heterogeneous projections
+    // united by COLUMN NAME (not position), absent columns null-filled —
+    // the schema-drift-tolerant concatenation (pandas concat / UNION BY
+    // NAME). Spark default sort is NULLS FIRST, DuckDB's is NULLS LAST —
+    // the oracle pins NULLS FIRST.
+    QueryDef(
+      "set_union_byname",
+      (s, d) => {
+        val o = Tables.orders(s, d).filter(col("o_orderkey") < 100)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+        val c = Tables.customer(s, d).filter(col("c_custkey") < 100)
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+        o.unionByName(c, allowMissingColumns = true)
+          .orderBy(col("k").asc, col("seg").asc_nulls_first)
+      },
+      Some("""SELECT k, price, seg FROM (
+             |  SELECT o_orderkey AS k, o_totalprice AS price, CAST(NULL AS VARCHAR) AS seg
+             |  FROM orders WHERE o_orderkey < 100
+             |  UNION ALL BY NAME
+             |  SELECT c_custkey AS k, c_mktsegment AS seg, CAST(NULL AS DOUBLE) AS price
+             |  FROM customer WHERE c_custkey < 100) t
+             |ORDER BY k, seg NULLS FIRST""".stripMargin)),
+
     // Symmetric difference (A∖B) ∪ (B∖A) — the reconciliation shape for
     // comparing two snapshots: customers exclusive to either order-status
     // population, tagged with which side they came from.

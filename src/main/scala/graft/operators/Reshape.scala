@@ -246,6 +246,31 @@ object Reshape {
              |    SELECT event_type, ts + INTERVAL 30 MINUTE, -1 FROM events) b) t
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Week-over-week change: weekly revenue + 4dp relative delta vs the
+    // previous week (lag over the aggregated weekly series, not raw rows) —
+    // the KPI-dashboard staple.
+    QueryDef(
+      "ts_wow_change",
+      (s, d) => {
+        val w = Window.orderBy(col("wk"))
+        Tables.orders(s, d)
+          .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("wk"))
+          .agg(Exact.sumMoney2(col("o_totalprice")).as("rev"))
+          .select(col("wk"), col("rev"),
+            Exact.roundN((col("rev") - lag(col("rev"), 1).over(w)) /
+              nullif(lag(col("rev"), 1).over(w), lit(0.0d)), 4).as("wow"))
+          .orderBy("wk")
+      },
+      Some(s"""WITH w AS (
+              |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+              |    ${Exact.sumMoney2Sql("o_totalprice")} AS rev
+              |  FROM orders GROUP BY 1)
+              |SELECT wk, rev,
+              |  ${Exact.roundNSql(
+                 "(rev - LAG(rev) OVER (ORDER BY wk)) / NULLIF(LAG(rev) OVER (ORDER BY wk), 0.0)",
+                 4)} AS wow
+              |FROM w ORDER BY wk""".stripMargin)),
+
     // Inter-arrival time stats per user (mean + median gap seconds) — the
     // activity-cadence diagnostic behind rate limiting and churn scoring.
     // Gaps are exact integers (floor-of-epoch diff both engines); the mean
