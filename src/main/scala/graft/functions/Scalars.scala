@@ -394,6 +394,34 @@ object Scalars {
              |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // Interval-overlap arithmetic: days each order's 30-day window overlaps
+    // a fixed campaign window — greatest(0, min(ends) − max(starts)), the
+    // exposure-measurement primitive; summed per priority in exact ints.
+    QueryDef(
+      "fn_interval_overlap",
+      (s, d) => {
+        val od = col("o_orderdate").cast("date")
+        val overlap = greatest(lit(0),
+          datediff(
+            least(date_add(od, 30), lit("1996-07-15").cast("date")),
+            greatest(od, lit("1996-06-01").cast("date"))))
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            sum(overlap).cast("long").as("exposure_days"),
+            sum(when(overlap > 0, 1).otherwise(0)).cast("long").as("n_exposed"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(SUM(GREATEST(0, date_diff('day',
+             |    GREATEST(CAST(o_orderdate AS DATE), DATE '1996-06-01'),
+             |    LEAST(CAST(o_orderdate AS DATE) + 30, DATE '1996-07-15')))) AS BIGINT) AS exposure_days,
+             |  CAST(SUM(CASE WHEN GREATEST(0, date_diff('day',
+             |    GREATEST(CAST(o_orderdate AS DATE), DATE '1996-06-01'),
+             |    LEAST(CAST(o_orderdate AS DATE) + 30, DATE '1996-07-15'))) > 0
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_exposed
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // ANSI-safe arithmetic (try_divide / try_add): errors become NULL
     // instead of job failures — the data-quality posture a 100 TB pipeline
     // needs (one bad row must not kill a 6-hour job). The divisor uses

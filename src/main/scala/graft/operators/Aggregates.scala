@@ -283,6 +283,31 @@ object Aggregates {
     // `quantile_cont` both linearly interpolate at rank (n-1)*p over the
     // sorted values; rounding to 3dp absorbs the last-ulp arithmetic
     // difference of the interpolation step.
+    // Benford first-digit audit: the leading-digit distribution of order
+    // values — the fraud/synthetic-data smoke test. The digit comes from
+    // the INTEGER part's string form (floor first: CAST double→int rounds
+    // in DuckDB but truncates in Spark; integer→string is identical).
+    QueryDef(
+      "agg_benford",
+      (s, d) =>
+        Tables.orders(s, d)
+          .withColumn("digit",
+            substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+              .cast("long"))
+          .groupBy(col("digit"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("share",
+            Exact.roundN(col("n").cast("double") /
+              sum(col("n")).over(Window.partitionBy()).cast("double"), 4))
+          .orderBy("digit"),
+      Some(s"""SELECT digit, n, ${Exact.roundNSql(
+                 "CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)", 4)} AS share
+              |FROM (
+              |  SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+              |    COUNT(*) AS n
+              |  FROM orders GROUP BY 1) t
+              |ORDER BY digit""".stripMargin)),
+
     // Bitmap distinct counting (the roaring-bitmap pattern ClickHouse/Druid
     // use for COUNT DISTINCT at scale): bucket ids into 32-bit words,
     // bit_or the masks per (group, word) — a map-side-combinable integer

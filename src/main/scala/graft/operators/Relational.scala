@@ -362,6 +362,36 @@ object Relational {
              |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
              |ORDER BY o_custkey""".stripMargin)),
 
+    // Minority-class oversampling (class rebalancing): each language's docs
+    // replicated ceil(max_count/count) times via an exploded sequence —
+    // REAL row replication, then per-class counts prove the balance. The
+    // factor table is a broadcast 5-row join; replication happens
+    // distributed, never on the driver.
+    QueryDef(
+      "scan_oversample_balance",
+      (s, d) => {
+        val lc = Tables.documents(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val mx = lc.agg(max(col("n")).as("m"))
+        val f = lc.crossJoin(broadcast(mx))
+          .withColumn("factor", ceil(col("m").cast("double") / col("n")).cast("long"))
+          .select(col("lang").as("flang"), col("n"), col("factor"))
+        Tables.documents(s, d)
+          .join(broadcast(f), col("lang") === col("flang"))
+          .withColumn("copy", explode(expr("sequence(1, factor)")))
+          .groupBy(col("lang"), col("n").as("n_before"), col("factor"))
+          .agg(count(lit(1)).as("n_after"))
+          .orderBy("lang")
+      },
+      Some("""WITH lc AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+             |mx AS (SELECT MAX(n) AS m FROM lc),
+             |f AS (SELECT lang, n, CAST(CEIL(CAST(m AS DOUBLE) / n) AS BIGINT) AS factor
+             |      FROM lc CROSS JOIN mx)
+             |SELECT f.lang, n AS n_before, factor, COUNT(*) AS n_after
+             |FROM documents d
+             |JOIN f ON d.lang = f.lang
+             |CROSS JOIN unnest(range(1, factor + 1))
+             |GROUP BY f.lang, n, factor ORDER BY f.lang""".stripMargin)),
+
     // unionByName with missing columns: two heterogeneous projections
     // united by COLUMN NAME (not position), absent columns null-filled —
     // the schema-drift-tolerant concatenation (pandas concat / UNION BY

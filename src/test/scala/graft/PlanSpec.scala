@@ -135,6 +135,7 @@ class PlanSpec extends SparkSpec {
     "ts_cumulative_users", // crossJoin with broadcast distinct-days spine
     "text_source_divergence", // crossJoin with 1-row corpus-total aggregate
     "join_value_concentration", // crossJoin with 1-row totals aggregate
+    "scan_oversample_balance", // crossJoin with 1-row max-count aggregate
     "ts_reindex_spine",    // spine from 1-row min/max agg, broadcast left join
     "sub_recursive_cte")   // 1-row bounds × 101-row recursive counter
 
