@@ -46,18 +46,26 @@ object Similarity {
     * query's own cell. Shared by `sim_ann_ivf` (output) and
     * `sim_ann_recall` (evaluation against the exact top-5).
     */
-  private def ivfTop5(s: SparkSession, d: String): DataFrame = {
+  /** Nearest-centroid assignment (seed centroids vec_id < 8, rounded
+    * cosine, centroid-id tie-break): (vec_id, emb, cell). Shared by the
+    * IVF probe and the k-means recompute step.
+    */
+  private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val cents = broadcast(e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("emb").as("cent")))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cent_id"))
-    val assigned = e.crossJoin(cents)
+    e.crossJoin(cents)
       .withColumn("csim", Exact.roundN(cosine(col("emb"), col("cent")), 4))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
+  }
+
+  private def ivfTop5(s: SparkSession, d: String): DataFrame = {
+    val assigned = ivfAssigned(s, d)
     val q = broadcast(assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("cell")))
     val c = assigned.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"),
@@ -356,6 +364,40 @@ object Similarity {
               |FROM exact x LEFT JOIN ivf i
               |  ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
               |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin)),
+
+    // One exact k-means iteration (assign → recompute): vectors assigned to
+    // their nearest seed centroid, then per-(cell, dimension) means from
+    // exact decimal sums — the distributed ML-training step, with the
+    // map-side-combinable aggregate shape that makes Lloyd's algorithm
+    // scale (per-dim partial sums, never per-cell vector collections).
+    QueryDef(
+      "sim_kmeans_step",
+      (s, d) =>
+        ivfAssigned(s, d)
+          .select(col("cell"), posexplode(col("emb")).as(Seq("dim", "x")))
+          .groupBy(col("cell"), col("dim").cast("long").as("dim"))
+          .agg(count(lit(1)).as("n"),
+            Exact.roundN(sum(col("x").cast("decimal(28,10)")).cast("double") /
+              count(lit(1)), 6).as("centroid"))
+          .orderBy("cell", "dim"),
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              |cents AS (SELECT vec_id AS cent_id, emb AS cent FROM e WHERE vec_id < 8),
+              |assigned AS (
+              |  SELECT vec_id, emb, cell FROM (
+              |    SELECT e.vec_id, e.emb, c.cent_id AS cell,
+              |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              |        ${Exact.roundNSql("list_cosine_similarity(e.emb, c.cent)", 4)} DESC,
+              |        c.cent_id) AS arn
+              |    FROM e CROSS JOIN cents c) t
+              |  WHERE arn = 1),
+              |dims AS (
+              |  SELECT cell, unnest(range(0, len(emb))) AS dim, unnest(emb) AS x
+              |  FROM assigned)
+              |SELECT cell, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+              |  ${Exact.roundNSql(
+                 "CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)", 6)} AS centroid
+              |FROM dims GROUP BY cell, dim ORDER BY cell, dim""".stripMargin)),
 
     // The native graft_cosine expression exercised through PLAIN SQL — the
     // SparkSessionExtensions surface a SQL-only user sees. install() is

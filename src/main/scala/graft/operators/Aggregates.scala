@@ -283,6 +283,37 @@ object Aggregates {
     // `quantile_cont` both linearly interpolate at rank (n-1)*p over the
     // sorted values; rounding to 3dp absorbs the last-ulp arithmetic
     // difference of the interpolation step.
+    // Trimmed mean (robust statistic): drop the bottom and top 10% of each
+    // priority's values by total-ordered rank, exact decimal mean of the
+    // middle 80% — the outlier-resistant center every monitoring pipeline
+    // prefers over the raw mean.
+    QueryDef(
+      "agg_trimmed_mean",
+      (s, d) => {
+        val wp = Window.partitionBy(col("o_orderpriority"))
+        val wr = wp.orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(wr))
+          .withColumn("n", count(lit(1)).over(wp))
+          .filter(col("rn") > col("n") / 10 && col("rn") <= col("n") - col("n") / 10)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_kept"),
+            Exact.roundN(Exact.sumDec(col("o_totalprice")).cast("double") /
+              count(lit(1)), 4).as("trimmed_mean"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""WITH r AS (
+              |  SELECT o_orderpriority, o_totalprice,
+              |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+              |      ORDER BY o_totalprice, o_orderkey) AS rn,
+              |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+              |  FROM orders)
+              |SELECT o_orderpriority, COUNT(*) AS n_kept,
+              |  ${Exact.roundNSql(
+                 "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)", 4)} AS trimmed_mean
+              |FROM r WHERE rn > n / 10 AND rn <= n - n / 10
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Benford first-digit audit: the leading-digit distribution of order
     // values — the fraud/synthetic-data smoke test. The digit comes from
     // the INTEGER part's string form (floor first: CAST double→int rounds
