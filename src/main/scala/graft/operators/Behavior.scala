@@ -88,6 +88,39 @@ object Behavior {
              |SELECT cohort, week_offset, COUNT(*) AS n_active
              |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Longest consecutive-day activity streak per user: distinct active
+    // days, epoch-day minus row_number groups identical-by-construction
+    // runs (gaps-and-islands at day grain — a different grain than
+    // win_islands' event-type runs).
+    QueryDef(
+      "behavior_streak_days",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val days = Tables.events(s, d)
+          .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+        days
+          .withColumn("grp",
+            datediff(col("day"), lit("1970-01-01").cast("date")).cast("long") -
+              row_number().over(w))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"))
+          .groupBy(col("user_id"))
+          .agg(max(col("len")).as("longest_streak_days"),
+            count(lit(1)).as("n_streaks"))
+          .orderBy("user_id")
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |isl AS (
+             |  SELECT user_id, day,
+             |    date_diff('day', DATE '1970-01-01', day)
+             |      - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+             |  FROM days),
+             |runs AS (SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+             |SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak_days,
+             |  COUNT(*) AS n_streaks
+             |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // DAU/WAU stickiness per week: weekly active users, mean daily actives,
     // and their ratio — the engagement-intensity KPI. Both distinct counts
     // are exact; the mean sums integer DAUs in decimal.

@@ -195,6 +195,26 @@ object Windows {
     // (x−μ)/σ arithmetic is plain IEEE doubles, identical on both engines,
     // rounded 4dp (D5). Sample variance (n−1); every priority group has
     // thousands of rows, so n>1 always holds.
+    // Percent-of-total contribution: each order's 6dp share of its
+    // priority's decimal-exact total — the window-sum ratio behind every
+    // "contribution analysis" breakdown.
+    QueryDef(
+      "win_share_of_group",
+      (s, d) => {
+        val wp = Window.partitionBy(col("o_orderpriority"))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+            Exact.roundN(col("o_totalprice") /
+              sum(col("o_totalprice").cast("decimal(18,4)")).over(wp).cast("double"), 6)
+              .as("share"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_orderpriority, o_totalprice,
+              |  ${Exact.roundNSql(
+                 "o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) " +
+                   "OVER (PARTITION BY o_orderpriority) AS DOUBLE)", 6)} AS share
+              |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // Bounded sliding TIME-range frame (vs win_frame_range's cumulative
     // frame): orders within the trailing 7 DAYS of each order, per
     // customer — RANGE over epoch-days, so rows at unevenly spaced dates
