@@ -283,6 +283,42 @@ object Aggregates {
     // `quantile_cont` both linearly interpolate at rank (n-1)*p over the
     // sorted values; rounding to 3dp absorbs the last-ulp arithmetic
     // difference of the interpolation step.
+    // Chi-square independence statistic for the event_type × day-of-week
+    // contingency table: Σ(obs − exp)²/exp with exp = row·col/total from
+    // exact integer marginals; per-cell terms rounded 8dp then summed in
+    // decimal (order-independent), total 4dp — "is usage day-patterned?".
+    QueryDef(
+      "agg_chi_square",
+      (s, d) => {
+        val o = Tables.events(s, d)
+          .groupBy(col("event_type"), (dayofweek(col("ts")) + 0).as("dow"))
+          .agg(count(lit(1)).cast("double").as("obs"))
+        val rt = o.groupBy(col("event_type")).agg(sum(col("obs")).as("r"))
+        val ct = o.groupBy(col("dow")).agg(sum(col("obs")).as("c"))
+        val t = o.agg(sum(col("obs")).as("n"))
+        val e = col("r") * col("c") / col("n")
+        o.join(rt, "event_type").join(broadcast(ct), "dow").crossJoin(broadcast(t))
+          .withColumn("term",
+            Exact.roundN((col("obs") - e) * (col("obs") - e) / e, 8))
+          .agg(
+            Exact.roundN(sum(col("term").cast("decimal(28,10)")).cast("double"), 4)
+              .as("chi2"),
+            count(lit(1)).as("n_cells"))
+      },
+      Some(s"""WITH o AS (
+              |  SELECT event_type, dayofweek(ts) + 1 AS dow, CAST(COUNT(*) AS DOUBLE) AS obs
+              |  FROM events GROUP BY 1, 2),
+              |rt AS (SELECT event_type, SUM(obs) AS r FROM o GROUP BY 1),
+              |ct AS (SELECT dow, SUM(obs) AS c FROM o GROUP BY 1),
+              |t AS (SELECT SUM(obs) AS n FROM o)
+              |SELECT ${Exact.roundNSql(
+                 "CAST(SUM(CAST(" +
+                   Exact.roundNSql(
+                     "(obs - r * c / n) * (obs - r * c / n) / (r * c / n)", 8) +
+                   " AS DECIMAL(28,10))) AS DOUBLE)", 4)} AS chi2,
+              |  CAST(COUNT(*) AS BIGINT) AS n_cells
+              |FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN t""".stripMargin)),
+
     // Trimmed mean (robust statistic): drop the bottom and top 10% of each
     // priority's values by total-ordered rank, exact decimal mean of the
     // middle 80% — the outlier-resistant center every monitoring pipeline

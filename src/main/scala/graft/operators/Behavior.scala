@@ -88,6 +88,32 @@ object Behavior {
              |SELECT cohort, week_offset, COUNT(*) AS n_active
              |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Market-basket co-occurrence: support counts for event-type pairs
+    // appearing in the same (user, day) basket — the association-mining
+    // primitive. Baskets are the distinct reduce; the self-join is blocked
+    // on the basket key, so candidates grow with basket size (≤ 5 types),
+    // never corpus size.
+    QueryDef(
+      "behavior_cooccurrence",
+      (s, d) => {
+        val ut = Tables.events(s, d)
+          .select(col("user_id"), col("ts").cast("date").as("day"), col("event_type"))
+          .distinct()
+        ut.alias("a")
+          .join(ut.alias("b"),
+            col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+              col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("support"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH ut AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events)
+             |SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS support
+             |FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.day = b.day
+             |  AND a.event_type < b.event_type
+             |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin)),
+
     // Longest consecutive-day activity streak per user: distinct active
     // days, epoch-day minus row_number groups identical-by-construction
     // runs (gaps-and-islands at day grain — a different grain than
