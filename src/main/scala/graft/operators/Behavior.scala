@@ -114,6 +114,54 @@ object Behavior {
              |  AND a.event_type < b.event_type
              |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin)),
 
+    // Association lift: P(a,b)/(P(a)·P(b)) over (user, day) baskets —
+    // co-occurrence normalized by independence, the signal that separates
+    // "both types are just common" from "these types travel together".
+    // Lift > 1 ⇒ positive association. All probabilities are exact ratios
+    // of basket counts.
+    QueryDef(
+      "behavior_lift",
+      (s, d) => {
+        val ut = Tables.events(s, d)
+          .select(col("user_id"), col("ts").cast("date").as("day"), col("event_type"))
+          .distinct()
+        val baskets = ut.select(col("user_id"), col("day")).distinct()
+          .agg(count(lit(1)).as("nb"))
+        val single = ut.groupBy(col("event_type")).agg(count(lit(1)).as("s1"))
+        val pairs = ut.alias("a")
+          .join(ut.alias("b"),
+            col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+              col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("s12"))
+        pairs
+          .join(broadcast(single.select(col("event_type").as("type_a"), col("s1").as("sa"))), "type_a")
+          .join(broadcast(single.select(col("event_type").as("type_b"), col("s1").as("sb"))), "type_b")
+          .crossJoin(broadcast(baskets))
+          .select(col("type_a"), col("type_b"), col("s12"),
+            Exact.roundN(col("s12").cast("double") * col("nb") /
+              (col("sa").cast("double") * col("sb")), 4).as("lift"))
+          .orderBy("type_a", "type_b")
+      },
+      Some(s"""WITH ut AS (
+              |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+              |baskets AS (
+              |  SELECT COUNT(*) AS nb FROM (SELECT DISTINCT user_id, day FROM ut) t),
+              |single AS (SELECT event_type, COUNT(*) AS s1 FROM ut GROUP BY 1),
+              |pairs AS (
+              |  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS s12
+              |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.day = b.day
+              |    AND a.event_type < b.event_type
+              |  GROUP BY 1, 2)
+              |SELECT type_a, type_b, s12,
+              |  ${Exact.roundNSql(
+                 "CAST(s12 AS DOUBLE) * nb / (CAST(sa.s1 AS DOUBLE) * sb.s1)", 4)} AS lift
+              |FROM pairs
+              |JOIN single sa ON sa.event_type = type_a
+              |JOIN single sb ON sb.event_type = type_b
+              |CROSS JOIN baskets
+              |ORDER BY type_a, type_b""".stripMargin)),
+
     // Longest consecutive-day activity streak per user: distinct active
     // days, epoch-day minus row_number groups identical-by-construction
     // runs (gaps-and-islands at day grain — a different grain than

@@ -138,6 +138,7 @@ class PlanSpec extends SparkSpec {
     "scan_oversample_balance", // crossJoin with 1-row max-count aggregate
     "sim_kmeans_step",     // crossJoin with broadcast 8-row centroid table
     "agg_chi_square",      // crossJoin with 1-row grand-total aggregate
+    "behavior_lift",       // crossJoin with 1-row basket-count aggregate
     "ts_reindex_spine",    // spine from 1-row min/max agg, broadcast left join
     "sub_recursive_cte")   // 1-row bounds × 101-row recursive counter
 
