@@ -283,6 +283,40 @@ object Aggregates {
     // `quantile_cont` both linearly interpolate at rank (n-1)*p over the
     // sorted values; rounding to 3dp absorbs the last-ulp arithmetic
     // difference of the interpolation step.
+    // Tukey-fence outliers (the boxplot rule): values outside
+    // [q1 − 1.5·IQR, q3 + 1.5·IQR] per event_type, quartiles rounded 4dp
+    // BEFORE the fence arithmetic so the boundary compares are exact —
+    // the complement of ts_anomaly_mad's median-based rule.
+    QueryDef(
+      "agg_tukey_outliers",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val q = e.groupBy(col("event_type"))
+          .agg(
+            Exact.roundN(expr("percentile(value, 0.25)"), 4).as("q1"),
+            Exact.roundN(expr("percentile(value, 0.75)"), 4).as("q3"))
+        val fence = lit(1.5d) * (col("q3") - col("q1"))
+        e.join(broadcast(q), "event_type")
+          .groupBy(col("event_type"))
+          .agg(
+            sum(when(col("value") < col("q1") - fence ||
+              col("value") > col("q3") + fence, 1).otherwise(0))
+              .cast("long").as("n_outliers"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH q AS (
+              |  SELECT event_type,
+              |    ${Exact.roundNSql("quantile_cont(value, 0.25)", 4)} AS q1,
+              |    ${Exact.roundNSql("quantile_cont(value, 0.75)", 4)} AS q3
+              |  FROM events GROUP BY 1)
+              |SELECT e.event_type,
+              |  CAST(SUM(CASE WHEN value < q1 - 1.5 * (q3 - q1)
+              |    OR value > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+              |  COUNT(*) AS n
+              |FROM events e JOIN q USING (event_type)
+              |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // Chi-square independence statistic for the event_type × day-of-week
     // contingency table: Σ(obs − exp)²/exp with exp = row·col/total from
     // exact integer marginals; per-cell terms rounded 8dp then summed in

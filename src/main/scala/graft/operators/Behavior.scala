@@ -162,6 +162,40 @@ object Behavior {
               |CROSS JOIN baskets
               |ORDER BY type_a, type_b""".stripMargin)),
 
+    // Association confidence P(cons|ante) — the DIRECTIONAL rule strength
+    // (lift is symmetric; confidence is not): both directions of every
+    // basket pair, 4dp from exact basket-count ratios.
+    QueryDef(
+      "behavior_confidence",
+      (s, d) => {
+        val ut = Tables.events(s, d)
+          .select(col("user_id"), col("ts").cast("date").as("day"), col("event_type"))
+          .distinct()
+        val single = ut.groupBy(col("event_type")).agg(count(lit(1)).as("s1"))
+        ut.alias("a")
+          .join(ut.alias("b"),
+            col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+              col("a.event_type") =!= col("b.event_type"))
+          .groupBy(col("a.event_type").as("ante"), col("b.event_type").as("cons"))
+          .agg(count(lit(1)).as("s12"))
+          .join(broadcast(single.select(col("event_type").as("ante"), col("s1"))), "ante")
+          .select(col("ante"), col("cons"), col("s12"),
+            Exact.roundN(col("s12").cast("double") / col("s1"), 4).as("confidence"))
+          .orderBy("ante", "cons")
+      },
+      Some(s"""WITH ut AS (
+              |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+              |single AS (SELECT event_type, COUNT(*) AS s1 FROM ut GROUP BY 1),
+              |pairs AS (
+              |  SELECT a.event_type AS ante, b.event_type AS cons, COUNT(*) AS s12
+              |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.day = b.day
+              |    AND a.event_type <> b.event_type
+              |  GROUP BY 1, 2)
+              |SELECT ante, cons, s12,
+              |  ${Exact.roundNSql("CAST(s12 AS DOUBLE) / s.s1", 4)} AS confidence
+              |FROM pairs JOIN single s ON s.event_type = ante
+              |ORDER BY ante, cons""".stripMargin)),
+
     // Longest consecutive-day activity streak per user: distinct active
     // days, epoch-day minus row_number groups identical-by-construction
     // runs (gaps-and-islands at day grain — a different grain than
