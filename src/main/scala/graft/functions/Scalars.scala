@@ -394,6 +394,23 @@ object Scalars {
              |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // Epoch extraction at exact integer grains (the serialization boundary
+    // for timestamps leaving the engine): millis and micros since epoch
+    // (both floor-truncating identically), plus second-of-day.
+    QueryDef(
+      "fn_epoch_ms",
+      (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_id"),
+            expr("unix_millis(ts)").as("ems"),
+            expr("unix_micros(ts)").as("eus"),
+            (hour(col("ts")) * 3600 + minute(col("ts")) * 60 + second(col("ts")))
+              .cast("long").as("second_of_day"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, epoch_ms(ts) AS ems, epoch_us(ts) AS eus,
+             |  CAST(hour(ts) * 3600 + minute(ts) * 60 + CAST(FLOOR(second(ts)) AS INT) AS BIGINT) AS second_of_day
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // Interval-overlap arithmetic: days each order's 30-day window overlaps
     // a fixed campaign window — greatest(0, min(ends) − max(starts)), the
     // exposure-measurement primitive; summed per priority in exact ints.

@@ -195,6 +195,39 @@ object Windows {
     // (x−μ)/σ arithmetic is plain IEEE doubles, identical on both engines,
     // rounded 4dp (D5). Sample variance (n−1); every priority group has
     // thousands of rows, so n>1 always holds.
+    // Rolling volatility: stddev of the trailing 30 events per user from
+    // exact decimal frame sums (win_zscore's discipline on a BOUNDED
+    // sliding frame), full frames only.
+    QueryDef(
+      "win_rolling_std",
+      (s, d) => {
+        val wo = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val wf = wo.rowsBetween(-29, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("s1", sum(col("value").cast("decimal(18,4)")).over(wf).cast("double"))
+          .withColumn("s2", sum((col("value") * col("value")).cast("decimal(28,8)")).over(wf)
+            .cast("double"))
+          .withColumn("n", count(lit(1)).over(wf).cast("double"))
+          .withColumn("rn", row_number().over(wo))
+          .filter(col("rn") >= 30)
+          .select(col("user_id"), col("event_id"),
+            Exact.roundN(sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+              (col("n") - 1d)), 4).as("vol30"))
+          .orderBy("user_id", "event_id")
+      },
+      Some(s"""SELECT user_id, event_id,
+              |  ${Exact.roundNSql("SQRT((s2 - s1 * s1 / n) / (n - 1))", 4)} AS vol30
+              |FROM (
+              |  SELECT user_id, event_id,
+              |    CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s1,
+              |    CAST(SUM(CAST(value * value AS DECIMAL(28,8))) OVER w AS DOUBLE) AS s2,
+              |    CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+              |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+              |  FROM events
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+              |    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)) t
+              |WHERE rn >= 30 ORDER BY user_id, event_id""".stripMargin)),
+
     // Percent-of-total contribution: each order's 6dp share of its
     // priority's decimal-exact total — the window-sum ratio behind every
     // "contribution analysis" breakdown.
