@@ -3,7 +3,7 @@ package graft.llm
 import graft.{Exact, QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** SURVEY §2 B.10 — deduplication operators for training-data pipelines.
   *
@@ -30,6 +30,63 @@ object Dedup {
     "((ascii(substring(tok, 1, 1)) * 8191 + ascii(substring(reverse(tok), 1, 1)) * 131 + length(tok) * 17) % 65536)"
 
   private val SimhashBits = 16
+
+  /** Within-block document-frequency bound for the inverted-index pair
+    * joins (VERDICT r03 #4). A posting key (token / shingle-hash) shared by
+    * k docs inside one block emits k² join rows, so one degenerate
+    * stop-token-like key in a 100 TB block would dominate the whole stage;
+    * dropping posting lists longer than this bound BEFORE the pair join
+    * converts that worst case from k² to bounded. The guard is part of the
+    * DECLARED semantics — every oracle applies the identical QUALIFY bound,
+    * so Spark and DuckDB stay hash-identical on ANY input. On these
+    * fixtures it never engages (measured max within-block df: 101 tokens /
+    * 5 shingles at sf0.1, vs the 1,000 bound), so round-3 pair sets are
+    * unchanged; DedupGuardSpec proves both properties (no-op when bound >
+    * max df, engages on a constructed hot-token fixture).
+    */
+  val DfBound = 1000L
+
+  /** Drop (keys...) posting lists with more than `bound` rows. The window
+    * partitions by exactly the pair-join keys, so the df pass induces the
+    * same hash partitioning the join consumes — no extra shuffle shape.
+    */
+  private[llm] def dfGuard(postings: DataFrame, keys: Seq[String],
+      bound: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    postings.withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= bound).drop("df")
+  }
+
+  /** Token-set overlap pair generation over (lang, source) blocks in the
+    * df-guarded inverted-index formulation — shared by
+    * dedup_jaccard_pairs / dedup_containment_pairs / dedup_components and
+    * exposed for the guard property tests. `docs` needs (doc_id, lang,
+    * source, text); output is one row per candidate pair:
+    * (da, db, i, na, nb, sim_raw) with sim_raw = Jaccard i/(na+nb−i).
+    */
+  def tokenPairs(docs: DataFrame, bound: Long = DfBound): DataFrame = {
+    val dt = dfGuard(
+      docs.select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("tok")),
+      Seq("lang", "source", "tok"), bound)
+    val sz = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    dt.alias("a")
+      .join(dt.alias("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("sim_raw", col("i").cast("double") /
+        (col("na") + col("nb") - col("i")).cast("double"))
+  }
+
+  /** The QUALIFY clause every token-posting oracle applies — the exact
+    * SQL mirror of [[dfGuard]] over (lang, source, key).
+    */
+  private def dfGuardSql(key: String): String =
+    s"QUALIFY COUNT(*) OVER (PARTITION BY lang, source, $key) <= $DfBound"
 
   /** Connected components by iterative min-label propagation over a
     * bidirectional edge list `(da, db)` — the MapReduce-CC shape (one

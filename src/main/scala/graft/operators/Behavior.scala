@@ -285,28 +285,37 @@ object Behavior {
               |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // Cumulative-distinct growth curve ("users to date"): per event day,
-    // how many users have EVER been seen — computed from the user-grain
-    // first-day reduce crossed with the tiny distinct-days spine, NOT a
-    // running distinct over raw events (which would need per-day state at
-    // 100 TB; first-occurrence + threshold count needs none).
+    // how many users have EVER been seen. Shape (VERDICT r03 #2): user-grain
+    // first-day reduce → per-day first-seen counts (O(U) work, map-side
+    // combinable) → running SUM over the |days|-row spine. The previous
+    // days×users cross join did O(U·D) work — ~3.6×10¹² rows at 10⁹ users ×
+    // 10 years — for an O(U+D) problem; the running sum touches each user
+    // once and each day once, and the single-partition window only ever
+    // sees the tiny day spine, never user-grain rows.
     QueryDef(
       "ts_cumulative_users",
       (s, d) => {
         val e = Tables.events(s, d)
-        val fu = e.groupBy(col("user_id"))
+        val perDay = e.groupBy(col("user_id"))
           .agg(min(col("ts").cast("date")).as("first_day"))
+          .groupBy(col("first_day").as("day"))
+          .agg(count(lit(1)).as("n"))
         val days = e.select(col("ts").cast("date").as("day")).distinct()
-        broadcast(days).crossJoin(fu)
-          .groupBy(col("day"))
-          .agg(count(when(col("first_day") <= col("day"), 1)).as("cum_users"))
+        val w = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        days.join(perDay, Seq("day"), "left")
+          .withColumn("cum_users", sum(coalesce(col("n"), lit(0L))).over(w))
+          .select(col("day"), col("cum_users"))
           .orderBy("day")
       },
       Some("""WITH fu AS (
              |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
              |  FROM events GROUP BY 1),
+             |pd AS (SELECT first_day AS day, COUNT(*) AS n FROM fu GROUP BY 1),
              |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
-             |SELECT day, CAST(COUNT(CASE WHEN first_day <= day THEN 1 END) AS BIGINT) AS cum_users
-             |FROM days CROSS JOIN fu GROUP BY day ORDER BY day""".stripMargin)),
+             |SELECT day, CAST(SUM(COALESCE(n, 0)) OVER (
+             |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+             |FROM days LEFT JOIN pd USING (day) ORDER BY day""".stripMargin)),
 
     // First-touch attribution: each user credited to their FIRST event
     // type; conversion = purchase within 3 days of that first touch. The
