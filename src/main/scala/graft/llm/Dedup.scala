@@ -37,12 +37,15 @@ object Dedup {
     * stop-token-like key in a 100 TB block would dominate the whole stage;
     * dropping posting lists longer than this bound BEFORE the pair join
     * converts that worst case from k² to bounded. The guard is part of the
-    * DECLARED semantics — every oracle applies the identical QUALIFY bound,
-    * so Spark and DuckDB stay hash-identical on ANY input. On these
-    * fixtures it never engages (measured max within-block df: 101 tokens /
-    * 5 shingles at sf0.1, vs the 1,000 bound), so round-3 pair sets are
-    * unchanged; DedupGuardSpec proves both properties (no-op when bound >
-    * max df, engages on a constructed hot-token fixture).
+    * DECLARED semantics of the four queries that use it
+    * (dedup_jaccard_pairs / dedup_containment_pairs / dedup_components via
+    * [[tokenPairs]]; dedup_ngram_jaccard over shingle hashes) — each of
+    * their oracles applies the identical QUALIFY bound, so Spark and DuckDB
+    * stay hash-identical on ANY input, including one where the bound
+    * engages. On these fixtures it never engages (measured max within-block
+    * df: 101 tokens / 5 shingles at sf0.1, vs the 1,000 bound), so pair
+    * sets match round 3's; DedupGuardSpec proves both properties (no-op
+    * when bound ≥ max df, engages on a constructed hot-token fixture).
     */
   val DfBound = 1000L
 
@@ -63,6 +66,14 @@ object Dedup {
     * exposed for the guard property tests. `docs` needs (doc_id, lang,
     * source, text); output is one row per candidate pair:
     * (da, db, i, na, nb, sim_raw) with sim_raw = Jaccard i/(na+nb−i).
+    *
+    * POST-GUARD size semantics: per-doc sizes (na/nb) are computed AFTER
+    * the df guard drops hot posting lists, so Jaccard denominators count
+    * only SURVIVING tokens — a doc is measured against the same token set
+    * that generated its candidates. The oracles replicate this exactly
+    * (their `sz` CTE reads the guarded `dt`); any future oracle change must
+    * preserve it or hashes diverge whenever the bound engages.
+    * DedupGuardSpec asserts it on a hot-token fixture.
     */
   def tokenPairs(docs: DataFrame, bound: Long = DfBound): DataFrame = {
     val dt = dfGuard(
@@ -82,8 +93,10 @@ object Dedup {
         (col("na") + col("nb") - col("i")).cast("double"))
   }
 
-  /** The QUALIFY clause every token-posting oracle applies — the exact
-    * SQL mirror of [[dfGuard]] over (lang, source, key).
+  /** The QUALIFY clause the guarded oracles apply — the exact SQL mirror
+    * of [[dfGuard]] over (lang, source, key). DuckDB rejects QUALIFY on a
+    * SELECT containing unnest, so each oracle explodes in a `dt0`/`sh0`
+    * CTE and applies this clause in a plain `SELECT * FROM …` wrapper.
     */
   private def dfGuardSql(key: String): String =
     s"QUALIFY COUNT(*) OVER (PARTITION BY lang, source, $key) <= $DfBound"
@@ -141,34 +154,23 @@ object Dedup {
     // compare and the 4dp round are exact.
     QueryDef(
       "dedup_jaccard_pairs",
-      (s, d) => {
-        // Inverted-index formulation (mirrors the oracle): explode distinct
-        // tokens, equi-join on (block, token), count shared tokens, Jaccard
-        // = i/(na+nb−i). Work ∝ shared tokens rather than block², and the
+      (s, d) =>
+        // Inverted-index formulation via [[tokenPairs]] (mirrors the
+        // oracle): explode distinct tokens, df-guard hot posting lists,
+        // equi-join on (block, token), count shared tokens, Jaccard =
+        // i/(na+nb−i). Work ∝ shared tokens rather than block², and the
         // token join carries 8-byte ids instead of full token arrays —
         // measured faster than the array_intersect self-join at sf0.1 and
         // the shape that survives 100 TB.
-        val dt = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"), col("source"),
-            explode(array_distinct(split(col("text"), " "))).as("tok"))
-        val sz = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        dt.alias("a")
-          .join(dt.alias("b"),
-            col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-              col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
-          .agg(count(lit(1)).as("i"))
-          .join(sz.select(col("doc_id").as("doc_id_a"), col("n").as("na")), Seq("doc_id_a"))
-          .join(sz.select(col("doc_id").as("doc_id_b"), col("n").as("nb")), Seq("doc_id_b"))
-          .withColumn("sim_raw", col("i").cast("double") /
-            (col("na") + col("nb") - col("i")).cast("double"))
+        tokenPairs(Tables.documents(s, d))
           .filter(col("sim_raw") >= 0.6d)
-          .select(col("doc_id_a"), col("doc_id_b"), Exact.roundN(col("sim_raw"), 4).as("sim"))
-          .orderBy("doc_id_a", "doc_id_b")
-      },
-      Some(s"""WITH dt AS (
+          .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"),
+            Exact.roundN(col("sim_raw"), 4).as("sim"))
+          .orderBy("doc_id_a", "doc_id_b"),
+      Some(s"""WITH dt0 AS (
               |  SELECT DISTINCT doc_id, lang, source, unnest(string_split(text, ' ')) AS tok
               |  FROM documents),
+              |dt AS (SELECT * FROM dt0 ${dfGuardSql("tok")}),
               |sz AS (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY doc_id),
               |inter AS (
               |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
@@ -363,9 +365,14 @@ object Dedup {
                   (b, c) => concat(b, lit(" "), c)),
                 (a, bc) => concat(a, lit(" "), bc)),
               sgl => xxhash64(sgl))).as("sh"))
-        val sizes = doc.select(col("doc_id"), size(col("sh")).as("n"))
-        val ex = doc.select(col("doc_id"), col("lang"), col("source"),
-          explode(col("sh")).as("h"))
+        // df guard + POST-GUARD sizes (same semantics as tokenPairs: the
+        // Jaccard denominator counts surviving shingles only; the oracle's
+        // sz CTE reads the guarded sh the same way).
+        val ex = dfGuard(
+          doc.select(col("doc_id"), col("lang"), col("source"),
+            explode(col("sh")).as("h")),
+          Seq("lang", "source", "h"), DfBound)
+        val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val a = ex.select(col("doc_id").as("doc_id_a"), col("lang"), col("source"), col("h"))
         val b = ex.select(col("doc_id").as("doc_id_b"), col("lang").as("lang_b"),
           col("source").as("source_b"), col("h").as("h_b"))
@@ -382,21 +389,28 @@ object Dedup {
           .select(col("doc_id_a"), col("doc_id_b"), Exact.roundN(col("sim_raw"), 4).as("sim"))
           .orderBy("doc_id_a", "doc_id_b")
       },
-      Some(s"""WITH sh AS (
+      // Inverted-index oracle over the raw STRING shingles (Spark joins on
+      // xxhash64'd shingles, so a hash collision — ≈n²/2⁶⁴, vanishing —
+      // would still surface as an intersection-count mismatch), with the
+      // identical df-guard QUALIFY over (lang, source, shingle).
+      Some(s"""WITH sh0 AS (
               |  SELECT doc_id, lang, source,
-              |    list_distinct(list_transform(range(1, len(toks) - 1),
-              |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+              |    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+              |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sgl
               |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
               |        FROM documents) t
               |  WHERE len(toks) >= 3),
-              |pairs AS (
-              |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-              |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-              |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS sim_raw
+              |sh AS (SELECT * FROM sh0 ${dfGuardSql("sgl")}),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
               |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
-              |    AND a.doc_id < b.doc_id)
-              |SELECT doc_id_a, doc_id_b, ${Exact.roundNSql("sim_raw", 4)} AS sim
-              |FROM pairs WHERE sim_raw >= 0.3
+              |    AND a.sgl = b.sgl AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT doc_id_a, doc_id_b,
+              |  ${Exact.roundNSql("CAST(i AS DOUBLE) / (sa.n + sb.n - i)", 4)} AS sim
+              |FROM inter JOIN sz sa ON sa.doc_id = doc_id_a JOIN sz sb ON sb.doc_id = doc_id_b
+              |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
               |ORDER BY doc_id_a, doc_id_b""".stripMargin)),
 
     // Embedding-cosine near-dup: for each query vector, the best-matching
@@ -483,25 +497,14 @@ object Dedup {
     QueryDef(
       "dedup_components",
       (s, d) => {
-        // Pair generation in the inverted-index formulation (explode
-        // distinct tokens, equi-join on (block, token), count matches,
-        // Jaccard from i/(na+nb−i)) — measurably faster than the blocked
-        // array-intersect self-join and work ∝ shared tokens, not pairs.
-        // Same pair set as dedup_jaccard_pairs by construction.
-        val dt = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"), col("source"),
-            explode(array_distinct(split(col("text"), " "))).as("tok"))
-        val sz = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val pairs = dt.alias("a")
-          .join(dt.alias("b"),
-            col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-              col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .agg(count(lit(1)).as("i"))
-          .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-          .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
-          .filter(col("i").cast("double") /
-            (col("na") + col("nb") - col("i")).cast("double") >= 0.6d)
+        // Pair generation via [[tokenPairs]] (df-guarded inverted index:
+        // explode distinct tokens, drop hot posting lists, equi-join on
+        // (block, token), count matches, Jaccard from i/(na+nb−i)) —
+        // measurably faster than the blocked array-intersect self-join and
+        // work ∝ shared tokens, not pairs. Same pair set as
+        // dedup_jaccard_pairs by construction.
+        val pairs = tokenPairs(Tables.documents(s, d))
+          .filter(col("sim_raw") >= 0.6d)
           .select(col("da"), col("db"))
         val edges = pairs
           .union(pairs.select(col("db").as("da"), col("da").as("db")))
@@ -509,9 +512,10 @@ object Dedup {
           .select(col("id").as("doc_id"), col("comp").as("component"))
           .orderBy("doc_id")
       },
-      Some("""WITH RECURSIVE dt AS (
+      Some(s"""WITH RECURSIVE dt0 AS (
              |  SELECT DISTINCT doc_id, lang, source, unnest(string_split(text, ' ')) AS tok
              |  FROM documents),
+             |dt AS (SELECT * FROM dt0 ${dfGuardSql("tok")}),
              |sz AS (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY doc_id),
              |inter AS (
              |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
@@ -538,29 +542,20 @@ object Dedup {
     // (block, token), count matches — work ∝ shared tokens, not pairs.
     QueryDef(
       "dedup_containment_pairs",
-      (s, d) => {
-        val dt = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"), col("source"),
-            explode(array_distinct(split(col("text"), " "))).as("tok"))
-        val sz = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val inter = dt.alias("a")
-          .join(dt.alias("b"),
-            col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-              col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .agg(count(lit(1)).as("i"))
-        inter
-          .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-          .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      (s, d) =>
+        // Same df-guarded inverted-index pair generation as
+        // dedup_jaccard_pairs (via [[tokenPairs]]); only the similarity
+        // definition differs — containment i/min(na,nb) instead of Jaccard.
+        tokenPairs(Tables.documents(s, d))
           .withColumn("cont_raw", col("i").cast("double") / least(col("na"), col("nb")))
           .filter(col("cont_raw") >= 0.8d)
           .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"),
             Exact.roundN(col("cont_raw"), 4).as("containment"))
-          .orderBy("doc_id_a", "doc_id_b")
-      },
-      Some(s"""WITH dt AS (
+          .orderBy("doc_id_a", "doc_id_b"),
+      Some(s"""WITH dt0 AS (
               |  SELECT DISTINCT doc_id, lang, source, unnest(string_split(text, ' ')) AS tok
               |  FROM documents),
+              |dt AS (SELECT * FROM dt0 ${dfGuardSql("tok")}),
               |sz AS (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY doc_id),
               |inter AS (
               |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i

@@ -1,0 +1,97 @@
+package graft
+
+import graft.llm.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** The document-frequency guard shared by the inverted-index dedup family
+  * (VERDICT r03 #4, ADVICE r04): dropping (lang, source, key) posting lists
+  * longer than the bound BEFORE the pair join bounds the worst-case k² blow-
+  * up. Two properties make the guard safe to declare as part of the query
+  * semantics:
+  *  1. no-op whenever the bound ≥ the corpus' max within-block df (so the
+  *     fixture oracles are unchanged by wiring it in), and
+  *  2. when it DOES engage, per-doc sizes are POST-guard — the Jaccard
+  *     denominator counts surviving tokens only, exactly as the oracles'
+  *     sz-over-guarded-dt CTE computes it.
+  */
+class DedupGuardSpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "lang", "source", "text")
+  }
+
+  test("fixture max within-block df is far below DfBound (guard is a no-op there)") {
+    val maxDf = Tables.documents(spark, sf0001)
+      .select(col("lang"), col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .groupBy("lang", "source", "tok").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxDf < Dedup.DfBound,
+      s"fixture max df $maxDf reached the bound ${Dedup.DfBound}; " +
+        "the no-op claim in Dedup's scaladoc no longer holds")
+  }
+
+  test("guarded pair set equals unguarded on the fixture corpus") {
+    val d = Tables.documents(spark, sf0001)
+    val guarded = Dedup.tokenPairs(d)
+    val unguarded = Dedup.tokenPairs(d, bound = Long.MaxValue)
+    assert(guarded.exceptAll(unguarded).isEmpty &&
+      unguarded.exceptAll(guarded).isEmpty,
+      "DfBound changed the fixture pair set — oracles would now disagree")
+  }
+
+  test("pair set is invariant for any bound >= corpus max df (random corpora)") {
+    // Distinct tokens per doc mean within-block df <= #docs, so bound =
+    // #docs always dominates the max df; ScalaCheck drives the corpora.
+    val corpusGen = Gen.listOfN(6,
+      Gen.zip(Gen.oneOf("en", "fr"), Gen.listOfN(5, Gen.oneOf("a", "b", "c", "d", "e"))))
+    (0 until 5).foreach { i =>
+      val rows = corpusGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+        .zipWithIndex.map { case ((lang, toks), id) =>
+          (id.toLong, lang, "web", toks.mkString(" "))
+        }
+      val df = docs(rows)
+      val bounded = Dedup.tokenPairs(df, bound = rows.size.toLong).collect().toSet
+      val unbounded = Dedup.tokenPairs(df, bound = Long.MaxValue).collect().toSet
+      assert(bounded === unbounded, s"seed $i: bound=#docs changed the pair set")
+    }
+  }
+
+  test("guard engages on a hot token and sizes are post-guard") {
+    // "hot" has df 3 > bound 2 inside the single (en, web) block and is
+    // dropped; alpha/beta (df 2) and gamma (df 1) survive. Post-guard doc 1
+    // and 2 are {alpha, beta}, doc 3 is {gamma}:
+    //  - the only surviving pair is (1,2) with i=2 and na=nb=2 — the sizes
+    //    prove the denominator counts SURVIVING tokens, not original ones
+    //    (pre-guard sizes would read na=nb=3 and sim 2/4);
+    //  - pairs (1,3)/(2,3) existed only through "hot" and must vanish.
+    val df = docs(Seq(
+      (1L, "en", "web", "hot alpha beta"),
+      (2L, "en", "web", "hot alpha beta"),
+      (3L, "en", "web", "hot gamma")))
+    val guarded = Dedup.tokenPairs(df, bound = 2L)
+      .select("da", "db", "i", "na", "nb", "sim_raw").collect()
+    assert(guarded.length === 1, s"expected exactly one surviving pair, got ${guarded.toSeq}")
+    val r = guarded.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getDouble(5)) === ((1L, 2L, 2L, 2L, 2L, 1.0d)))
+    val unguarded = Dedup.tokenPairs(df, bound = 3L).collect()
+    assert(unguarded.length === 3,
+      "bound=3 must keep the hot token and produce all three pairs")
+  }
+
+  test("guard drops only lists strictly above the bound (boundary inclusive)") {
+    // df == bound survives (<=), df == bound+1 is dropped — pins the
+    // comparison direction so the oracle QUALIFY (<=) can't drift.
+    val df = docs(Seq(
+      (1L, "en", "web", "x common"),
+      (2L, "en", "web", "y common"),
+      (3L, "en", "web", "z common")))
+    // "common" df=3: bound=3 keeps it (pairs exist), bound=2 drops it (none)
+    assert(Dedup.tokenPairs(df, bound = 3L).count() === 3L)
+    assert(Dedup.tokenPairs(df, bound = 2L).count() === 0L)
+  }
+}
