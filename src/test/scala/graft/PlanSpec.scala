@@ -110,6 +110,17 @@ class PlanSpec extends SparkSpec {
     assert(!seg.contains("Exchange"), s"shuffle between the island windows:\n$p")
   }
 
+  test("join_star_q7 pushes the nation-name filter into both dimension scans") {
+    // VERDICT r03 #3: the two-nation predicate must prune BOTH nation dims
+    // at the scan, so the broadcast builds carry 2 rows each instead of the
+    // whole dimension and the OR residual filters an already-tiny join.
+    val p = plan("join_star_q7")
+    assert("In\\(n_name".r.findAllIn(p).size >= 2,
+      s"nation-name filter not pushed into both dimension scans:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"nation dims not broadcast:\n$p")
+  }
+
   test("join_scd2_lookup broadcasts the versioned dimension (no dim-side shuffle)") {
     val p = Registry.queries("join_scd2_lookup")(spark, sf0001)
       .queryExecution.executedPlan.toString
@@ -132,7 +143,6 @@ class PlanSpec extends SparkSpec {
     "sim_ann_recall",      // reuses sim_cosine_topk scan + ivf assignment
     "sim_cosine_sql",      // crossJoin with 1-row query-vector subselect
     "text_vocab_growth",   // crossJoin with broadcast 6-row checkpoint list
-    "ts_cumulative_users", // crossJoin with broadcast distinct-days spine
     "text_source_divergence", // crossJoin with 1-row corpus-total aggregate
     "join_value_concentration", // crossJoin with 1-row totals aggregate
     "scan_oversample_balance", // crossJoin with 1-row max-count aggregate
