@@ -5,24 +5,31 @@ import java.util.concurrent.Executors
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 
-/** Benchmark main. Round-3 harness changes (both documented in BASELINE.md):
+/** Benchmark main. Two passes over the full query set (VERDICT r03 #1/#5):
   *
-  *  1. Queries are submitted CONCURRENTLY (bounded pool, FAIR scheduler).
-  *     204 queries averaging ~0.3 s each leave local[32] ~90% idle when run
+  *  1. CONCURRENT (bounded pool, FAIR scheduler, deterministic name-hash
+  *     submission order to interleave heavy families). 204 queries
+  *     averaging ~0.3 s each leave local[32] ~90% idle when run
   *     one-at-a-time; batch wall-clock with concurrent submission is the
   *     honest throughput number for an engine whose unit of work is "run
-  *     this query set". `value` = wall seconds for the whole set;
-  *     `seq_sum` = sum of per-query times (the round-1/2 metric, upper
-  *     bound of the old sequential total since concurrent per-query times
-  *     include scheduler contention). SPARK_GRAFT_BENCH_THREADS=1 restores
-  *     the sequential harness exactly.
+  *     this query set". `value`/`wall` = wall seconds for the whole set.
+  *  2. SEQUENTIAL (one at a time). `seq_wall` = its wall seconds — the
+  *     metric directly comparable to the round-1/2 baseline series
+  *     (BASELINE.md's 44.6 s / 95 queries gate number), and its per-query
+  *     times are solo costs, free of scheduler contention — so the
+  *     12-slowest list on the stdout line comes from THIS pass (contended
+  *     times like dedup_components 11 s-vs-5 s-solo would mislead any
+  *     plan-quality reader).
   *
-  *  2. stdout gets ONE COMPACT JSON line. Rounds 1-2 printed all ~200
-  *     per-query entries on the line; the driver keeps only a bounded tail
-  *     of output, the line got cut mid-JSON, and BENCH_r0{1,2}.json ended
-  *     up `parsed: null`. The line now carries totals plus the 12 slowest
-  *     queries (`"queries"`), and the full per-query map goes to
-  *     BENCH_DETAILS.json in the working directory.
+  *  Both passes print one compact stdout JSON line's worth of data: rounds
+  *  1-2 printed all ~200 per-query entries and the driver's bounded output
+  *  tail cut the line mid-JSON (BENCH_r0{1,2}.json ended up parsed:null).
+  *  Totals + 12 slowest (sequential) queries go on the line; both full
+  *  per-query maps go to BENCH_DETAILS.json in the working directory.
+  *
+  *  SPARK_GRAFT_BENCH_THREADS=1 makes pass 1 itself sequential (pass 2 is
+  *  then skipped); SPARK_GRAFT_BENCH_SEQ=0 skips pass 2 explicitly (then
+  *  seq_wall/seq-derived fields fall back to pass-1 data).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,47 +48,55 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("scan_full").foreach(fn => fn(spark, sfDir).count())
 
-    val pool = Executors.newFixedThreadPool(threads)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val t0 = System.nanoTime()
-    // Submit in name-hash order: alphabetical order clusters the heavy
-    // families (dedup_*, agg_*) into the same pool window, which both
-    // hurts makespan and makes their contended per-query times useless.
-    // Hashing interleaves families deterministically (no Random allowed).
-    val futures = SparkEntry.queries.toSeq
-      .sortBy { case (name, _) => (scala.util.hashing.MurmurHash3.stringHash(name), name) }
-      .map { case (name, fn) =>
-      Future {
-        val s0 = System.nanoTime()
-        // A throwing query must not silently count as benched (ADVICE r01):
-        // record -1 and surface it in the JSON `failed` list.
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            false
+    def runPass(nThreads: Int, tag: String): (Double, Seq[(String, Double, Boolean)]) = {
+      val pool = Executors.newFixedThreadPool(nThreads)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val t0 = System.nanoTime()
+      // Submit in name-hash order: alphabetical order clusters the heavy
+      // families (dedup_*, agg_*) into the same pool window, which both
+      // hurts makespan and makes their contended per-query times useless.
+      // Hashing interleaves families deterministically (no Random allowed).
+      val futures = SparkEntry.queries.toSeq
+        .sortBy { case (name, _) => (scala.util.hashing.MurmurHash3.stringHash(name), name) }
+        .map { case (name, fn) =>
+          Future {
+            val s0 = System.nanoTime()
+            // A throwing query must not silently count as benched (ADVICE
+            // r01): record -1 and surface it in the JSON `failed` list.
+            val ok = try { fn(spark, sfDir).count(); true } catch {
+              case e: Throwable =>
+                System.err.println(s"[$tag] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+                false
+            }
+            val sec = if (ok) (System.nanoTime() - s0) / 1e9 else -1.0
+            System.err.println(f"[$tag] $name%-28s $sec%8.2fs")
+            (name, sec, ok)
+          }
         }
-        val sec = if (ok) (System.nanoTime() - s0) / 1e9 else -1.0
-        System.err.println(f"[bench] $name%-28s $sec%8.2fs")
-        (name, sec, ok)
-      }
+      val results = Await.result(Future.sequence(futures), Duration.Inf)
+      val wall = (System.nanoTime() - t0) / 1e9
+      pool.shutdown()
+      (wall, results)
     }
-    val results = Await.result(Future.sequence(futures), Duration.Inf)
-    val wall = (System.nanoTime() - t0) / 1e9
-    pool.shutdown()
+
+    val (wall, conc) = runPass(threads, "bench")
+    val doSeq = threads > 1 && sys.env.getOrElse("SPARK_GRAFT_BENCH_SEQ", "1") != "0"
+    val (seqWall, seq) = if (doSeq) runPass(1, "bench-seq") else (wall, conc)
 
     def entry(kv: (String, Double)): String = f""""${kv._1}":${kv._2}%.3f"""
-    val perQuery = results.map { case (k, v, _) => (k, v) }
-    val seqSum = results.collect { case (_, v, true) => v }.sum
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val slowest = perQuery.sortBy(-_._2).take(12).map(entry).mkString("{", ",", "}")
+    def qmap(rs: Seq[(String, Double, Boolean)]): String =
+      rs.map { case (k, v, _) => (k, v) }.sortBy(_._1).map(entry).mkString("{", ",", "}")
+    val failed = (conc ++ seq).collect { case (k, _, false) => "\"" + k + "\"" }
+      .distinct.sorted.mkString("[", ",", "]")
+    val slowest = seq.collect { case (k, v, true) => (k, v) }
+      .sortBy(-_._2).take(12).map(entry).mkString("{", ",", "}")
     Files.writeString(
       Paths.get("BENCH_DETAILS.json"),
-      s"""{"wall":$wall,"seq_sum":$seqSum,"threads":$threads,"cpus":$cpus,"sf":"$sfDir",""" +
-        s""""failed":$failed,"queries":${perQuery.sortBy(_._1).map(entry).mkString("{", ",", "}")}}""" + "\n")
+      f"""{"wall":$wall%.3f,"seq_wall":$seqWall%.3f,"threads":$threads,"cpus":$cpus,"sf":"$sfDir",""" +
+        s""""failed":$failed,"queries":${qmap(conc)},"seq_queries":${qmap(seq)}}""" + "\n")
     println(
-      f"""{"metric":"total","value":$wall%.2f,"unit":"sec","n":${results.size},""" +
-        f""""threads":$threads,"seq_sum":$seqSum%.2f,"queries":$slowest,""" +
+      f"""{"metric":"total","value":$wall%.2f,"unit":"sec","n":${conc.size},""" +
+        f""""threads":$threads,"seq_wall":$seqWall%.2f,"queries":$slowest,""" +
         s""""failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
