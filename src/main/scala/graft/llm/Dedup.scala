@@ -74,12 +74,23 @@ object Dedup {
     * (their `sz` CTE reads the guarded `dt`); any future oracle change must
     * preserve it or hashes diverge whenever the bound engages.
     * DedupGuardSpec asserts it on a hot-token fixture.
+    *
+    * The guarded postings are localCheckpoint'd: the subtree has FOUR
+    * consumers (join a-side, b-side, and sz twice), Spark performs no
+    * cross-subtree CSE, and ReusedExchange does not fire here (verified:
+    * 4 scans + 4 window shuffles in the executed plan without the
+    * checkpoint) — at 100 TB that is three redundant shuffles of the full
+    * exploded postings table. Materializing once keeps it to one shuffle;
+    * LogicalRDD preserves the window's (lang, source, tok) partitioning so
+    * the pair join consumes it without re-shuffling. Same pattern as
+    * [[connectedComponents]]. Measured at sf0.1: cold 5.4→2.1 s, warm
+    * 1.8→1.3 s.
     */
   def tokenPairs(docs: DataFrame, bound: Long = DfBound): DataFrame = {
     val dt = dfGuard(
       docs.select(col("doc_id"), col("lang"), col("source"),
         explode(array_distinct(split(col("text"), " "))).as("tok")),
-      Seq("lang", "source", "tok"), bound)
+      Seq("lang", "source", "tok"), bound).localCheckpoint()
     val sz = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     dt.alias("a")
       .join(dt.alias("b"),
@@ -367,11 +378,13 @@ object Dedup {
               sgl => xxhash64(sgl))).as("sh"))
         // df guard + POST-GUARD sizes (same semantics as tokenPairs: the
         // Jaccard denominator counts surviving shingles only; the oracle's
-        // sz CTE reads the guarded sh the same way).
+        // sz CTE reads the guarded sh the same way). localCheckpoint for
+        // the same reason as tokenPairs: three consumers (a, b, sizes), no
+        // cross-subtree CSE — one postings shuffle instead of three.
         val ex = dfGuard(
           doc.select(col("doc_id"), col("lang"), col("source"),
             explode(col("sh")).as("h")),
-          Seq("lang", "source", "h"), DfBound)
+          Seq("lang", "source", "h"), DfBound).localCheckpoint()
         val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val a = ex.select(col("doc_id").as("doc_id_a"), col("lang"), col("source"), col("h"))
         val b = ex.select(col("doc_id").as("doc_id_b"), col("lang").as("lang_b"),
