@@ -1,7 +1,6 @@
 package graft.llm
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2 B.10 — sketch operators with DETERMINISTIC hash families, so
@@ -48,17 +47,22 @@ object Sketches {
           }: _*)).as(Seq("row_i", "bucket")))
           .groupBy(col("row_i"), col("bucket"))
           .agg(count(lit(1)).as("cell"))
-        val wTop = Window.orderBy(col("true_cnt").desc, col("term"))
+        // Top-10 via orderBy+limit (TakeOrderedAndProject: per-partition
+        // top-k then a k-row merge on the driver), NOT a global row_number
+        // window — an unpartitioned WindowExec funnels the ENTIRE term
+        // vocabulary through one partition, which is the classic 100 TB
+        // chokepoint. The (true_cnt DESC, term) sort key is total, so the
+        // selected set is deterministic and matches the oracle's rk <= 10.
         val top = toks.groupBy(col("term"), col("t"))
           .agg(count(lit(1)).as("true_cnt"))
-          .withColumn("rk", row_number().over(wTop))
-          .filter(col("rk") <= 10)
-        val probes = top.select(col("term"), col("true_cnt"), col("rk"),
+          .orderBy(col("true_cnt").desc, col("term"))
+          .limit(10)
+        val probes = top.select(col("term"), col("true_cnt"),
           posexplode(array((0 until Rows).map { i =>
             (lit(aI(i)) * col("t") + lit(bI(i))) % Width
           }: _*)).as(Seq("row_i", "bucket")))
         probes.join(cells, Seq("row_i", "bucket"))
-          .groupBy(col("term"), col("true_cnt"), col("rk"))
+          .groupBy(col("term"), col("true_cnt"))
           .agg(min(col("cell")).as("est_cnt"))
           .select("term", "true_cnt", "est_cnt")
           .orderBy(col("true_cnt").desc, col("term"))

@@ -146,14 +146,49 @@ object Windows {
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              |ORDER BY p_brand, p_partkey""".stripMargin)),
 
+    // Global NTILE(4) over the whole table — computed WITHOUT the naive
+    // unpartitioned window, which funnels every row through one partition
+    // (the classic global-ranking chokepoint at 100 TB). Instead:
+    //   1. order-aligned coarse buckets from the value range (monotone
+    //      value→bucket map, so bucket order == sort order and equal keys
+    //      share a bucket; 1-row min/max agg, broadcast);
+    //   2. row_number WITHIN each bucket (parallel window, state bounded
+    //      by bucket population);
+    //   3. exclusive per-bucket offsets via a window over ≤64 aggregated
+    //      rows (bounded regardless of table size);
+    //   4. exact 0-based global position p = offset + rn − 1, then the
+    //      SQL-standard NTILE position formula: q=n div k, r=n mod k, the
+    //      first r tiles get q+1 rows. Bit-identical to the oracle's
+    //      NTILE(4) for any input; a fully skewed column degenerates to
+    //      one bucket — i.e. to the naive plan — never to a wrong answer.
     QueryDef(
       "win_ntile",
       (s, d) => {
-        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-        Tables.customer(s, d)
-          .select(
-            col("c_custkey"), col("c_acctbal"),
-            ntile(4).over(w).cast("long").as("quartile"))
+        val buckets = 64
+        val c = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+        val stats = c.agg(min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+        val bucketed = c.crossJoin(broadcast(stats))
+          .withColumn("bkt",
+            when(col("hi") === col("lo"), lit(0)).otherwise(
+              least(lit(buckets - 1),
+                floor((col("c_acctbal") - col("lo")) * buckets /
+                  (col("hi") - col("lo"))).cast("int"))))
+        val wIn = Window.partitionBy(col("bkt"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        val ranked = bucketed.withColumn("rn", row_number().over(wIn))
+        val wOff = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wAll = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val offs = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+          .withColumn("n", sum(col("cnt")).over(wAll))
+        ranked.join(broadcast(offs.select("bkt", "off", "n")), "bkt")
+          .withColumn("p", col("off") + col("rn") - 1)
+          .withColumn("quartile", expr(
+            "CAST(IF(p < (n % 4) * (n DIV 4 + 1), p DIV (n DIV 4 + 1), " +
+              "(p - (n % 4) * (n DIV 4 + 1)) DIV (n DIV 4) + (n % 4)) + 1 AS BIGINT)"))
+          .select(col("c_custkey"), col("c_acctbal"), col("quartile"))
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_acctbal,

@@ -150,6 +150,7 @@ class PlanSpec extends SparkSpec {
     "agg_chi_square",      // crossJoin with 1-row grand-total aggregate
     "behavior_lift",       // crossJoin with 1-row basket-count aggregate
     "ts_reindex_spine",    // spine from 1-row min/max agg, broadcast left join
+    "win_ntile",           // crossJoin with 1-row min/max bucket-range agg
     "sub_recursive_cte")   // 1-row bounds × 101-row recursive counter
 
   test("no query plans an unintentional cartesian product") {
