@@ -154,6 +154,22 @@ class LlmPropsSpec extends SparkSpec {
     assert(got.size === 20 + 3 + 2 + 5)
   }
 
+  test("connectedComponents pointer doubling bounds rounds at O(log n) on a path") {
+    import spark.implicits._
+    // A 64-node path (diameter 63) is the adversarial topology for label
+    // propagation: plain neighbor-min needs ~63 shuffle rounds to carry 0
+    // to the far end. The doubling shortcut (label ← label-of-label) must
+    // finish in O(log₂ 64) ≈ 6 plus small constants — pin ≤ 9 so a future
+    // edit that silently drops the shortcut (and reverts to O(diameter))
+    // fails loudly, while correctness stays exact: every node labels 0.
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("da", "db")
+    val edges = pairs.union(pairs.select(col("db").as("da"), col("da").as("db")))
+    val (labels, rounds) = graft.llm.Dedup.connectedComponentsWithRounds(edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 63L).foreach(i => assert(got(i) === 0L, s"path node $i"))
+    assert(rounds <= 9, s"64-node path took $rounds rounds — doubling regressed to O(diameter)")
+  }
+
   test("chunking covers every token exactly: stride-4 windows of size 8 over n tokens") {
     // Each chunk starts at 1,5,9,… ≤ n and holds min(8, n−start+1) tokens;
     // summing chunk sizes must equal Σ over starts — verified against the
