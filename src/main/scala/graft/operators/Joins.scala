@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB): dimension tables (region/nation, the derived band
   * table) are broadcast so the big side never shuffles; the fact⋈fact joins
   * (orders⋈customer, events⋈events) shuffle on their equi-keys, which is the
-  * partitioning a real cluster would co-locate via bucketing. The as-of join
-  * is an equi-join on `user_id` plus a per-key window — no cross product.
+  * partitioning a real cluster would co-locate via bucketing. The as-of
+  * family is a bucketed merge: per-(user, epoch-day) running-best windows
+  * plus a per-bucket carry joined on (user_id, bkt) — per-user work is
+  * O(k log k) even for a hot key, never purchases × signups (VERDICT r05 #3).
   */
 object Joins {
 
@@ -142,26 +144,52 @@ object Joins {
              |GROUP BY band ORDER BY band""".stripMargin)),
 
     // As-of join: most recent signup strictly before each purchase of the
-    // same user. Spark has no native as-of; composed as equi-join on user +
-    // per-purchase row_number window (SURVEY B.3). Timestamps compared at
-    // second granularity on both engines (D4: parquet is ns, Spark reads µs).
+    // same user. Spark has no native as-of; the round-5 formulation was an
+    // equi-join on user + per-purchase row_number, which materializes
+    // purchases × signups per user — a hot user (bot account) had no bound
+    // (VERDICT r05 #3). Rewritten as the bucketed merge shape:
+    //  1. union both event roles, bucket by epoch DAY, and take a
+    //     per-(user, bucket) running MAX over signup structs — each
+    //     purchase sees the best same-bucket signup via ONE sort, so a hot
+    //     key costs O(k log k), never O(p·s) pairs;
+    //  2. aggregate each bucket's best signup (one row per (user, bucket),
+    //     bounded by active days) and window a strictly-earlier-bucket
+    //     running best over that tiny series;
+    //  3. equi-join purchases back on (user_id, bkt) — the time bucket IS
+    //     part of the join key (PlanSpec pins it) — and take the greatest
+    //     of the two candidates.
+    // Strict '<' falls out of the sort order: at equal truncated-second ts,
+    // purchases sort BEFORE signups, so a same-second signup is never in a
+    // purchase's preceding frame. Tie-break (latest ts, then largest id) is
+    // the struct's lexicographic max. Timestamps compared at second
+    // granularity on both engines (D4: parquet is ns, Spark reads µs).
     QueryDef(
       "join_asof",
       (s, d) => {
-        val e = Tables.events(s, d)
-          .withColumn("tss", date_trunc("second", col("ts")))
-        val p = e.filter(col("event_type") === "purchase")
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "signup"))
+          .select(col("event_id"), col("user_id"),
+            date_trunc("second", col("ts")).as("tss"),
+            (col("event_type") === "signup").as("is_signup"))
+          .withColumn("bkt", floor(unix_timestamp(col("tss")) / 86400L))
+        val sigStruct = when(col("is_signup"),
+          struct(col("tss").as("bts"), col("event_id").as("bid")))
+        val wIn = Window.partitionBy(col("user_id"), col("bkt"))
+          .orderBy(col("tss"), col("is_signup"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val withLocal = ev.withColumn("local_best", max(sigStruct).over(wIn))
+        val wCarry = Window.partitionBy(col("cu")).orderBy(col("cb"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = ev.groupBy(col("user_id").as("cu"), col("bkt").as("cb"))
+          .agg(max(sigStruct).as("bucket_best"))
+          .withColumn("prev_best", max(col("bucket_best")).over(wCarry))
+          .select(col("cu"), col("cb"), col("prev_best"))
+        withLocal.filter(!col("is_signup"))
+          .join(carry, col("user_id") === col("cu") && col("bkt") === col("cb"))
+          .withColumn("best", greatest(col("local_best"), col("prev_best")))
+          .filter(col("best").isNotNull)
           .select(col("event_id").as("purchase_id"), col("user_id"),
-            col("tss").as("purchase_ts"))
-        val sg = e.filter(col("event_type") === "signup")
-          .select(col("event_id").as("signup_id"), col("user_id").as("su"),
-            col("tss").as("signup_ts"))
-        val w = Window.partitionBy(col("purchase_id"))
-          .orderBy(col("signup_ts").desc, col("signup_id").desc)
-        p.join(sg, p("user_id") === sg("su") && col("signup_ts") < col("purchase_ts"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select("purchase_id", "user_id", "purchase_ts", "signup_id")
+            col("tss").as("purchase_ts"), col("best.bid").as("signup_id"))
           .orderBy("purchase_id")
       },
       Some("""SELECT purchase_id, user_id, purchase_ts, signup_id FROM (
@@ -278,26 +306,42 @@ object Joins {
              |ON l_quantity BETWEEN lo AND hi
              |GROUP BY band ORDER BY band""".stripMargin)),
 
-    // Forward as-of: earliest signup at-or-after each purchase (the mirror
-    // of join_asof's backward look). Same scale shape: equi-join on user +
-    // per-purchase row_number — never a cross product.
+    // Forward as-of: earliest signup at-or-after each purchase — the exact
+    // mirror of join_asof's bucketed merge shape (see its note): running
+    // MIN over the FOLLOWING frame within (user, bucket), per-bucket best
+    // carried back from strictly-later buckets, equi-join on (user_id,
+    // bkt). Inclusive '>=' falls out of the same sort order (purchases
+    // before signups at equal ts ⇒ a same-second signup IS in the
+    // purchase's following frame); tie-break (earliest ts, smallest id) is
+    // the struct's lexicographic min. Hot-user cost O(k log k), never
+    // purchases × signups.
     QueryDef(
       "join_asof_forward",
       (s, d) => {
-        val e = Tables.events(s, d)
-          .withColumn("tss", date_trunc("second", col("ts")))
-        val p = e.filter(col("event_type") === "purchase")
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "signup"))
+          .select(col("event_id"), col("user_id"),
+            date_trunc("second", col("ts")).as("tss"),
+            (col("event_type") === "signup").as("is_signup"))
+          .withColumn("bkt", floor(unix_timestamp(col("tss")) / 86400L))
+        val sigStruct = when(col("is_signup"),
+          struct(col("tss").as("bts"), col("event_id").as("bid")))
+        val wIn = Window.partitionBy(col("user_id"), col("bkt"))
+          .orderBy(col("tss"), col("is_signup"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val withLocal = ev.withColumn("local_best", min(sigStruct).over(wIn))
+        val wCarry = Window.partitionBy(col("cu")).orderBy(col("cb"))
+          .rowsBetween(1, Window.unboundedFollowing)
+        val carry = ev.groupBy(col("user_id").as("cu"), col("bkt").as("cb"))
+          .agg(min(sigStruct).as("bucket_best"))
+          .withColumn("next_best", min(col("bucket_best")).over(wCarry))
+          .select(col("cu"), col("cb"), col("next_best"))
+        withLocal.filter(!col("is_signup"))
+          .join(carry, col("user_id") === col("cu") && col("bkt") === col("cb"))
+          .withColumn("best", least(col("local_best"), col("next_best")))
+          .filter(col("best").isNotNull)
           .select(col("event_id").as("purchase_id"), col("user_id"),
-            col("tss").as("purchase_ts"))
-        val sg = e.filter(col("event_type") === "signup")
-          .select(col("event_id").as("signup_id"), col("user_id").as("su"),
-            col("tss").as("signup_ts"))
-        val w = Window.partitionBy(col("purchase_id"))
-          .orderBy(col("signup_ts").asc, col("signup_id").asc)
-        p.join(sg, p("user_id") === sg("su") && col("signup_ts") >= col("purchase_ts"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select("purchase_id", "user_id", "purchase_ts", "signup_id")
+            col("tss").as("purchase_ts"), col("best.bid").as("signup_id"))
           .orderBy("purchase_id")
       },
       Some("""SELECT purchase_id, user_id, purchase_ts, signup_id FROM (
@@ -314,25 +358,59 @@ object Joins {
 
     // Nearest as-of: the signup closest in time to each purchase, either
     // direction, measured in whole seconds on the epoch (D4-truncated).
-    // Ties → earlier signup, then smaller signup_id.
+    // Ties → earlier signup, then smaller signup_id. Composed as BOTH
+    // bucketed merge directions over one event union (see join_asof's
+    // note): a backward candidate (latest signup at-or-before, ties to the
+    // SMALLEST id via the (sec, −id) struct max) and a forward candidate
+    // (earliest strictly-after, struct min), each with its within-bucket
+    // running best + cross-bucket carry, joined back on (user_id, bkt);
+    // the final pick minimizes (diff, signup_sec, signup_id) — exactly the
+    // declared ordering. A same-second signup reaches the purchase through
+    // the backward side only (signups sort first here, for '≤'
+    // inclusivity); with diff 0 it beats any forward candidate, so the
+    // asymmetry never changes the answer. Hot-user cost O(k log k).
     QueryDef(
       "join_asof_nearest",
       (s, d) => {
-        val e = Tables.events(s, d)
-          .withColumn("sec", unix_timestamp(date_trunc("second", col("ts"))))
-        val p = e.filter(col("event_type") === "purchase")
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "signup"))
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(date_trunc("second", col("ts"))).as("sec"),
+            (col("event_type") === "signup").as("is_signup"))
+          .withColumn("bkt", floor(col("sec") / 86400L))
+        val bwStruct = when(col("is_signup"),
+          struct(col("sec").as("ssec"), (-col("event_id")).as("negid")))
+        val fwStruct = when(col("is_signup"),
+          struct(col("sec").as("ssec"), col("event_id").as("sid")))
+        val wb = Window.partitionBy(col("user_id"), col("bkt"))
+          .orderBy(col("sec"), when(col("is_signup"), 0).otherwise(1))
+        val withLocal = ev
+          .withColumn("local_bw", max(bwStruct)
+            .over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("local_fw", min(fwStruct)
+            .over(wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        val wCarry = Window.partitionBy(col("cu")).orderBy(col("cb"))
+        val carry = ev.groupBy(col("user_id").as("cu"), col("bkt").as("cb"))
+          .agg(max(bwStruct).as("bb"), min(fwStruct).as("bf"))
+          .withColumn("prev_bw", max(col("bb"))
+            .over(wCarry.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("next_fw", min(col("bf"))
+            .over(wCarry.rowsBetween(1, Window.unboundedFollowing)))
+          .select(col("cu"), col("cb"), col("prev_bw"), col("next_fw"))
+        withLocal.filter(!col("is_signup"))
+          .join(carry, col("user_id") === col("cu") && col("bkt") === col("cb"))
+          .withColumn("bw", greatest(col("local_bw"), col("prev_bw")))
+          .withColumn("fw", least(col("local_fw"), col("next_fw")))
+          .withColumn("cand_b", when(col("bw").isNotNull, struct(
+            (col("sec") - col("bw.ssec")).as("diff"),
+            col("bw.ssec").as("ssec"), (-col("bw.negid")).as("sid"))))
+          .withColumn("cand_f", when(col("fw").isNotNull, struct(
+            (col("fw.ssec") - col("sec")).as("diff"),
+            col("fw.ssec").as("ssec"), col("fw.sid").as("sid"))))
+          .withColumn("pick", least(col("cand_b"), col("cand_f")))
+          .filter(col("pick").isNotNull)
           .select(col("event_id").as("purchase_id"), col("user_id"),
-            col("sec").as("p_sec"))
-        val sg = e.filter(col("event_type") === "signup")
-          .select(col("event_id").as("signup_id"), col("user_id").as("su"),
-            col("sec").as("s_sec"))
-        val w = Window.partitionBy(col("purchase_id"))
-          .orderBy(col("diff_sec").asc, col("s_sec").asc, col("signup_id").asc)
-        p.join(sg, p("user_id") === sg("su"))
-          .withColumn("diff_sec", abs(col("p_sec") - col("s_sec")))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select("purchase_id", "user_id", "signup_id", "diff_sec")
+            col("pick.sid").as("signup_id"), col("pick.diff").as("diff_sec"))
           .orderBy("purchase_id")
       },
       Some("""SELECT purchase_id, user_id, signup_id, diff_sec FROM (

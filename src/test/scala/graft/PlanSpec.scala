@@ -121,6 +121,26 @@ class PlanSpec extends SparkSpec {
       s"nation dims not broadcast:\n$p")
   }
 
+  test("as-of family joins carry the time bucket in the join key") {
+    // VERDICT r05 #3: the as-of rewrite bounds per-user work by joining
+    // purchases to the carry table on (user_id, bkt) — if the bucket ever
+    // drops out of the equi-join key, a hot user's whole history lands in
+    // one task again. Also pin that the user×signup pairs join (the old
+    // O(p·s) shape: a join keyed on user only, followed by a per-purchase
+    // row_number) stays gone: every join in these plans must key on bkt.
+    for (q <- Seq("join_asof", "join_asof_forward", "join_asof_nearest")) {
+      val p = plan(q)
+      val joinKeyLines = p.linesIterator
+        .filter(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")
+          || l.contains("BroadcastHashJoin")).toSeq
+      assert(joinKeyLines.nonEmpty, s"$q: no equi-join found:\n$p")
+      joinKeyLines.foreach { l =>
+        assert(l.contains("bkt"), s"$q: join without the time bucket in its key: $l\n$p")
+      }
+      assert(!p.contains("row_number"), s"$q: per-purchase row_number shape is back:\n$p")
+    }
+  }
+
   test("join_scd2_lookup broadcasts the versioned dimension (no dim-side shuffle)") {
     val p = Registry.queries("join_scd2_lookup")(spark, sf0001)
       .queryExecution.executedPlan.toString
