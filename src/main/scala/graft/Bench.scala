@@ -7,29 +7,34 @@ import scala.concurrent.duration.Duration
 
 /** Benchmark main. Two passes over the full query set (VERDICT r03 #1/#5):
   *
-  *  1. CONCURRENT (bounded pool, FAIR scheduler, deterministic name-hash
+  *  1. SEQUENTIAL (one at a time) — runs FIRST (ADVICE r05: when it ran
+  *     second, JIT/codegen-cache/page-cache warmth from the concurrent
+  *     pass flattered the gate number; first-pass conditions match the
+  *     round-1/2 baseline series, which was also a post-warmup cold
+  *     single pass). `seq_wall` = its wall seconds — the metric directly
+  *     comparable to BASELINE.md's 44.6 s / 95-query gate number — and
+  *     its per-query times are solo costs, free of scheduler contention,
+  *     so the 12-slowest list on the stdout line comes from THIS pass.
+  *  2. CONCURRENT (bounded pool, FAIR scheduler, deterministic name-hash
   *     submission order to interleave heavy families). 204 queries
   *     averaging ~0.3 s each leave local[32] ~90% idle when run
   *     one-at-a-time; batch wall-clock with concurrent submission is the
   *     honest throughput number for an engine whose unit of work is "run
-  *     this query set". `value`/`wall` = wall seconds for the whole set.
-  *  2. SEQUENTIAL (one at a time). `seq_wall` = its wall seconds — the
-  *     metric directly comparable to the round-1/2 baseline series
-  *     (BASELINE.md's 44.6 s / 95 queries gate number), and its per-query
-  *     times are solo costs, free of scheduler contention — so the
-  *     12-slowest list on the stdout line comes from THIS pass (contended
-  *     times like dedup_components 11 s-vs-5 s-solo would mislead any
-  *     plan-quality reader).
+  *     this query set". `value`/`wall` = wall seconds for the whole set
+  *     (second-pass warm — compare concurrent-vs-concurrent only).
   *
   *  Both passes print one compact stdout JSON line's worth of data: rounds
   *  1-2 printed all ~200 per-query entries and the driver's bounded output
   *  tail cut the line mid-JSON (BENCH_r0{1,2}.json ended up parsed:null).
   *  Totals + 12 slowest (sequential) queries go on the line; both full
-  *  per-query maps go to BENCH_DETAILS.json in the working directory.
+  *  per-query maps go to BENCH_DETAILS.json in the working directory,
+  *  together with the box's 1-minute load average sampled before and
+  *  after (VERDICT r05 #5 — cross-round comparisons kept needing
+  *  loaded-vs-idle-box guesswork).
   *
-  *  SPARK_GRAFT_BENCH_THREADS=1 makes pass 1 itself sequential (pass 2 is
-  *  then skipped); SPARK_GRAFT_BENCH_SEQ=0 skips pass 2 explicitly (then
-  *  seq_wall/seq-derived fields fall back to pass-1 data).
+  *  SPARK_GRAFT_BENCH_THREADS=1 runs the sequential pass only;
+  *  SPARK_GRAFT_BENCH_SEQ=0 skips the sequential pass (then
+  *  seq_wall/seq-derived fields fall back to the concurrent pass data).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -79,9 +84,15 @@ object Bench {
       (wall, results)
     }
 
-    val (wall, conc) = runPass(threads, "bench")
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadBefore = loadAvg
     val doSeq = threads > 1 && sys.env.getOrElse("SPARK_GRAFT_BENCH_SEQ", "1") != "0"
-    val (seqWall, seq) = if (doSeq) runPass(1, "bench-seq") else (wall, conc)
+    val seqFirst = if (doSeq) Some(runPass(1, "bench-seq")) else None
+    val (wall, conc) = runPass(threads, "bench")
+    val (seqWall, seq) = seqFirst.getOrElse((wall, conc))
+    val loadAfter = loadAvg
 
     def entry(kv: (String, Double)): String = f""""${kv._1}":${kv._2}%.3f"""
     def qmap(rs: Seq[(String, Double, Boolean)]): String =
@@ -93,6 +104,7 @@ object Bench {
     Files.writeString(
       Paths.get("BENCH_DETAILS.json"),
       f"""{"wall":$wall%.3f,"seq_wall":$seqWall%.3f,"threads":$threads,"cpus":$cpus,"sf":"$sfDir",""" +
+        f""""loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,""" +
         s""""failed":$failed,"queries":${qmap(conc)},"seq_queries":${qmap(seq)}}""" + "\n")
     println(
       f"""{"metric":"total","value":$wall%.2f,"unit":"sec","n":${conc.size},""" +

@@ -111,6 +111,44 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("guard parity: df-guarded oracles and guarded Spark sides are the same set") {
+    // VERDICT r05 #4 / ADVICE r04: round 4 shipped the QUALIFY bound in the
+    // oracles while the Spark-side guard was dead code — a one-sided wiring
+    // that only a constructed hot-key input would catch. Make it
+    // structurally impossible: the set of queries whose ORACLE applies the
+    // within-block df bound must equal the set of Dedup QueryDefs whose
+    // SPARK body routes through tokenPairs()/dfGuard(), and every oracle's
+    // literal bound must equal Dedup.DfBound. Editing either side alone
+    // turns this red.
+    val qualifyRe = "(?i)QUALIFY\\s+COUNT\\(\\*\\)\\s+OVER\\s+\\(PARTITION\\s+BY\\s+lang,\\s*source".r
+    val oracleGuarded = Registry.all
+      .filter(_.oracle.exists(sql => qualifyRe.findFirstIn(sql).isDefined))
+      .map(_.name).toSet
+
+    val srcPath = java.nio.file.Paths.get("src/main/scala/graft/llm/Dedup.scala")
+    assert(java.nio.file.Files.exists(srcPath),
+      s"Dedup source not found at $srcPath (cwd ${sys.props("user.dir")}) — " +
+        "the guard-parity lint needs it")
+    val src = java.nio.file.Files.readString(srcPath)
+    val sparkGuarded = src.split("QueryDef\\(").drop(1).flatMap { block =>
+      "\"([a-z0-9_]+)\"".r.findFirstMatchIn(block).map(_.group(1))
+        .filter(_ => block.contains("tokenPairs(") || block.contains("dfGuard("))
+    }.toSet
+    assert(oracleGuarded === sparkGuarded,
+      s"df-guard wired on one side only — oracle-side: $oracleGuarded, " +
+        s"spark-side: $sparkGuarded")
+    assert(oracleGuarded.nonEmpty,
+      "guard-parity regexes matched nothing — the lint itself has rotted")
+
+    val boundRe = "(?i)PARTITION\\s+BY\\s+lang,\\s*source,\\s*\\w+\\)\\s*<=\\s*(\\d+)".r
+    for (q <- Registry.all if oracleGuarded(q.name); sql <- q.oracle) {
+      val bounds = boundRe.findAllMatchIn(sql).map(_.group(1).toLong).toSeq
+      assert(bounds.nonEmpty, s"${q.name}: QUALIFY present but no parsable bound")
+      bounds.foreach(b => assert(b === graft.llm.Dedup.DfBound,
+        s"${q.name}: oracle bound $b != Dedup.DfBound ${graft.llm.Dedup.DfBound}"))
+    }
+  }
+
   test("oracle lint: output column names are unique (case-insensitive)") {
     // The driver sorts columns BY NAME before hashing; duplicate names make
     // the selection ambiguous on both the Spark-parquet and DuckDB sides.
