@@ -19,8 +19,10 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  // join_anti legitimately returns 0 rows at sf0.001 (every customer has
-  // at least one order there); it is non-empty at sf0.01.
+  // join_anti legitimately returns 0 rows at every fixture scale (each
+  // customer has at least one order), so the driver's oracle compare holds
+  // vacuously there; its semantics are pinned non-vacuously by JoinAntiSpec
+  // over a synthetic fixture with order-less customers.
   private val mayBeEmptyAtSf0001 = Set("join_anti")
 
   for (q <- Registry.all) {
