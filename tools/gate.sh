@@ -2,6 +2,10 @@
 # Full local gate: compile, tests, correctness at sf0.001 + sf0.01 (the
 # driver's t1/t2 scales), and the sf0.1 bench. Run from the repo root.
 # Any failing step aborts. ~6 minutes total.
+#
+# GATE_SWEEP_SF01=1 additionally sweeps every oracle at sf0.1 (VERDICT r06
+# #2: stream_session's round-1 divergence only showed at sf0.1, so run the
+# full three-scale sweep at least once per round and commit the log).
 set -euo pipefail
 
 cd "$(dirname "$0")/.."
@@ -12,7 +16,9 @@ sbt -batch compile
 echo "=== tests ==="
 sbt -batch test
 
-for SF in 0.001 0.01; do
+SCALES="0.001 0.01"
+if [[ "${GATE_SWEEP_SF01:-0}" == "1" ]]; then SCALES="$SCALES 0.1"; fi
+for SF in $SCALES; do
   OUT="/tmp/gate_verify_sf${SF}"
   echo "=== verify + preflight sf${SF} ==="
   rm -rf "$OUT"
