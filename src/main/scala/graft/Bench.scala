@@ -35,6 +35,9 @@ import scala.concurrent.duration.Duration
   *  SPARK_GRAFT_BENCH_THREADS=1 runs the sequential pass only;
   *  SPARK_GRAFT_BENCH_SEQ=0 skips the sequential pass (then
   *  seq_wall/seq-derived fields fall back to the concurrent pass data).
+  *  SPARK_GRAFT_BENCH_ONLY=a,b,c restricts both passes to the named
+  *  queries — for focused before/after measurements of one family
+  *  (VERDICT r06 #3); never set when producing gate numbers.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -61,7 +64,10 @@ object Bench {
       // families (dedup_*, agg_*) into the same pool window, which both
       // hurts makespan and makes their contended per-query times useless.
       // Hashing interleaves families deterministically (no Random allowed).
+      val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       val futures = SparkEntry.queries.toSeq
+        .filter { case (name, _) => only.forall(_.contains(name)) }
         .sortBy { case (name, _) => (scala.util.hashing.MurmurHash3.stringHash(name), name) }
         .map { case (name, fn) =>
           Future {
