@@ -134,7 +134,8 @@ class RegistrySpec extends SparkSpec {
     val src = java.nio.file.Files.readString(srcPath)
     val sparkGuarded = src.split("QueryDef\\(").drop(1).flatMap { block =>
       "\"([a-z0-9_]+)\"".r.findFirstMatchIn(block).map(_.group(1))
-        .filter(_ => block.contains("tokenPairs(") || block.contains("dfGuard("))
+        .filter(_ => block.contains("tokenPairs(") || block.contains("tokenPairsFor(") ||
+          block.contains("dfGuard("))
     }.toSet
     assert(oracleGuarded === sparkGuarded,
       s"df-guard wired on one side only — oracle-side: $oracleGuarded, " +
