@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.Files
+import scala.math.BigDecimal.RoundingMode
+
+/** Differential fuzz for the stream-shaped window family (round-7
+  * verification depth, companion to AsofFuzzSpec). These are the queries
+  * whose Spark formulation is STRUCTURALLY different from their oracle —
+  * `session_window` vs a gaps-and-islands rewrite, `window()` assignment
+  * vs floor-epoch bucketing — so a semantic mismatch is not caught by
+  * construction, only by data that hits the seams. `stream_session` is
+  * also the one query that historically diverged only at sf0.1 (round 1):
+  * its boundary behavior (an event at exactly prev + 30 min MERGES) was
+  * pinned empirically off one lucky fixture gap. This spec constructs the
+  * seams directly and checks the registered bodies against brute-force
+  * references:
+  *
+  *   - events exactly ON 30-min window boundaries (and ±1 s around them),
+  *     with sub-second parts of exactly 0 and .999999999;
+  *   - same-user consecutive gaps of exactly 1800 s (the session
+  *     merge-vs-split boundary);
+  *   - cent-exact `value`s so the money-sum compare is bit-exact.
+  *
+  * Covered: stream_tumbling, stream_sliding, stream_session,
+  * stream_interval_join, stream_watermark_filter. (stream_dedup shares
+  * its row_number formulation with its oracle — nothing structural to
+  * cross-check.)
+  */
+class StreamWindowFuzzSpec extends SparkSpec {
+
+  /** (event_id, ts nanos, user_id, event_type, value) */
+  private type Ev = (Long, Long, Long, String, Double)
+
+  private def usOf(e: Ev): Long = e._2 / 1000L
+  private def secOf(e: Ev): Long = e._2 / 1000000000L
+
+  private def genEvents(seed: Long): Seq[Ev] = {
+    val rnd = new scala.util.Random(seed)
+    val base = 1704067200L // 2024-01-01 UTC — a multiple of 86400 (and 1800)
+    (0 until 600).map { i =>
+      val user = rnd.nextInt(6).toLong
+      val kind = Seq("purchase", "signup", "click", "view", "error")(rnd.nextInt(5))
+      val off: Long = rnd.nextInt(10) match {
+        case 0 | 1 | 2 => 900L * rnd.nextInt(96)   // quarter-hour grid: exact 1800-gaps + boundaries
+        case 3 | 4     => 1800L * rnd.nextInt(48) +
+                            (if (rnd.nextBoolean()) 1L else -1L) // ±1 s around a boundary
+        case _         => rnd.nextInt(86400).toLong
+      }
+      val nanos: Long = rnd.nextInt(4) match {
+        case 0 => 0L          // exactly on the second
+        case 1 => 999999999L  // just under the next second
+        case _ => rnd.nextInt(1000000000).toLong
+      }
+      val value = rnd.nextInt(100000) / 100.0 // cent-exact money
+      (i.toLong, (base + off) * 1000000000L + nanos, user, kind, value)
+    }
+  }
+
+  private def writeFixture(events: Seq[Ev]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-swin-fuzz-").toString
+    events.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  /** Spark's double→decimal(18,4) cast rounds half-up; replicate so the
+    * money sums compare bit-exact (Exact.sumMoney2's shape).
+    */
+  private def money2(vs: Seq[Double]): Double =
+    vs.map(BigDecimal(_).setScale(4, RoundingMode.HALF_UP)).sum
+      .setScale(2, RoundingMode.HALF_UP).toDouble
+
+  /** Per-user sessions over second-truncated times, 30-min inclusive merge
+    * (gap > 1800 splits): (user_id, session_start_sec, n_events).
+    */
+  private def bruteSessions(events: Seq[Ev]): Seq[(Long, Long, Long)] =
+    events.groupBy(_._3).toSeq.flatMap { case (u, g) =>
+      val secs = g.map(secOf).sorted
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+      var start = secs.head
+      var prev = secs.head
+      var n = 0L
+      for (t <- secs) {
+        if (t - prev > 1800L) { out += ((u, start, n)); start = t; n = 0L }
+        n += 1
+        prev = t
+      }
+      out += ((u, start, n))
+      out.toSeq
+    }.sortBy(t => (t._1, t._2))
+
+  for (seed <- Seq(11L, 271L, 9001L)) {
+
+    test(s"stream-window fuzz corpus hits the seams (seed $seed)") {
+      val events = genEvents(seed)
+      val onBoundary = events.count(e => usOf(e) % 1800000000L == 0L)
+      assert(onBoundary >= 5, s"only $onBoundary events exactly on a 30-min boundary (µs-exact)")
+      val nearBoundary = events.count(e => secOf(e) % 1800L == 1L || secOf(e) % 1800L == 1799L)
+      assert(nearBoundary >= 10, s"only $nearBoundary events within 1 s of a boundary")
+      val gap1800 = events.groupBy(_._3).values.map { g =>
+        val s = g.map(secOf).distinct.sorted
+        s.zip(s.drop(1)).count { case (a, b) => b - a == 1800L }
+      }.sum
+      assert(gap1800 >= 3, s"only $gap1800 same-user consecutive gaps of exactly 1800 s")
+    }
+
+    test(s"stream_tumbling matches brute force (seed $seed)") {
+      val events = genEvents(seed)
+      val dir = writeFixture(events)
+      val expected = events.groupBy(e => (usOf(e) / 3600000000L * 3600L, e._4)).toSeq
+        .map { case ((w, t), g) => (w, t, g.size.toLong, money2(g.map(_._5))) }
+        .sortBy(x => (x._1, x._2))
+      val got = Registry.queries("stream_tumbling")(spark, dir).collect().map { r =>
+        (r.getTimestamp(0).toInstant.getEpochSecond, r.getString(1), r.getLong(2), r.getDouble(3))
+      }.toSeq
+      assert(got === expected)
+    }
+
+    test(s"stream_sliding matches brute force (seed $seed)") {
+      val events = genEvents(seed)
+      val dir = writeFixture(events)
+      val expected = events.flatMap { e =>
+        val w = usOf(e) / 1800000000L * 1800L
+        Seq(w - 1800L, w) // every event lands in exactly two sliding windows
+      }.groupBy(identity).toSeq.map { case (w, g) => (w, g.size.toLong) }.sortBy(_._1)
+      val got = Registry.queries("stream_sliding")(spark, dir).collect().map { r =>
+        (r.getTimestamp(0).toInstant.getEpochSecond, r.getLong(1))
+      }.toSeq
+      assert(got === expected)
+    }
+
+    test(s"stream_session matches brute force (seed $seed)") {
+      val events = genEvents(seed)
+      val dir = writeFixture(events)
+      val expected = bruteSessions(events)
+      val got = Registry.queries("stream_session")(spark, dir).collect().map { r =>
+        (r.getLong(0), r.getTimestamp(1).toInstant.getEpochSecond, r.getLong(2))
+      }.toSeq
+      assert(got === expected)
+      // the seed must actually exercise the merge boundary: at least one
+      // session must span an exact-1800 gap (i.e. removing inclusivity
+      // would change the answer)
+      val strictSessions = events.groupBy(_._3).values.map { g =>
+        val s = g.map(secOf).sorted
+        1 + s.zip(s.drop(1)).count { case (a, b) => b - a >= 1800L && b != a }
+      }.sum
+      assert(expected.size < strictSessions,
+        "no session spans an exact-1800 gap — boundary inclusivity untested at this seed")
+    }
+
+    test(s"stream_interval_join matches brute force (seed $seed)") {
+      val events = genEvents(seed)
+      val dir = writeFixture(events)
+      val sig = events.filter(_._4 == "signup").groupBy(_._3)
+      val expected = events.filter(_._4 == "purchase").flatMap { p =>
+        sig.getOrElse(p._3, Nil)
+          .filter(s => secOf(s) >= secOf(p) - 7200L && secOf(s) <= secOf(p))
+          .map(s => (p._1, p._3, s._1))
+      }.sortBy(t => (t._1, t._3))
+      val got = Registry.queries("stream_interval_join")(spark, dir).collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }.toSeq
+      assert(got === expected)
+      assert(expected.nonEmpty, "no interval-join matches — generator rotted")
+    }
+
+    test(s"stream_watermark_filter matches brute force (seed $seed)") {
+      val events = genEvents(seed)
+      val dir = writeFixture(events)
+      val maxSec = events.map(secOf).max
+      val expected = events.filter(e => secOf(e) >= maxSec - 600L)
+        .map(e => (e._1, e._3, e._4, secOf(e))).sortBy(_._1)
+      val got = Registry.queries("stream_watermark_filter")(spark, dir).collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3).toInstant.getEpochSecond)
+      }.toSeq
+      assert(got === expected)
+    }
+  }
+}
