@@ -154,6 +154,38 @@ class LlmPropsSpec extends SparkSpec {
     assert(got.size === 20 + 3 + 2 + 5)
   }
 
+  test("connectedComponents matches union-find on seeded random graphs") {
+    // The topology suite above pins known worst cases; random graphs pin
+    // everything in between (cycles, bridges, multi-edges, self-loops
+    // arising from duplicate pairs). Brute force is a driver-side
+    // union-find — an implementation shaped nothing like the distributed
+    // label propagation.
+    import spark.implicits._
+    for (seed <- Seq(13L, 97L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 120
+      val raw = (0 until 150).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      raw.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = raw.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> {
+          // component minimum among vertices that appear in the edge list
+          val root = find(v.toInt)
+          (0 until n).filter(u => find(u) == root)
+            .filter(u => raw.exists(e => e._1 == u || e._2 == u)).min.toLong
+        }).toMap
+      val pairs = raw.toDF("da", "db")
+      val edges = pairs.union(pairs.select(col("db").as("da"), col("da").as("db")))
+      val got = graft.llm.Dedup.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"random graph seed $seed diverged from union-find")
+    }
+  }
+
   test("connectedComponents pointer doubling bounds rounds at O(log n) on a path") {
     import spark.implicits._
     // A 64-node path (diameter 63) is the adversarial topology for label

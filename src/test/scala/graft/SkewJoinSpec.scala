@@ -23,6 +23,32 @@ class SkewJoinSpec extends SparkSpec {
     assert(s.toSeq === p.toSeq)
   }
 
+  test("salted join equals the plain join when keys and saltBy contain NULLs") {
+    // At 100 TB null fact keys are routine (unparsed FKs, late dims). An
+    // inner equi-join drops them; salting must not resurrect them via the
+    // (key, salt) composite — and hash(null) in the salt column must not
+    // throw or collapse every null row onto one salt of a REAL key.
+    import spark.implicits._
+    val fact = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (1L, 11L), (null, 12L), (null, null), (2L, null), (3L, 13L))
+      .toDF("k", "payload")
+    val dim = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (null, "n"))
+      .toDF("dk", "name")
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .select("k", "payload", "name").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+    val salted = SkewJoin.saltedJoin(fact, dim, col("k"), col("dk"),
+        saltBy = col("payload"), salts = 8)
+      .select("k", "payload", "name").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(salted.toSeq === plain.toSeq)
+    // k=1 matches twice, k=2 once (null payload salts fine), k=3 has no
+    // dim row, and both null-key fact rows plus the null dim key drop.
+    assert(plain.length === 3, "unexpected survivor set for the null fixture")
+  }
+
   test("AQE splits a skewed shuffle-join partition (skew=true in the adaptive plan)") {
     // The runtime half of the skew story: before reaching for manual
     // salting, AQE itself must detect and split a hot partition. Thresholds
