@@ -30,6 +30,39 @@ class MultimodalSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("decoder plumbing survives degenerate payloads (empty, 1-byte, multibyte UTF-8)") {
+    // A 100 TB media corpus contains zero-length blobs and payloads whose
+    // byte length differs from its character count. The partition-wise
+    // extractor and the frame sampler must agree with a driver-side decode
+    // of the same UTF-8 bytes on exactly those shapes.
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "", "en"), (1L, "a", "en"), (2L, "汉字テスト", "zh"),
+      (3L, "x" * 1000, "en"), (4L, "ab cd", "de"))
+      .toDF("doc_id", "text", "lang")
+    val withP = Multimodal.withPayload(docs)
+    val got = Multimodal.extractFeatures(withP)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    val bytes = Seq(0L -> "", 1L -> "a",
+      2L -> "汉字テスト", 3L -> "x" * 1000, 4L -> "ab cd")
+      .map { case (id, t) => id -> t.getBytes("UTF-8") }.toMap
+    assert(got === bytes.map { case (id, b) => id -> Multimodal.FakeDecoder.decode(b) })
+
+    val frames = Multimodal.sampleFrames(withP)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(t => (t._1, t._2))
+    val expFrames = bytes.toSeq.flatMap { case (id, p) =>
+      val nFrames = (p.length + 15) / 16
+      (0 until nFrames by 4).map { f =>
+        val slice = p.slice(f * 16, f * 16 + 16)
+        (id, f.toLong, slice.map(b => (b & 0xff).toLong).sum)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(frames === expFrames)
+    assert(!frames.exists(_._1 == 0L), "empty payload must produce no frames")
+    assert(frames.count(_._1 == 3L) > 1, "long payload must produce strided frames")
+  }
+
   test("stateful streaming running totals equal batch aggregates") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
