@@ -116,16 +116,25 @@ object Sketches {
           .agg(expr("bit_or(shiftleft(1L, bit))").as("bits"))
         // probes: 10 custkeys that exist + 10 beyond the key domain
         val probeIds = ((0L until 10L) ++ (1000000L until 1000010L))
-        val probes = broadcast(probeIds.toDF("probe"))
+        val probes = probeIds.toDF("probe")
         val probeBits = probes.select(col("probe"), posexplode(array((0 until 3).map { i =>
           (lit(aI(i)) * col("probe") + lit(bI(i))) % 256L
         }: _*)).as(Seq("h_i", "pos")))
           .select(col("probe"), expr("CAST(pos div 32 AS INT)").as("word"),
             pmod(col("pos"), lit(32)).cast("int").as("bit"))
-        probeBits.join(bits, Seq("word"))
+        // LEFT join + coalesce(bits, 0): a word no key ever touched means
+        // the probe's bit is NOT set — an inner join would silently drop
+        // the row, over-reporting membership on sparse filters (and losing
+        // the probe entirely if all its words are empty). Invisible at the
+        // driver fixtures (every word is populated); pinned on a sparse
+        // synthetic filter by SketchPropsSpec.
+        // Broadcast the FILTER, not the probes: the aggregated sketch is ≤8
+        // rows by construction (and a left join can only build right), so
+        // the probe side streams with no shuffle however large it grows.
+        probeBits.join(broadcast(bits), Seq("word"), "left")
           .groupBy(col("probe"))
           .agg(bool_and(
-            expr("shiftright(bits, bit) & 1") === 1).as("maybe_present"))
+            expr("shiftright(coalesce(bits, 0L), bit) & 1") === 1).as("maybe_present"))
           .orderBy("probe")
       },
       Some {
@@ -148,8 +157,8 @@ object Sketches {
            |pb AS (
            |  SELECT probe, CAST(pos // 32 AS INT) AS word, CAST(pos % 32 AS INT) AS bit
            |  FROM ($probeBitRows) p)
-           |SELECT probe, bool_and(((bits >> bit) & 1) = 1) AS maybe_present
-           |FROM pb JOIN bits USING (word)
+           |SELECT probe, bool_and(((COALESCE(bits, 0) >> bit) & 1) = 1) AS maybe_present
+           |FROM pb LEFT JOIN bits USING (word)
            |GROUP BY probe ORDER BY probe""".stripMargin
       })
   )
