@@ -173,6 +173,17 @@ class PlanSpec extends SparkSpec {
     "win_ntile",           // crossJoin with 1-row min/max bucket-range agg
     "sub_recursive_cte")   // 1-row bounds × 101-row recursive counter
 
+  test("sketch_bloom_membership broadcasts the filter, streaming the probe side") {
+    val p = plan("sketch_bloom_membership")
+    // The aggregated filter is ≤8 rows by construction; the probe side is
+    // the one that grows, so it must never shuffle for this join. A left
+    // join can only build right — if the join type or broadcast side
+    // flips, this pins it.
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"probe join must be a left-outer broadcast of the filter words:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"probe side shuffled for the filter join:\n$p")
+  }
+
   test("no query plans an unintentional cartesian product") {
     val offenders = Registry.all.map(_.name)
       .filterNot(intentionalProducts)
