@@ -19,12 +19,16 @@ object Tables {
     * footer/file listing per query is pure fixed overhead (VERDICT r01 #5).
     * A DataFrame is an immutable plan, so sharing one across queries is
     * safe; keyed by session so test-local sessions never leak across.
+    * Bounded LRU (VERDICT r07 #3): 64 entries covers 10 tables × several
+    * sfDirs; a long-lived session sweeping many directories evicts cold
+    * scans instead of growing forever, and stopped sessions' entries are
+    * purged on the next access (see [[BoundedPlanCache]]).
     */
-  private val scanCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val scanCache = new BoundedPlanCache[(SparkSession, String, String)](
+    maxEntries = 64, alive = k => !k._1.sparkContext.isStopped)
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    scanCache.getOrElseUpdate((spark, sfDir, name),
+    scanCache.getOrElseUpdate((spark, sfDir, name))(
       spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
