@@ -532,11 +532,15 @@ object TextOps {
     // Document-length histogram (100-char integer bins — exact integer
     // division, no float-boundary risk): the length-distribution snapshot a
     // curation pipeline uses to pick truncation/filter thresholds.
+    // floor(), not a bare long cast: the oracle's `//` FLOORS while
+    // cast-of-double TRUNCATES toward zero — identical on the fixture's
+    // non-negative lengths, divergent on any negative input
+    // (round-8 harmonization, pinned in BinBoundaryFuzzSpec).
     QueryDef(
       "text_length_histogram",
       (s, d) =>
         Tables.documents(s, d)
-          .groupBy((col("n_chars") / 100).cast("long").as("bin_100c"))
+          .groupBy(floor(col("n_chars") / 100d).cast("long").as("bin_100c"))
           .agg(count(lit(1)).as("n_docs"),
             min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
           .orderBy("bin_100c"),

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Differential fuzz for the bin/clamp boundary recipes (round-8 depth):
+  *
+  *  - `agg_histogram` and `text_length_histogram` bin by
+  *    floor(n_chars/100)·100 and floor(n_chars/100): values EXACTLY on a
+  *    bin edge (0, 100, 200, …) belong to the upper bin, and NEGATIVE
+  *    values floor DOWNWARD (-1 → bin -100 / -1), which a
+  *    truncate-toward-zero cast gets wrong — the round-8 harmonization
+  *    this spec pins (text_length_histogram previously truncated).
+  *  - `fn_interval_overlap` clamps [od, od+30) against the campaign
+  *    window [1996-06-01, 1996-07-15]: an order whose 30-day exposure
+  *    ENDS exactly on June 1 contributes 0 days (not exposed), one
+  *    STARTING exactly on July 15 contributes 0, one day less on either
+  *    side contributes exactly 1, and a straddling order is capped at
+  *    the 44-day window length.
+  */
+class BinBoundaryFuzzSpec extends SparkSpec {
+
+  test("histogram bins: exact edges go up, negatives floor down") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bin-fuzz-").toString
+    val chars = Seq(-150L, -100L, -1L, 0L, 1L, 99L, 100L, 101L, 199L, 200L, 250L, 999L)
+    chars.zipWithIndex.map { case (n, i) =>
+      (i.toLong, s"t$i", "en", "s0", n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    def bin(n: Long): Long = Math.floorDiv(n, 100L)
+    val expected = chars.groupBy(bin).toSeq.map { case (b, g) =>
+      (b, g.size.toLong, g.min, g.max) }.sortBy(_._1)
+    // Seam companions: a negative bin exists and edge values sit in the
+    // upper bin (bin(100) != bin(99); bin(-1) == bin(-100)).
+    assert(expected.exists(_._1 < 0L), "negative bins missing")
+    assert(bin(100L) == 1L && bin(99L) == 0L && bin(-1L) == -1L && bin(-100L) == -1L)
+
+    val gotText = Registry.queries("text_length_histogram")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotText === expected)
+
+    val expectedAgg = expected.map { case (b, n, mn, mx) => (b * 100L, n, mn, mx) }
+    val gotAgg = Registry.queries("agg_histogram")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotAgg === expectedAgg)
+  }
+
+  test("fn_interval_overlap: exposure window clamps exactly at both campaign edges") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ivl-fuzz-").toString
+    def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    // Each order gets its own priority so every case is its own output row.
+    val cases = Seq(
+      "1991-05-02", // far before → 0
+      "1996-05-02", // od+30 == 1996-06-01 exactly → 0 (not exposed)
+      "1996-05-03", // od+30 == 1996-06-02 → exactly 1 day
+      "1996-05-15", // straddles the start → 13 days
+      "1996-06-10", // fully inside → 30 days
+      "1996-07-14", // starts one day before the end → 1 day
+      "1996-07-15", // starts exactly on the end → 0 (not exposed)
+      "1996-08-01", // after → 0
+      "1996-05-01") // covers [od, od+30) ⊃ window? od+30 = May 31 → 0... no:
+    // 1996-05-01 + 30 = 1996-05-31 < Jun 1 → 0. Use a wide-cover priority
+    // via an extra row below instead.
+    val rows = cases.zipWithIndex.map { case (d, i) =>
+      (1000L + i, f"p$i%02d", ts(d), 10.0) } :+
+      // p99: od = 1996-06-01, od+30 = 1996-07-01 → 30 days; plus a second
+      // order far away → exercises n_exposed < n_rows within one group.
+      ((2000L, "p99", ts("1996-06-01"), 10.0)) :+
+      ((2001L, "p99", ts("1990-01-01"), 10.0))
+    rows.toDF("o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+
+    def epoch(d: String) = java.time.LocalDate.parse(d).toEpochDay
+    val lo = epoch("1996-06-01"); val hi = epoch("1996-07-15")
+    val expected = rows.groupBy(_._2).toSeq.map { case (pr, g) =>
+      val ovl = g.map { case (_, _, t, _) =>
+        val od = t.toLocalDateTime.toLocalDate.toEpochDay
+        math.max(0L, math.min(od + 30, hi) - math.max(od, lo))
+      }
+      (pr, ovl.sum, ovl.count(_ > 0L).toLong)
+    }.sortBy(_._1)
+    // Seam companions: both zero-by-one-boundary cases and both
+    // exactly-one-day cases are present, plus a mixed group.
+    val m = expected.map(e => e._1 -> e).toMap
+    assert(m("p01")._2 == 0L && m("p06")._2 == 0L, "exact-edge zero cases missing")
+    assert(m("p02")._2 == 1L && m("p05")._2 == 1L, "one-day boundary cases missing")
+    assert(m("p99") == (("p99", 30L, 1L)), "mixed exposed/unexposed group missing")
+
+    val got = Registry.queries("fn_interval_overlap")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+}
