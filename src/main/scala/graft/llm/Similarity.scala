@@ -215,14 +215,23 @@ object Similarity {
     // (mx−mn)) through Exact.roundN (plain round(double) differs between
     // engines); the checksum sum stays in exact integer arithmetic. Pure
     // per-row lambda work, no shuffle.
+    //
+    // The divisor is NULLIF-guarded (round 8): an all-equal vector has
+    // mx−mn = 0 and under Spark 4's default ANSI mode a bare division
+    // throws DIVIDE_BY_ZERO — ONE degenerate row would kill the whole
+    // job at 100 TB. Declared semantics: a zero-dynamic-range vector
+    // quantizes to NULL (mirrored in the oracle's NULLIF), the
+    // bad-row-yields-null posture fn_try_arith documents. Pinned in
+    // ClosedFormFuzzSpec.
     QueryDef(
       "sim_quantize_int8",
       (s, d) => {
         val emb = col("embedding").cast("array<double>")
         val mn = array_min(emb)
         val mx = array_max(emb)
+        val range = when(mx === mn, lit(null).cast("double")).otherwise(mx - mn)
         val q = transform(emb, x =>
-          Exact.roundN((x - mn) / (mx - mn) * 255d, 0).cast("long"))
+          Exact.roundN((x - mn) / range * 255d, 0).cast("long"))
         Tables.embeddings(s, d)
           .select(
             col("vec_id"),
@@ -236,7 +245,7 @@ object Similarity {
               |FROM (
               |  SELECT vec_id,
               |    list_transform(emb, x -> CAST(
-              |      ${Exact.roundNSql("(x - mn) / (mx - mn) * 255", 0)} AS BIGINT)) AS q
+              |      ${Exact.roundNSql("(x - mn) / NULLIF(mx - mn, 0) * 255", 0)} AS BIGINT)) AS q
               |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
               |          list_aggregate(CAST(embedding AS DOUBLE[]), 'min') AS mn,
               |          list_aggregate(CAST(embedding AS DOUBLE[]), 'max') AS mx
