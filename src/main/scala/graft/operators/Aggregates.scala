@@ -95,10 +95,14 @@ object Aggregates {
           .select(
             col("c_mktsegment"), col("min_bal"), col("max_bal"),
             Exact.roundN(col("s1") / col("n"), 3).as("avg_bal"),
-            Exact.roundN((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 3)
-              .as("var_bal"),
-            Exact.roundN(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 3)
-              .as("std_bal"))
+            // nullif on (n−1): a single-row group has sample-variance
+            // denominator 0, which ANSI mode turns into a job-killing
+            // DIVIDE_BY_ZERO; DuckDB's /0 is already NULL, so the guard
+            // restores cross-engine parity (round-8 sweep, DegenerateGroupSpec)
+            Exact.roundN((col("s2") - col("s1") * col("s1") / col("n")) /
+              nullif(col("n") - 1, lit(0L)), 3).as("var_bal"),
+            Exact.roundN(sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+              nullif(col("n") - 1, lit(0L))), 3).as("std_bal"))
           .orderBy("c_mktsegment")
       },
       Some(s"""SELECT c_mktsegment, min_bal, max_bal,
@@ -245,10 +249,13 @@ object Aggregates {
             sum(x * y).cast("double").as("sxy"))
           .select(
             col("l_returnflag"),
+            // nullif: a zero-variance side makes the denominator 0 — ANSI
+            // would kill the job; DuckDB's /0 is NULL (round-8 sweep)
             Exact.roundN(
               (col("n") * col("sxy") - col("sx") * col("sy")) /
-                (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-                  sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4).as("corr_qd"))
+                nullif(sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                  sqrt(col("n") * col("syy") - col("sy") * col("sy")), lit(0.0d)), 4)
+              .as("corr_qd"))
           .orderBy("l_returnflag")
       },
       Some(s"""SELECT l_returnflag,
@@ -500,8 +507,10 @@ object Aggregates {
             sum((col("rn") * col("o_totalprice")).cast("decimal(28,8)"))
               .cast("double").as("swx"))
           .select(col("o_orderpriority"),
+            // nullif: an all-zero-value group has sx = 0 — ANSI kills the
+            // job; DuckDB's /0 is NULL (round-8 sweep)
             Exact.roundN(
-              lit(2.0d) * col("swx") / (col("n") * col("sx")) -
+              lit(2.0d) * col("swx") / nullif(col("n") * col("sx"), lit(0.0d)) -
                 (col("n") + 1.0d) / col("n"), 4).as("gini"))
           .orderBy("o_orderpriority")
       },
@@ -566,17 +575,21 @@ object Aggregates {
             sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(28,8)"))
               .cast("double").as("sxy"))
           .select(col("l_returnflag"),
+            // nullif on every S_xx-based denominator: an all-equal-x group
+            // zeroes them — ANSI kills the job; DuckDB's /0 is NULL
+            // (round-8 sweep, DegenerateGroupSpec)
             Exact.roundN((col("n") * col("sxy") - col("sx") * col("sy")) /
-              (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+              nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0d)), 4)
+              .as("slope"),
             Exact.roundN((col("sy") - col("sx") *
               ((col("n") * col("sxy") - col("sx") * col("sy")) /
-                (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n"), 4)
-              .as("intercept"),
+                nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0d)))) /
+              col("n"), 4).as("intercept"),
             Exact.roundN(
               ((col("n") * col("sxy") - col("sx") * col("sy")) *
                 (col("n") * col("sxy") - col("sx") * col("sy"))) /
-                ((col("n") * col("sxx") - col("sx") * col("sx")) *
-                  (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
+                nullif((col("n") * col("sxx") - col("sx") * col("sx")) *
+                  (col("n") * col("syy") - col("sy") * col("sy")), lit(0.0d)), 4).as("r2"))
           .orderBy("l_returnflag"),
       Some(s"""SELECT l_returnflag,
               |  ${Exact.roundNSql("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 4)} AS slope,
@@ -621,10 +634,13 @@ object Aggregates {
             sum(col("ry") * col("ry")).cast("double").as("syy"),
             sum(col("rx") * col("ry")).cast("double").as("sxy"))
           .select(col("l_returnflag"),
+            // nullif: all-tied ranks on either side zero the denominator —
+            // ANSI kills the job; DuckDB's /0 is NULL (round-8 sweep)
             Exact.roundN(
               (col("n") * col("sxy") - col("sx") * col("sy")) /
-                sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-                  (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("spearman"))
+                nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                  (col("n") * col("syy") - col("sy") * col("sy"))), lit(0.0d)), 4)
+              .as("spearman"))
           .orderBy("l_returnflag")
       },
       Some(s"""SELECT l_returnflag,
@@ -808,9 +824,12 @@ object Aggregates {
         Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"))
           .agg(
+            // nullif: an all-zero-weight group sums to 0 — ANSI kills the
+            // job; DuckDB's /0 is NULL (round-8 sweep)
             Exact.roundN(
               Exact.sumDec8(col("l_extendedprice") * col("l_quantity")).cast("double") /
-                Exact.sumDec(col("l_quantity")).cast("double"), 4).as("wavg_price"),
+                nullif(Exact.sumDec(col("l_quantity")).cast("double"), lit(0.0d)), 4)
+              .as("wavg_price"),
             count(lit(1)).as("n"))
           .orderBy("l_returnflag"),
       Some(s"""SELECT l_returnflag,
@@ -857,19 +876,22 @@ object Aggregates {
           .select(
             col("c_mktsegment"),
             col("n").cast("long").as("n_rows"),
+            // nullif on both variance-power denominators: an all-equal
+            // group has zero variance — ANSI kills the job; DuckDB's /0
+            // is NULL (round-8 sweep, DegenerateGroupSpec)
             Exact.roundN(
               (col("s3") / col("n") - lit(3d) * (col("s1") / col("n")) * (col("s2") / col("n")) +
                 lit(2d) * (col("s1") / col("n")) * (col("s1") / col("n")) * (col("s1") / col("n"))) /
-                (sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))) *
-                  (col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))), 4)
+                nullif(sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))) *
+                  (col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))), lit(0.0d)), 4)
               .as("skew"),
             Exact.roundN(
               (col("s4") / col("n") - lit(4d) * (col("s1") / col("n")) * (col("s3") / col("n")) +
                 lit(6d) * (col("s1") / col("n")) * (col("s1") / col("n")) * (col("s2") / col("n")) -
                 lit(3d) * (col("s1") / col("n")) * (col("s1") / col("n")) *
                   (col("s1") / col("n")) * (col("s1") / col("n"))) /
-                ((col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))) *
-                  (col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))) -
+                nullif((col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))) *
+                  (col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))), lit(0.0d)) -
                 lit(3d), 4).as("kurt"))
           .orderBy("c_mktsegment")
       },

@@ -382,10 +382,13 @@ object Reshape {
             sum((col("xl") * col("xl")).cast("decimal(28,8)")).cast("double").as("syy"),
             sum((col("x") * col("xl")).cast("decimal(28,8)")).cast("double").as("sxy"))
           .select(col("user_id"),
+            // nullif: a constant series zeroes both variance factors —
+            // ANSI kills the job; DuckDB's /0 is NULL (round-8 sweep)
             Exact.roundN(
               (col("n") * col("sxy") - col("sx") * col("sy")) /
-                sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-                  (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("ac1"))
+                nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                  (col("n") * col("syy") - col("sy") * col("sy"))), lit(0.0d)), 4)
+              .as("ac1"))
           .orderBy("user_id")
       },
       Some(s"""WITH p AS (

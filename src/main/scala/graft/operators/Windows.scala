@@ -272,8 +272,11 @@ object Windows {
         val wp = Window.partitionBy(col("o_orderpriority"))
         Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+            // nullif: an all-zero group sums to 0 — ANSI kills the job;
+            // DuckDB's /0 is NULL (round-8 sweep)
             Exact.roundN(col("o_totalprice") /
-              sum(col("o_totalprice").cast("decimal(18,4)")).over(wp).cast("double"), 6)
+              nullif(sum(col("o_totalprice").cast("decimal(18,4)")).over(wp)
+                .cast("double"), lit(0.0d)), 6)
               .as("share"))
           .orderBy("o_orderkey")
       },
@@ -371,9 +374,13 @@ object Windows {
           .withColumn("n", count(lit(1)).over(w).cast("double"))
           .select(
             col("o_orderkey"), col("o_orderpriority"), p,
+            // nullif twice: a single-row group zeroes (n−1) and an
+            // all-equal group zeroes σ — either way ANSI kills the job;
+            // DuckDB's /0 is NULL (round-8 sweep, DegenerateGroupSpec)
             Exact.roundN(
               (p - col("s1") / col("n")) /
-                sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1d)),
+                nullif(sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+                  nullif(col("n") - 1d, lit(0.0d))), lit(0.0d)),
               4).as("z"))
           .orderBy("o_orderkey")
       },

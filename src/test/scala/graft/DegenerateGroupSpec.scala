@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+
+/** Degenerate-group posture of the statistical closed forms (round-8
+  * ANSI-hazard sweep). Spark 4 runs with ANSI mode ON by default, where
+  * ANY division by zero — including doubles — throws DIVIDE_BY_ZERO and
+  * kills the job. Every closed form whose denominator vanishes on a
+  * degenerate group (single-row for sample variance, zero variance for
+  * correlation-shaped forms, zero sums for shares/weights) is now
+  * nullif-guarded on the Spark side; DuckDB's division by zero is
+  * already NULL, so the guard also RESTORES cross-engine parity on
+  * degenerate inputs (the oracles needed no change). One bad group must
+  * yield a NULL statistic, never a dead 6-hour job.
+  *
+  * Each test drives the registered query body over a fixture with one
+  * degenerate and one healthy group and asserts null-vs-value per row.
+  */
+class DegenerateGroupSpec extends SparkSpec {
+
+  private def dir(): String =
+    Files.createTempDirectory("graft-degen-").toString
+
+  private def nullAt(r: org.apache.spark.sql.Row, i: Int): Boolean = r.isNullAt(i)
+
+  test("agg_stats / agg_skew: single-row and zero-variance segments null " +
+    "out their sample statistics") {
+    import spark.implicits._
+    val d = dir()
+    (Seq((1L, "one", 10.0)) ++ (2 to 6).map(i => (i.toLong, "flat", 42.0)) ++
+      (7 to 12).map(i => (i.toLong, "vary", i * 1.5)))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+      .write.parquet(s"$d/customer.parquet")
+
+    val stats = Registry.queries("agg_stats")(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(nullAt(stats("one"), 4) && nullAt(stats("one"), 5),
+      "n=1 variance/stddev must be NULL, not a crash")
+    assert(stats("flat").getDouble(4) == 0.0d && stats("flat").getDouble(5) == 0.0d)
+    assert(!nullAt(stats("vary"), 4) && stats("vary").getDouble(4) > 0.0d)
+
+    val skew = Registry.queries("agg_skew")(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(nullAt(skew("flat"), 2) && nullAt(skew("flat"), 3),
+      "zero-variance skew/kurtosis must be NULL, not a crash")
+    assert(nullAt(skew("one"), 2), "n=1 skew must be NULL")
+    assert(!nullAt(skew("vary"), 2))
+  }
+
+  test("win_zscore / win_share_of_group / agg_gini: single-row, all-equal " +
+    "and all-zero groups null out") {
+    import spark.implicits._
+    val d = dir()
+    (Seq((1L, "one", 10.0)) ++ (2 to 5).map(i => (i.toLong, "flat", 7.0)) ++
+      (6 to 9).map(i => (i.toLong, "zero", 0.0)) ++
+      (10 to 15).map(i => (i.toLong, "vary", i * 2.25)))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.parquet(s"$d/orders.parquet")
+
+    val z = Registry.queries("win_zscore")(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(nullAt(z(1L), 3), "single-row group z-score must be NULL")
+    assert(nullAt(z(3L), 3), "zero-variance group z-score must be NULL")
+    assert(!nullAt(z(12L), 3))
+
+    val share = Registry.queries("win_share_of_group")(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(nullAt(share(7L), 3), "all-zero group share must be NULL")
+    assert(!nullAt(share(11L), 3))
+
+    val gini = Registry.queries("agg_gini")(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(nullAt(gini("zero"), 1), "all-zero group gini must be NULL")
+    assert(gini("flat").getDouble(1) == 0.0d && gini("one").getDouble(1) == 0.0d)
+  }
+
+  test("agg_corr / agg_spearman / agg_regression / agg_weighted_avg: " +
+    "constant or zero-weight sides null out") {
+    import spark.implicits._
+    val d = dir()
+    // Flag C: constant quantity (zero x-variance), zero quantity too →
+    // also a zero weight sum. Flag V: healthy variation.
+    ((1 to 5).map(i => ("C", 0.0, 0.01 * i, 100.0 + i)) ++
+      (1 to 8).map(i => ("V", i * 1.0, 0.02 + 0.01 * (i % 3), 50.0 * i)))
+      .toDF("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+      .write.parquet(s"$d/lineitem.parquet")
+
+    val corr = Registry.queries("agg_corr")(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(nullAt(corr("C"), 1), "constant-x correlation must be NULL")
+    assert(!nullAt(corr("V"), 1))
+
+    val sp = Registry.queries("agg_spearman")(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(nullAt(sp("C"), 1), "all-tied-rank spearman must be NULL")
+
+    val reg = Registry.queries("agg_regression")(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(nullAt(reg("C"), 1) && nullAt(reg("C"), 2) && nullAt(reg("C"), 3),
+      "constant-x slope/intercept/r2 must be NULL")
+    assert(!nullAt(reg("V"), 1))
+
+    val wavg = Registry.queries("agg_weighted_avg")(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(nullAt(wavg("C"), 1), "zero-weight-sum weighted avg must be NULL")
+    assert(!nullAt(wavg("V"), 1))
+  }
+
+  test("ts_autocorr: a constant series nulls out, a varying one does not") {
+    import spark.implicits._
+    val d = dir()
+    val base = 1704067200L * 1000000000L
+    ((1 to 6).map(i => (i.toLong, base + i * 1000000000L, 1L, 5.0)) ++
+      (7 to 14).map(i => (i.toLong, base + i * 1000000000L, 2L, i * 1.25)))
+      .toDF("event_id", "ts", "user_id", "value")
+      .write.parquet(s"$d/events.parquet")
+    val ac = Registry.queries("ts_autocorr")(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(nullAt(ac(1L), 1), "constant-series autocorrelation must be NULL")
+    assert(!nullAt(ac(2L), 1))
+  }
+}
