@@ -151,7 +151,10 @@ object Scalars {
           .withColumn("m", from_json(col("props"), MapType(StringType, IntegerType)))
           .select(
             col("event_id"),
-            element_at(col("m"), "k").cast("long").as("k"))
+            // try_element_at: ANSI element_at throws on a map missing the
+            // key — one malformed props row would kill the job; NULL is
+            // the bad-row posture (round-8 sweep)
+            try_element_at(col("m"), lit("k")).cast("long").as("k"))
           .orderBy("event_id"),
       Some("""SELECT event_id,
              |  CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k

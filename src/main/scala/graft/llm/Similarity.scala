@@ -235,8 +235,11 @@ object Similarity {
         Tables.embeddings(s, d)
           .select(
             col("vec_id"),
-            element_at(q, 1).as("q_first"),
-            element_at(q, 64).as("q_last"),
+            // try_element_at: a malformed sub-64-dim vector would make
+            // plain element_at(q, 64) an ANSI INVALID_ARRAY_INDEX
+            // job-killer; DuckDB's q[64] out-of-bounds is already NULL
+            try_element_at(q, lit(1)).as("q_first"),
+            try_element_at(q, lit(64)).as("q_last"),
             aggregate(q, lit(0L), (acc, v) => acc + v).as("q_sum"))
           .orderBy("vec_id")
       },

@@ -505,10 +505,15 @@ object TextOps {
       (s, d) =>
         Tables.documents(s, d)
           .withColumn("toks", split(col("text"), " "))
+          // try_element_at: a 1- or 2-token doc indexes past the array end
+          // on the padded last positions — plain element_at is an ANSI
+          // INVALID_ARRAY_INDEX job-killer there; try_ yields NULL, which
+          // concat_ws skips on BOTH engines (round-8 sweep, pinned in
+          // DegenerateGroupSpec)
           .withColumn("grams", expr(
             """transform(sequence(1, greatest(size(toks) - 2, 1)),
-              |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-              |                 element_at(toks, i + 2)))""".stripMargin))
+              |  i -> concat_ws(' ', try_element_at(toks, i), try_element_at(toks, i + 1),
+              |                 try_element_at(toks, i + 2)))""".stripMargin))
           .select(col("doc_id"),
             size(array_distinct(col("grams"))).cast("long").as("n_distinct"),
             size(col("grams")).cast("long").as("n_total"),

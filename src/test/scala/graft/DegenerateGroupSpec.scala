@@ -106,6 +106,49 @@ class DegenerateGroupSpec extends SparkSpec {
     assert(!nullAt(wavg("V"), 1))
   }
 
+  test("text_repetition_score: 1- and 2-token docs survive (padded gram " +
+    "positions are NULL-skipped, not an array-index crash)") {
+    import spark.implicits._
+    val d = dir()
+    Seq((0L, "solo", "en", "s0"), (1L, "two words", "en", "s0"),
+      (2L, "a b c a b c a b c", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$d/documents.parquet")
+    val rep = Registry.queries("text_repetition_score")(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // 1 token: one gram "solo" → no repetition. 2 tokens: one gram
+    // "two words" (the padded tail positions are skipped by concat_ws).
+    assert(rep(0L).getLong(1) == 1L && rep(0L).getLong(2) == 1L)
+    assert(rep(1L).getLong(1) == 1L && rep(1L).getLong(2) == 1L)
+    assert(rep(2L).getDouble(3) > 0.0d, "repeated trigrams must score > 0")
+  }
+
+  test("fn_map: a props row without the key yields NULL, not a crash; " +
+    "sim_quantize_int8 survives a short vector") {
+    import spark.implicits._
+    val d = dir()
+    val base = 1704067200L * 1000000000L
+    Seq((1L, """{"k": 7}"""), (2L, """{"other": 3}"""), (3L, """not json"""))
+      .zipWithIndex.map { case ((id, p), i) => (id, base + i * 1000000000L, p) }
+      .toDF("event_id", "ts", "props")
+      .write.parquet(s"$d/events.parquet")
+    val m = Registry.queries("fn_map")(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(1) == 7L)
+    assert(nullAt(m(2L), 1), "missing map key must be NULL, not a crash")
+    assert(nullAt(m(3L), 1), "malformed JSON must be NULL")
+
+    val d2 = dir()
+    Seq((1L, Seq.fill(64)(0.5f).updated(0, 0.0f), 1),
+      (2L, Seq(0.0f, 1.0f, 0.5f), 1)) // malformed: 3 dims instead of 64
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d2/embeddings.parquet")
+    val q = Registry.queries("sim_quantize_int8")(spark, d2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(nullAt(q(2L), 2), "q_last of a short vector must be NULL, not a crash")
+    assert(q(2L).getLong(3) == 383L, "checksum still sums the present dims")
+  }
+
   test("ts_autocorr: a constant series nulls out, a varying one does not") {
     import spark.implicits._
     val d = dir()
