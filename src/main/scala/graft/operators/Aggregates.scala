@@ -399,8 +399,13 @@ object Aggregates {
       "agg_benford",
       (s, d) =>
         Tables.orders(s, d)
+          // abs() before floor (round 8): a negative value floors to
+          // "-4" whose first char "-" fails the ANSI string→long cast —
+          // one refund row would kill the job. Benford is a magnitude
+          // law, so the declared digit is that of |value| on both
+          // engines (values < 1 still yield the digit-0 bucket).
           .withColumn("digit",
-            substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+            substring(floor(abs(col("o_totalprice"))).cast("long").cast("string"), 1, 1)
               .cast("long"))
           .groupBy(col("digit"))
           .agg(count(lit(1)).as("n"))
@@ -411,7 +416,7 @@ object Aggregates {
       Some(s"""SELECT digit, n, ${Exact.roundNSql(
                  "CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)", 4)} AS share
               |FROM (
-              |  SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+              |  SELECT CAST(substring(CAST(CAST(FLOOR(ABS(o_totalprice)) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
               |    COUNT(*) AS n
               |  FROM orders GROUP BY 1) t
               |ORDER BY digit""".stripMargin)),
