@@ -58,6 +58,40 @@ class PlanCacheSpec extends SparkSpec {
     assert(second eq first)
   }
 
+  test("concurrent racers on one key all receive the same instance and " +
+    "never block each other's builds") {
+    val c = new BoundedPlanCache[Int](maxEntries = 4, alive = _ => true)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val results = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[org.apache.spark.sql.DataFrame] {
+          def call() = {
+            gate.await()
+            c.getOrElseUpdate(42) {
+              builds.incrementAndGet()
+              Thread.sleep(30) // a slow build must not hold the cache lock
+              df(42)
+            }
+          }
+        })
+      }
+      gate.countDown()
+      val dfs = results.map(_.get(20, java.util.concurrent.TimeUnit.SECONDS))
+      // The thunk runs outside the lock, so several racers MAY build, but
+      // every caller must end up sharing one instance (first insert wins)
+      // and the cache must hold exactly one entry for the key.
+      assert(dfs.forall(_ eq dfs.head), "racers diverged onto different instances")
+      assert(c.size == 1)
+      assert(builds.get() >= 1 && builds.get() <= 8)
+      // A later hit returns the settled instance without rebuilding.
+      val after = builds.get()
+      assert(c.getOrElseUpdate(42)(fail("hit must not rebuild")) eq dfs.head)
+      assert(builds.get() == after)
+    } finally pool.shutdownNow()
+  }
+
   test("tokenPairsFor stays within its bound across an sfDir sweep and " +
     "keeps sharing one plan per (session, sfDir)") {
     import spark.implicits._
