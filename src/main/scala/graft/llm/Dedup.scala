@@ -487,7 +487,16 @@ object Dedup {
       "dedup_ngram_jaccard",
       (s, d) => {
         val toks = split(col("text"), " ")
-        val nsh = size(toks) - 2
+        // greatest(…, 0): the size>=3 filter below does NOT protect this
+        // expression — InferFiltersFromGenerate copies the whole shingle
+        // expression into inferred `size(sh)>0` / `isnotnull(sh)` filter
+        // conjuncts, and codegen's common-subexpression elimination then
+        // evaluates it BEFORE the short-circuiting size check, so a 1-token
+        // doc fed slice() a length of −1 and killed the job (round-8
+        // DegenerateSweepSpec finding). A clamped length makes the
+        // expression total: short docs yield empty shingle arrays and the
+        // filter still drops them.
+        val nsh = greatest(size(toks) - 2, lit(0))
         val doc = Tables.documents(s, d)
           .filter(size(toks) >= 3)
           .select(col("doc_id"), col("lang"), col("source"),

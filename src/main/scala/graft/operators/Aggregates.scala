@@ -456,10 +456,13 @@ object Aggregates {
           .agg(
             round(sum(when(col("rn") <= 10, col("o_totalprice").cast("decimal(18,4)"))
               .otherwise(lit(0).cast("decimal(18,4)"))), 2).cast("double").as("top10_rev"),
+            // nullif: an all-zero-price group has total 0 — ANSI kills
+            // the job; DuckDB's /0 is NULL (round-8 DegenerateSweepSpec)
             Exact.roundN(
               sum(when(col("rn") <= 10, col("o_totalprice").cast("decimal(18,4)"))
                 .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
-                Exact.sumDec(col("o_totalprice")).cast("double"), 4).as("top10_share"))
+                nullif(Exact.sumDec(col("o_totalprice")).cast("double"), lit(0.0d)), 4)
+              .as("top10_share"))
           .orderBy("o_orderpriority")
       },
       Some(s"""WITH r AS (
