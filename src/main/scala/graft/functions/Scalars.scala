@@ -306,8 +306,10 @@ object Scalars {
           s"(((p_size >> $b) & 1) << ${2 * b}) + (((bnum >> $b) & 1) << ${2 * b + 1})"
         }.mkString(" + ")
         Tables.part(s, d)
+          // nullif: same no-match '' → ANSI cast kill as fn_regexp
+          // (round-8 DegenerateSweepSpec); a NULL bnum nulls the key
           .withColumn("bnum",
-            regexp_extract(col("p_brand"), "#([0-9]+)", 1).cast("long"))
+            nullif(regexp_extract(col("p_brand"), "#([0-9]+)", 1), lit("")).cast("long"))
           .withColumn("z", expr(zExprSql).cast("long"))
           .select("p_partkey", "p_size", "bnum", "z")
           .orderBy("z", "p_partkey")
@@ -318,7 +320,7 @@ object Scalars {
         }.mkString(" + ")
         s"""SELECT p_partkey, p_size, bnum, CAST($zExprSql AS BIGINT) AS z
            |FROM (SELECT p_partkey, p_size,
-           |        CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS BIGINT) AS bnum
+           |        CAST(NULLIF(regexp_extract(p_brand, '#([0-9]+)', 1), '') AS BIGINT) AS bnum
            |      FROM part) t
            |ORDER BY z, p_partkey""".stripMargin
       }),
@@ -385,13 +387,18 @@ object Scalars {
         Tables.part(s, d)
           .select(
             col("p_partkey"),
-            regexp_extract(col("p_brand"), "#([0-9]+)", 1).cast("long").as("brand_num"),
+            // nullif(…, ""): a brand without '#' extracts '' and the ANSI
+            // string→long cast kills the job (DuckDB's CAST('') errors
+            // identically) — no-match means NULL on both engines
+            // (round-8 DegenerateSweepSpec)
+            nullif(regexp_extract(col("p_brand"), "#([0-9]+)", 1), lit(""))
+              .cast("long").as("brand_num"),
             regexp_replace(col("p_name"), " ", "_").as("name_snake"),
             col("p_name").rlike("widget$").as("is_widget"),
             regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"))
           .orderBy("p_partkey"),
       Some("""SELECT p_partkey,
-             |  CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS BIGINT) AS brand_num,
+             |  CAST(NULLIF(regexp_extract(p_brand, '#([0-9]+)', 1), '') AS BIGINT) AS brand_num,
              |  regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
              |  regexp_matches(p_name, 'widget$') AS is_widget,
              |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word

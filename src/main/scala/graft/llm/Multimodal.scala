@@ -56,8 +56,14 @@ object Multimodal {
     val rdd = withPayload.select("doc_id", "payload").rdd.mapPartitions { it =>
       // codec/model init would happen HERE, once per partition
       it.map { r =>
-        val (w, h, luma) = FakeDecoder.decode(r.getAs[Array[Byte]]("payload"))
-        Row(r.getLong(0), w, h, luma)
+        // NULL payload (a NULL text upstream) → NULL features, not an
+        // executor NPE — the bad-row posture (round-8 DegenerateSweepSpec)
+        val p = r.getAs[Array[Byte]]("payload")
+        if (p == null) Row(r.getLong(0), null, null, null)
+        else {
+          val (w, h, luma) = FakeDecoder.decode(p)
+          Row(r.getLong(0), w, h, luma)
+        }
       }
     }
     spark.createDataFrame(rdd, featureSchema)
@@ -86,7 +92,11 @@ object Multimodal {
     val spark = withPayload.sparkSession
     val rdd = withPayload.select("doc_id", "payload").rdd.mapPartitions { it =>
       it.flatMap { r =>
+        // NULL payload → no frames (DuckDB's range(NULL) unnests to zero
+        // rows, so the oracle already agrees) — round-8 DegenerateSweepSpec
         val p = r.getAs[Array[Byte]]("payload")
+        if (p == null) Iterator.empty
+        else {
         val nFrames = (p.length + frameBytes - 1) / frameBytes
         (0 until nFrames by stride).iterator.map { f =>
           val start = f * frameBytes
@@ -95,6 +105,7 @@ object Multimodal {
           var i = start
           while (i < end) { sum += (p(i) & 0xff); i += 1 }
           Row(r.getLong(0), f.toLong, sum)
+        }
         }
       }
     }

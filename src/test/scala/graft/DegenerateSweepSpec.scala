@@ -128,4 +128,70 @@ class DegenerateSweepSpec extends SparkSpec {
     assert(failures.isEmpty,
       s"queries crashed on empty tables:\n${failures.mkString("\n")}")
   }
+
+  /** Third variant: one row per table with NULL in every non-key column
+    * (keys stay non-null so joins still resolve), plus one healthy row so
+    * aggregates see data. split(NULL), explode(NULL), percentile over
+    * NULL-heavy groups, NULL timestamps through window sorts — the shapes
+    * a 100 TB ingest WILL eventually contain.
+    */
+  private def writeNulls(dir: String): Unit = {
+    import spark.implicits._
+    Seq((0, Some("R0")), (1, None: Option[String]))
+      .toDF("r_regionkey", "r_name").write.parquet(s"$dir/region.parquet")
+    Seq((0, Some("N0"), Some(0)), (1, None: Option[String], None: Option[Int]))
+      .toDF("n_nationkey", "n_name", "n_regionkey").write.parquet(s"$dir/nation.parquet")
+    Seq((1L, Some("s"), Some(0), Some(1.0)),
+      (2L, None: Option[String], None: Option[Int], None: Option[Double]))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$dir/supplier.parquet")
+    Seq((1L, Some("c"), Some(0), Some(5.0), Some("SEG")),
+      (2L, None: Option[String], None: Option[Int], None: Option[Double],
+        None: Option[String]))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, Some("p"), Some("B"), Some("SMALL"), Some(1), Some(2.0)),
+      (2L, None: Option[String], None: Option[String], None: Option[String],
+        None: Option[Int], None: Option[Double]))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    Seq((1L, 1L, Some("F"), Some(3.0), Some(ts("1996-01-01")), Some("1-URGENT")),
+      (2L, 2L, None: Option[String], None: Option[Double],
+        None: Option[java.sql.Timestamp], None: Option[String]))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L, 1L, 1, Some(1.0), Some(2.0), Some(0.1), Some(0.0), Some("N"),
+        Some("O"), Some(ts("1996-01-01"))),
+      (2L, 2L, 2L, 2, None: Option[Double], None: Option[Double],
+        None: Option[Double], None: Option[Double], None: Option[String],
+        None: Option[String], None: Option[java.sql.Timestamp]))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((0L, Some(1704067200L * 1000000000L), Some(1L), Some("click"), Some(1.0),
+        Some("""{"k": 1}""")),
+      (1L, None: Option[Long], None: Option[Long], None: Option[String],
+        None: Option[Double], None: Option[String]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    Seq((0L, Some("w1 w2 w3"), Some("en"), Some("s0"), Some(8L)),
+      (1L, None: Option[String], None: Option[String], None: Option[String],
+        None: Option[Long]))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq((0L, Some(Seq.fill(64)(0.5f)), Some(1)),
+      (1L, None: Option[Seq[Float]], None: Option[Int]))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+  }
+
+  test("every registered query survives NULLs in all non-key columns") {
+    val d = Files.createTempDirectory("graft-degen-null-").toString
+    writeNulls(d)
+    val failures = sweep(d)
+    assert(failures.isEmpty,
+      s"queries crashed on NULL-laden rows:\n${failures.mkString("\n")}")
+  }
 }
