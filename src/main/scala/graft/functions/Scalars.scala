@@ -156,8 +156,12 @@ object Scalars {
             // the bad-row posture (round-8 sweep)
             try_element_at(col("m"), lit("k")).cast("long").as("k"))
           .orderBy("event_id"),
+      // oracle extracts the "k" field specifically and NULLIF-guards the
+      // cast: a digit-free or k-less props row must yield NULL (matching
+      // try_element_at), not a CAST('') error or a stray digit from
+      // another field (round-9 ADVICE fix)
       Some("""SELECT event_id,
-             |  CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k
+             |  CAST(NULLIF(regexp_extract(props, '"k"\s*:\s*(-?[0-9]+)', 1), '') AS BIGINT) AS k
              |FROM events ORDER BY event_id""".stripMargin)),
 
     QueryDef(
@@ -173,7 +177,8 @@ object Scalars {
           .orderBy("event_type"),
       Some(s"""SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(*) AS n,
               |  ${Exact.roundNSql("CAST(SUM(k) AS DOUBLE) / COUNT(*)", 4)} AS avg_k
-              |FROM (SELECT event_type, CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k
+              |FROM (SELECT event_type,
+              |        CAST(NULLIF(regexp_extract(props, '"k"\\s*:\\s*(-?[0-9]+)', 1), '') AS BIGINT) AS k
               |      FROM events) t
               |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 

@@ -527,10 +527,14 @@ object TextOps {
               |  ${Exact.roundNSql(
                  "1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)", 4)} AS rep_score
               |FROM (
+  -- concat_ws (NULL-skipping in DuckDB too), not ||: on 1-2 token docs
+  -- the padded last positions index past the list end and || would
+  -- NULL the whole gram while Spark's concat_ws keeps the short one
               |  SELECT doc_id, list_transform(
               |    range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-              |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
-              |         || ' ' || string_split(text, ' ')[i + 2]) AS grams
+              |    i -> concat_ws(' ', string_split(text, ' ')[i],
+              |                   string_split(text, ' ')[i + 1],
+              |                   string_split(text, ' ')[i + 2])) AS grams
               |  FROM documents) t
               |ORDER BY doc_id""".stripMargin)),
 
