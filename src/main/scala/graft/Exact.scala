@@ -35,6 +35,19 @@ object Exact {
   def roundNSql(expr: String, n: Int): String =
     s"CAST(ROUND(CAST($expr AS DECIMAL(38,10)), $n) AS DOUBLE)"
 
+  /** DuckDB twin of [[graft.functions.CosineSimilarity]]'s NULL contract:
+    * NULL when the vectors differ in length (raw `list_cosine_similarity`
+    * THROWS there, killing the whole oracle query on one ragged row) or
+    * when either norm is zero (DuckDB clamps the 0/0 NaN to -1.0; cosine
+    * with a zero vector is undefined, and NULL ranks last under DESC in
+    * both engines). Pinned by the round-9 degenerate parity sweep.
+    */
+  def cosineSqlGuarded(a: String, b: String): String =
+    s"CASE WHEN len($a) = len($b)" +
+      s" AND list_sum(list_transform($a, x -> x * x)) > 0" +
+      s" AND list_sum(list_transform($b, x -> x * x)) > 0" +
+      s" THEN list_cosine_similarity($a, $b) END"
+
   /** Order-insensitive sum of a money-like double (≤4 meaningful dp). */
   def sumDec(c: Column): Column = sum(c.cast("decimal(18,4)"))
 

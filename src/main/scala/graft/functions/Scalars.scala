@@ -82,7 +82,10 @@ object Scalars {
             Exact.roundN(abs(col("l_quantity") - 25d), 4).as("a"),
             ceil(col("l_extendedprice")).as("c"),
             floor(col("l_extendedprice")).as("f"),
-            Exact.roundN(sqrt(col("l_quantity")), 4).as("sq"),
+            // sqrt/ln guards (round-9 degenerate parity sweep): Spark's
+            // sqrt(<0) is NaN and log(<=0) is NULL, while DuckDB SQRT/LN
+            // THROW there — define both as NULL on both engines
+            Exact.roundN(when(col("l_quantity") >= 0d, sqrt(col("l_quantity"))), 4).as("sq"),
             Exact.roundN(log(col("l_extendedprice")), 4).as("lg"),
             Exact.roundN(exp(col("l_discount")), 4).as("ex"),
             Exact.roundN(pow(col("l_quantity"), 2d), 4).as("pw"))
@@ -91,8 +94,8 @@ object Scalars {
               |  ${Exact.roundNSql("ABS(l_quantity - 25)", 4)} AS a,
               |  CAST(CEIL(l_extendedprice) AS BIGINT) AS c,
               |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS f,
-              |  ${Exact.roundNSql("SQRT(l_quantity)", 4)} AS sq,
-              |  ${Exact.roundNSql("LN(l_extendedprice)", 4)} AS lg,
+              |  ${Exact.roundNSql("CASE WHEN l_quantity >= 0 THEN SQRT(l_quantity) END", 4)} AS sq,
+              |  ${Exact.roundNSql("CASE WHEN l_extendedprice > 0 THEN LN(l_extendedprice) END", 4)} AS lg,
               |  ${Exact.roundNSql("EXP(l_discount)", 4)} AS ex,
               |  ${Exact.roundNSql("POW(l_quantity, 2)", 4)} AS pw
               |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
@@ -202,8 +205,13 @@ object Scalars {
         Tables.part(s, d)
           .select(
             col("p_partkey"),
-            format_string("%s-%07d", col("p_brand"), col("p_partkey")).as("sku"),
-            format_string("%08.2f", col("p_retailprice")).as("price_pad"),
+            // NULL-in → NULL-out, like DuckDB's printf: Spark's
+            // format_string instead renders NULL args as text ("null" /
+            // a truncated pad) — round-9 degenerate parity sweep
+            when(col("p_brand").isNotNull,
+              format_string("%s-%07d", col("p_brand"), col("p_partkey"))).as("sku"),
+            when(col("p_retailprice").isNotNull,
+              format_string("%08.2f", col("p_retailprice"))).as("price_pad"),
             concat_ws("/", col("p_brand"), col("p_type")).as("path"))
           .orderBy("p_partkey"),
       Some("""SELECT p_partkey,

@@ -27,12 +27,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
   // callers guarantee array<double> inputs (see VectorExpressions.cosine)
   override def dataType: DataType = DoubleType
 
+  // NULL beyond the children's nulls: mismatched dims / zero norm
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_cosine"
 
+  /** Cosine is UNDEFINED — NULL, not a truncated or NaN number — when the
+    * vectors differ in length (a ragged embedding row is malformed data; a
+    * silent min-length dot product would rank it with a wrong similarity)
+    * or when either norm is zero (0/0). Pinned cross-engine by the round-9
+    * degenerate parity sweep: the oracle twin is Exact.cosineSqlGuarded
+    * (DuckDB's raw list_cosine_similarity instead THROWS on ragged pairs
+    * and clamps the zero-vector NaN to -1.0). NULL similarities rank last
+    * under `DESC` in both engines, so top-k stays aligned.
+    */
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -40,7 +53,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (nx == 0.0 || ny == 0.0) null
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -53,14 +67,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $x.getDouble($i);
-         |  double $yi = $y.getDouble($i);
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = $x.getDouble($i);
+         |    double $yi = $y.getDouble($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  if ($nx == 0.0 || $ny == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 

@@ -583,9 +583,9 @@ object Dedup {
       },
       Some(s"""SELECT vec_id, best_prior_id, sim, sim >= 0.95 AS is_dup FROM (
               |  SELECT q.vec_id, c.vec_id AS best_prior_id,
-              |    ${Exact.roundNSql("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))", 4)} AS sim,
+              |    ${Exact.roundNSql(Exact.cosineSqlGuarded("CAST(q.embedding AS DOUBLE[])", "CAST(c.embedding AS DOUBLE[])"), 4)} AS sim,
               |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-              |      ${Exact.roundNSql("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))", 4)} DESC,
+              |      ${Exact.roundNSql(Exact.cosineSqlGuarded("CAST(q.embedding AS DOUBLE[])", "CAST(c.embedding AS DOUBLE[])"), 4)} DESC,
               |      c.vec_id) AS rn
               |  FROM embeddings q JOIN embeddings c ON c.vec_id < q.vec_id
               |  WHERE q.vec_id < 200) t

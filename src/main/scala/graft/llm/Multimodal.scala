@@ -149,11 +149,15 @@ object Multimodal {
           Exact.roundN(col("mean_luma"), 4).as("mean_luma"))
           .orderBy("doc_id")
       },
+      // FakeDecoder defines an EMPTY payload as luma 0.0 (a black frame),
+      // where DuckDB's list-sum over the empty range is NULL — hence the
+      // CASE's zero branch; a NULL text stays NULL on both sides (ELSE
+      // branch). Round-9 degenerate parity sweep.
       Some(s"""SELECT doc_id,
               |  64 + (ascii(substring(text, 1, 1)) % 128) AS width,
               |  64 + (ascii(substring(text, 2, 1)) % 128) AS height,
               |  ${Exact.roundNSql(
-                 "list_sum(list_transform(range(1, length(text)+1), i -> ascii(substring(text, i, 1)))) * 1.0 / length(text)", 4)} AS mean_luma
+                 "CASE WHEN length(text) = 0 THEN 0.0 ELSE list_sum(list_transform(range(1, length(text)+1), i -> ascii(substring(text, i, 1)))) * 1.0 / length(text) END", 4)} AS mean_luma
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Frame sampling as a declared query: every 4th 16-byte frame of the

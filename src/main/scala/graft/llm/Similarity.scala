@@ -38,7 +38,9 @@ object Similarity {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
     val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
-    dot / (na * nb)
+    // same NULL contract as the native expression: mismatched dims or a
+    // zero norm are undefined, not a truncated dot / NaN (round-9 sweep)
+    when(size(a) === size(b) && na > 0d && nb > 0d, dot / (na * nb))
   }
 
   /** IVF nprobe=1 top-5 per query (vec_id < 10): deterministic seed
@@ -98,9 +100,9 @@ object Similarity {
   private val topKOracle: String =
     s"""SELECT query_id, neighbor_id, sim FROM (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    ${Exact.roundNSql("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))", 4)} AS sim,
+       |    ${Exact.roundNSql(Exact.cosineSqlGuarded("CAST(q.embedding AS DOUBLE[])", "CAST(c.embedding AS DOUBLE[])"), 4)} AS sim,
        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-       |      ${Exact.roundNSql("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))", 4)} DESC,
+       |      ${Exact.roundNSql(Exact.cosineSqlGuarded("CAST(q.embedding AS DOUBLE[])", "CAST(c.embedding AS DOUBLE[])"), 4)} DESC,
        |      c.vec_id) AS rn
        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
        |  WHERE q.vec_id < 10) t
@@ -305,15 +307,15 @@ object Similarity {
               |  SELECT vec_id, emb, cell FROM (
               |    SELECT e.vec_id, e.emb, c.cent_id AS cell,
               |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-              |        ${Exact.roundNSql("list_cosine_similarity(e.emb, c.cent)", 4)} DESC,
+              |        ${Exact.roundNSql(Exact.cosineSqlGuarded("e.emb", "c.cent"), 4)} DESC,
               |        c.cent_id) AS arn
               |    FROM e CROSS JOIN cents c) t
               |  WHERE arn = 1)
               |SELECT query_id, cell, neighbor_id, sim FROM (
               |  SELECT q.vec_id AS query_id, q.cell, c.vec_id AS neighbor_id,
-              |    ${Exact.roundNSql("list_cosine_similarity(q.emb, c.emb)", 4)} AS sim,
+              |    ${Exact.roundNSql(Exact.cosineSqlGuarded("q.emb", "c.emb"), 4)} AS sim,
               |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-              |      ${Exact.roundNSql("list_cosine_similarity(q.emb, c.emb)", 4)} DESC,
+              |      ${Exact.roundNSql(Exact.cosineSqlGuarded("q.emb", "c.emb"), 4)} DESC,
               |      c.vec_id) AS rn
               |  FROM assigned q JOIN assigned c
               |    ON c.cell = q.cell AND c.vec_id <> q.vec_id
@@ -348,7 +350,7 @@ object Similarity {
               |  SELECT vec_id, emb, cell FROM (
               |    SELECT e.vec_id, e.emb, c.cent_id AS cell,
               |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-              |        ${Exact.roundNSql("list_cosine_similarity(e.emb, c.cent)", 4)} DESC,
+              |        ${Exact.roundNSql(Exact.cosineSqlGuarded("e.emb", "c.cent"), 4)} DESC,
               |        c.cent_id) AS arn
               |    FROM e CROSS JOIN cents c) t
               |  WHERE arn = 1),
@@ -356,7 +358,7 @@ object Similarity {
               |  SELECT query_id, neighbor_id FROM (
               |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
               |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-              |        ${Exact.roundNSql("list_cosine_similarity(q.emb, c.emb)", 4)} DESC,
+              |        ${Exact.roundNSql(Exact.cosineSqlGuarded("q.emb", "c.emb"), 4)} DESC,
               |        c.vec_id) AS rn
               |    FROM assigned q JOIN assigned c
               |      ON c.cell = q.cell AND c.vec_id <> q.vec_id
@@ -366,7 +368,7 @@ object Similarity {
               |  SELECT query_id, neighbor_id FROM (
               |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
               |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-              |        ${Exact.roundNSql("list_cosine_similarity(q.emb, c.emb)", 4)} DESC,
+              |        ${Exact.roundNSql(Exact.cosineSqlGuarded("q.emb", "c.emb"), 4)} DESC,
               |        c.vec_id) AS rn
               |    FROM e q JOIN e c ON c.vec_id <> q.vec_id
               |    WHERE q.vec_id < 10) t
@@ -399,7 +401,7 @@ object Similarity {
               |  SELECT vec_id, emb, cell FROM (
               |    SELECT e.vec_id, e.emb, c.cent_id AS cell,
               |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-              |        ${Exact.roundNSql("list_cosine_similarity(e.emb, c.cent)", 4)} DESC,
+              |        ${Exact.roundNSql(Exact.cosineSqlGuarded("e.emb", "c.cent"), 4)} DESC,
               |        c.cent_id) AS arn
               |    FROM e CROSS JOIN cents c) t
               |  WHERE arn = 1),
@@ -432,7 +434,7 @@ object Similarity {
       },
       Some(s"""SELECT e.vec_id,
               |  ${Exact.roundNSql(
-                 "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)", 4)} AS sim
+                 Exact.cosineSqlGuarded("CAST(e.embedding AS DOUBLE[])", "q.qe"), 4)} AS sim
               |FROM embeddings e
               |CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qe
               |            FROM embeddings WHERE vec_id = 0) q

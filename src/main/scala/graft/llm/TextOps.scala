@@ -538,13 +538,14 @@ object TextOps {
               |  FROM documents) t
               |ORDER BY doc_id""".stripMargin)),
 
-    // Document-length histogram (100-char integer bins — exact integer
-    // division, no float-boundary risk): the length-distribution snapshot a
-    // curation pipeline uses to pick truncation/filter thresholds.
-    // floor(), not a bare long cast: the oracle's `//` FLOORS while
-    // cast-of-double TRUNCATES toward zero — identical on the fixture's
-    // non-negative lengths, divergent on any negative input
-    // (round-8 harmonization, pinned in BinBoundaryFuzzSpec).
+    // Document-length histogram (100-char integer bins): the
+    // length-distribution snapshot a curation pipeline uses to pick
+    // truncation/filter thresholds. FLOOR binning on both sides — the
+    // round-8 comment claimed DuckDB's integer `//` floors, but it
+    // TRUNCATES toward zero (-5 // 100 = 0, not -1); the round-9
+    // degenerate parity sweep caught the divergence on a negative
+    // n_chars, so the oracle now floors over an exact double division
+    // (n_chars ≪ 2^53, so the division is exact).
     QueryDef(
       "text_length_histogram",
       (s, d) =>
@@ -553,7 +554,7 @@ object TextOps {
           .agg(count(lit(1)).as("n_docs"),
             min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
           .orderBy("bin_100c"),
-      Some("""SELECT n_chars // 100 AS bin_100c, COUNT(*) AS n_docs,
+      Some("""SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bin_100c, COUNT(*) AS n_docs,
              |  MIN(n_chars) AS mn, MAX(n_chars) AS mx
              |FROM documents GROUP BY 1 ORDER BY bin_100c""".stripMargin)),
 

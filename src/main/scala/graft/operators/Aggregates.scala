@@ -117,6 +117,15 @@ object Aggregates {
               |  FROM customer GROUP BY c_mktsegment) t
               |ORDER BY c_mktsegment""".stripMargin)),
 
+    // KNOWN ENGINE-DEFINED DIVERGENCE (rollup/cube/grouping_sets, round-9
+    // degenerate parity sweep): over an EMPTY relation the SQL standard —
+    // and DuckDB/Postgres — still emit the () grouping set's grand-total
+    // row (count 0, NULL keys); Spark's Expand+Aggregate emits zero rows.
+    // Matching the standard would take a second global aggregation pass
+    // unioned in per query — a real cost at 100 TB for a zero-row corner —
+    // so these three queries document Spark's semantics instead; the sweep
+    // (tools/degen_preflight.sh) carries them as expected divergences on
+    // the empty set only.
     QueryDef(
       "agg_rollup",
       (s, d) => {
@@ -250,17 +259,24 @@ object Aggregates {
           .select(
             col("l_returnflag"),
             // nullif: a zero-variance side makes the denominator 0 — ANSI
-            // would kill the job; DuckDB's /0 is NULL (round-8 sweep)
+            // would kill the job; DuckDB's /0 is NULL (round-8 sweep).
+            // greatest(_, 0): the closed-form variance of a near-constant
+            // column can land ~-1e-18 from double cancellation (1·0.01 −
+            // 0.1² < 0), where DuckDB SQRT throws — clamp on both engines,
+            // and the nullif already maps the resulting 0 to NULL corr
+            // (round-9 degenerate parity sweep)
             Exact.roundN(
               (col("n") * col("sxy") - col("sx") * col("sy")) /
-                nullif(sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-                  sqrt(col("n") * col("syy") - col("sy") * col("sy")), lit(0.0d)), 4)
+                nullif(
+                  sqrt(greatest(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0d))) *
+                    sqrt(greatest(col("n") * col("syy") - col("sy") * col("sy"), lit(0.0d))),
+                  lit(0.0d)), 4)
               .as("corr_qd"))
           .orderBy("l_returnflag")
       },
       Some(s"""SELECT l_returnflag,
               |  ${Exact.roundNSql(
-                 "(n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))", 4)} AS corr_qd
+                 "(n * sxy - sx * sy) / (SQRT(GREATEST(n * sxx - sx * sx, 0)) * SQRT(GREATEST(n * syy - sy * sy, 0)))", 4)} AS corr_qd
               |FROM (
               |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
               |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
@@ -280,7 +296,13 @@ object Aggregates {
         Tables.customer(s, d)
           .filter(col("c_custkey") < 50)
           .groupBy(col("c_mktsegment"))
-          .agg(array_join(sort_array(collect_list(col("c_name"))), ",").as("names"))
+          .agg(sort_array(collect_list(col("c_name"))).as("arr"))
+          // listagg over zero non-NULL names is NULL (the standard, and
+          // DuckDB's string_agg), not '' — collect_list skips NULLs so an
+          // all-NULL group otherwise yields the empty string (round-9
+          // degenerate parity sweep)
+          .select(col("c_mktsegment"),
+            when(size(col("arr")) > 0, array_join(col("arr"), ",")).as("names"))
           .orderBy("c_mktsegment"),
       Some("""SELECT c_mktsegment, string_agg(c_name, ',' ORDER BY c_name) AS names
              |FROM customer WHERE c_custkey < 50
@@ -793,18 +815,22 @@ object Aggregates {
             max_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey"))).as("richest"),
             min_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey"))).as("poorest"))
           .orderBy("c_nationkey"),
+      // explicit NULLS FIRST/LAST: Spark's struct comparison orders NULL
+      // as SMALLEST in both directions, and the hi/lo join must be
+      // null-safe (IS NOT DISTINCT FROM) or the NULL nationkey group
+      // vanishes — round-9 degenerate parity sweep
       Some("""WITH ranked AS (
              |  SELECT c_nationkey, c_name,
              |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
-             |      ORDER BY c_acctbal DESC, c_custkey DESC) AS rhi,
+             |      ORDER BY c_acctbal DESC NULLS LAST, c_custkey DESC) AS rhi,
              |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
-             |      ORDER BY c_acctbal ASC, c_custkey ASC) AS rlo
+             |      ORDER BY c_acctbal ASC NULLS FIRST, c_custkey ASC) AS rlo
              |  FROM customer)
              |SELECT hi.c_nationkey, hi.c_name AS richest, lo.c_name AS poorest
              |FROM (SELECT c_nationkey, c_name FROM ranked WHERE rhi = 1) hi
              |JOIN (SELECT c_nationkey, c_name FROM ranked WHERE rlo = 1) lo
-             |  USING (c_nationkey)
-             |ORDER BY c_nationkey""".stripMargin)),
+             |  ON hi.c_nationkey IS NOT DISTINCT FROM lo.c_nationkey
+             |ORDER BY hi.c_nationkey""".stripMargin)),
 
     // Conditional counting — count_if in both engines (COUNT semantics, so
     // no HUGEINT widening; CAST kept for the dtype discipline anyway).

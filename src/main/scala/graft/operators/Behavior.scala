@@ -295,7 +295,11 @@ object Behavior {
     QueryDef(
       "ts_cumulative_users",
       (s, d) => {
-        val e = Tables.events(s, d)
+        // ts IS NOT NULL: an event with no timestamp has no day, so it can
+        // neither open a user's first_day nor contribute a spine row — and
+        // a NULL day would sort FIRST in Spark but LAST in DuckDB, skewing
+        // every cumulative count (round-9 degenerate parity sweep)
+        val e = Tables.events(s, d).filter(col("ts").isNotNull)
         val perDay = e.groupBy(col("user_id"))
           .agg(min(col("ts").cast("date")).as("first_day"))
           .groupBy(col("first_day").as("day"))
@@ -310,9 +314,9 @@ object Behavior {
       },
       Some("""WITH fu AS (
              |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
-             |  FROM events GROUP BY 1),
+             |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
              |pd AS (SELECT first_day AS day, COUNT(*) AS n FROM fu GROUP BY 1),
-             |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+             |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events WHERE ts IS NOT NULL)
              |SELECT day, CAST(SUM(COALESCE(n, 0)) OVER (
              |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
              |FROM days LEFT JOIN pd USING (day) ORDER BY day""".stripMargin)),

@@ -168,11 +168,17 @@ object Windows {
         val c = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
         val stats = c.agg(min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
         val bucketed = c.crossJoin(broadcast(stats))
+          // NULL balances get their own bucket BELOW the range (-1): they
+          // must survive the equi-join on bkt (a NULL bkt row would
+          // silently vanish) and rank first, matching Spark's
+          // NULL-smallest sort — the oracle says NULLS FIRST explicitly
+          // because DuckDB defaults to NULLS LAST (round-9 parity sweep)
           .withColumn("bkt",
-            when(col("hi") === col("lo"), lit(0)).otherwise(
-              least(lit(buckets - 1),
-                floor((col("c_acctbal") - col("lo")) * buckets /
-                  (col("hi") - col("lo"))).cast("int"))))
+            when(col("c_acctbal").isNull, lit(-1))
+              .when(col("hi") === col("lo"), lit(0)).otherwise(
+                least(lit(buckets - 1),
+                  floor((col("c_acctbal") - col("lo")) * buckets /
+                    (col("hi") - col("lo"))).cast("int"))))
         val wIn = Window.partitionBy(col("bkt"))
           .orderBy(col("c_acctbal"), col("c_custkey"))
         val ranked = bucketed.withColumn("rn", row_number().over(wIn))
@@ -192,7 +198,7 @@ object Windows {
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_acctbal,
-             |  NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+             |  NTILE(4) OVER (ORDER BY c_acctbal NULLS FIRST, c_custkey) AS quartile
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
     // Gaps-and-islands: maximal runs of the same event_type per user in

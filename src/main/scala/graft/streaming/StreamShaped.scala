@@ -27,9 +27,14 @@ object StreamShaped {
           .agg(count(lit(1)).as("n"), Exact.sumMoney2(col("value")).as("sum_value"))
           .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
           .orderBy("window_start", "event_type"),
+      // `WHERE ts IS NOT NULL` in this and the other stream-window oracles:
+      // Spark's window()/session_window() DROP rows with a NULL event time
+      // (no time ⇒ no window — the streaming semantic), while date_trunc
+      // would keep them as a NULL group (round-9 degenerate parity sweep)
       Some(s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
               |  COUNT(*) AS n, ${Exact.sumMoney2Sql("value")} AS sum_value
-              |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+              |FROM events WHERE ts IS NOT NULL
+              |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
 
     // 1-hour windows sliding every 30 min: each event lands in exactly two
     // windows; the oracle unions the two 30-min-aligned starts.
@@ -42,9 +47,9 @@ object StreamShaped {
           .select(col("w.start").as("window_start"), col("n"))
           .orderBy("window_start"),
       Some("""SELECT window_start, COUNT(*) AS n FROM (
-             |  SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 1800) * 1800 AS BIGINT)) AS TIMESTAMP) AS window_start FROM events
+             |  SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 1800) * 1800 AS BIGINT)) AS TIMESTAMP) AS window_start FROM events WHERE ts IS NOT NULL
              |  UNION ALL
-             |  SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)) AS TIMESTAMP) FROM events) t
+             |  SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)) AS TIMESTAMP) FROM events WHERE ts IS NOT NULL) t
              |GROUP BY window_start ORDER BY window_start""".stripMargin)),
 
     // Per-user session windows, 30-min gap, on second-truncated ts. Oracle
@@ -64,7 +69,7 @@ object StreamShaped {
           .orderBy("user_id", "session_start"),
       Some("""WITH e AS (
              |  SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS t, event_id
-             |  FROM events),
+             |  FROM events WHERE ts IS NOT NULL),
              |m AS (
              |  SELECT user_id, t, event_id,
              |    CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL

@@ -1,110 +1,21 @@
 package graft
 
 import java.nio.file.Files
-import org.apache.spark.sql.types._
 
 /** Whole-surface degenerate sweep (round-8 hardening): run EVERY
-  * registered query against two adversarial table sets and assert none
-  * throws. This is the shotgun that would have caught all four of this
-  * round's crash classes (ANSI divide-by-zero in ten closed forms, the
+  * registered query against the three adversarial table sets in
+  * [[DegenTables]] (tiny / empty / NULL-laden) and assert none throws.
+  * This is the shotgun that would have caught all four of round 8's
+  * crash classes (ANSI divide-by-zero in ten closed forms, the
   * quantizer's zero dynamic range, out-of-bounds element_at on short
-  * docs, the Benford "-" cast) before a user hit them:
+  * docs, the Benford "-" cast) before a user hit them.
   *
-  *  - "tiny": schema-complete single-row / zero-value / empty-text /
-  *    zero-vector / short-vector rows — single-row groups, zero sums,
-  *    zero variances, degenerate strings and vectors everywhere;
-  *  - "empty": every table present with the right schema and ZERO rows —
-  *    aggregates over nothing, NULL min/max driving spine generation,
-  *    windows over empty partitions.
-  *
-  * No output values are asserted — correctness belongs to the oracle and
-  * the per-family fuzz suites; this sweep pins only "no input shaped
-  * like this kills the job".
+  * No output values are asserted here — value-level parity on the same
+  * three sets is the round-9 oracle sweep (tools/degen_preflight.sh →
+  * DEGENERATE_PREFLIGHT_r09.log); this suite pins only "no input shaped
+  * like this kills the job", cheaply, on every `sbt test`.
   */
 class DegenerateSweepSpec extends SparkSpec {
-
-  private def ts(s: String) = java.sql.Timestamp.valueOf(s"$s 00:00:00")
-
-  private def writeTiny(dir: String): Unit = {
-    import spark.implicits._
-    Seq((0, "ALL"), (1, "R1"))
-      .toDF("r_regionkey", "r_name").write.parquet(s"$dir/region.parquet")
-    Seq((0, "ALL", 0), (1, "N1", 1))
-      .toDF("n_nationkey", "n_name", "n_regionkey").write.parquet(s"$dir/nation.parquet")
-    Seq((1L, "s", 0, 0.0))
-      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
-      .write.parquet(s"$dir/supplier.parquet")
-    Seq((1L, "c", 0, 0.0, "SEG")) // one customer: n=1 groups, zero balance
-      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
-      .write.parquet(s"$dir/customer.parquet")
-    Seq((1L, "p", "Brand#2", "SMALL", 0, 0.0))
-      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
-      .write.parquet(s"$dir/part.parquet")
-    Seq((1L, 1L, "F", 0.0, ts("1996-01-01"), "1-URGENT")) // zero price
-      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-        "o_orderdate", "o_orderpriority")
-      .write.parquet(s"$dir/orders.parquet")
-    Seq((1L, 1L, 1L, 1, 0.0, 0.0, 0.0, 0.0, "N", "O", ts("1996-01-01")))
-      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
-        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
-        "l_shipdate") // zero quantity AND zero price: zero weight sums
-      .write.parquet(s"$dir/lineitem.parquet")
-    Seq((0L, 1704067200L * 1000000000L, 1L, "click", 0.0, """{"x":1}"""))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.parquet(s"$dir/events.parquet") // ONE event: n=1 everything
-    Seq((0L, "", "en", "s0", 0L), // empty text
-      (1L, " ", "en", "s0", -5L), // whitespace-only + negative n_chars
-      (2L, "w", "fr", "s1", 1L)) // single 1-char token
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.parquet(s"$dir/documents.parquet")
-    Seq((0L, Seq.fill(64)(0.0f), 0), // ZERO vector (query side!)
-      (1L, Seq(0.5f, 0.25f), 1), // short vector
-      (2L, Seq.fill(64)(0.125f), 1)) // all-equal vector
-      .toDF("vec_id", "embedding", "label")
-      .write.parquet(s"$dir/embeddings.parquet")
-  }
-
-  private def writeEmpty(dir: String): Unit = {
-    def empty(schema: StructType, name: String): Unit =
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .write.parquet(s"$dir/$name.parquet")
-    empty(StructType(Seq(StructField("r_regionkey", IntegerType),
-      StructField("r_name", StringType))), "region")
-    empty(StructType(Seq(StructField("n_nationkey", IntegerType),
-      StructField("n_name", StringType), StructField("n_regionkey", IntegerType))), "nation")
-    empty(StructType(Seq(StructField("s_suppkey", LongType),
-      StructField("s_name", StringType), StructField("s_nationkey", IntegerType),
-      StructField("s_acctbal", DoubleType))), "supplier")
-    empty(StructType(Seq(StructField("c_custkey", LongType),
-      StructField("c_name", StringType), StructField("c_nationkey", IntegerType),
-      StructField("c_acctbal", DoubleType), StructField("c_mktsegment", StringType))),
-      "customer")
-    empty(StructType(Seq(StructField("p_partkey", LongType),
-      StructField("p_name", StringType), StructField("p_brand", StringType),
-      StructField("p_type", StringType), StructField("p_size", IntegerType),
-      StructField("p_retailprice", DoubleType))), "part")
-    empty(StructType(Seq(StructField("o_orderkey", LongType),
-      StructField("o_custkey", LongType), StructField("o_orderstatus", StringType),
-      StructField("o_totalprice", DoubleType), StructField("o_orderdate", TimestampType),
-      StructField("o_orderpriority", StringType))), "orders")
-    empty(StructType(Seq(StructField("l_orderkey", LongType),
-      StructField("l_partkey", LongType), StructField("l_suppkey", LongType),
-      StructField("l_linenumber", IntegerType), StructField("l_quantity", DoubleType),
-      StructField("l_extendedprice", DoubleType), StructField("l_discount", DoubleType),
-      StructField("l_tax", DoubleType), StructField("l_returnflag", StringType),
-      StructField("l_linestatus", StringType), StructField("l_shipdate", TimestampType))),
-      "lineitem")
-    empty(StructType(Seq(StructField("event_id", LongType),
-      StructField("ts", LongType), StructField("user_id", LongType),
-      StructField("event_type", StringType), StructField("value", DoubleType),
-      StructField("props", StringType))), "events")
-    empty(StructType(Seq(StructField("doc_id", LongType),
-      StructField("text", StringType), StructField("lang", StringType),
-      StructField("source", StringType), StructField("n_chars", LongType))), "documents")
-    empty(StructType(Seq(StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType)), StructField("label", IntegerType))),
-      "embeddings")
-  }
 
   private def sweep(dir: String): Seq[(String, String)] =
     Registry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
@@ -115,7 +26,7 @@ class DegenerateSweepSpec extends SparkSpec {
 
   test("every registered query survives the tiny degenerate tables") {
     val d = Files.createTempDirectory("graft-degen-tiny-").toString
-    writeTiny(d)
+    DegenTables.writeTiny(spark, d)
     val failures = sweep(d)
     assert(failures.isEmpty,
       s"queries crashed on degenerate rows:\n${failures.mkString("\n")}")
@@ -123,7 +34,7 @@ class DegenerateSweepSpec extends SparkSpec {
 
   test("every registered query survives completely empty tables") {
     val d = Files.createTempDirectory("graft-degen-empty-").toString
-    writeEmpty(d)
+    DegenTables.writeEmpty(spark, d)
     val failures = sweep(d)
     assert(failures.isEmpty,
       s"queries crashed on empty tables:\n${failures.mkString("\n")}")
@@ -135,61 +46,9 @@ class DegenerateSweepSpec extends SparkSpec {
     * NULL-heavy groups, NULL timestamps through window sorts — the shapes
     * a 100 TB ingest WILL eventually contain.
     */
-  private def writeNulls(dir: String): Unit = {
-    import spark.implicits._
-    Seq((0, Some("R0")), (1, None: Option[String]))
-      .toDF("r_regionkey", "r_name").write.parquet(s"$dir/region.parquet")
-    Seq((0, Some("N0"), Some(0)), (1, None: Option[String], None: Option[Int]))
-      .toDF("n_nationkey", "n_name", "n_regionkey").write.parquet(s"$dir/nation.parquet")
-    Seq((1L, Some("s"), Some(0), Some(1.0)),
-      (2L, None: Option[String], None: Option[Int], None: Option[Double]))
-      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
-      .write.parquet(s"$dir/supplier.parquet")
-    Seq((1L, Some("c"), Some(0), Some(5.0), Some("SEG")),
-      (2L, None: Option[String], None: Option[Int], None: Option[Double],
-        None: Option[String]))
-      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
-      .write.parquet(s"$dir/customer.parquet")
-    Seq((1L, Some("p"), Some("B"), Some("SMALL"), Some(1), Some(2.0)),
-      (2L, None: Option[String], None: Option[String], None: Option[String],
-        None: Option[Int], None: Option[Double]))
-      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
-      .write.parquet(s"$dir/part.parquet")
-    Seq((1L, 1L, Some("F"), Some(3.0), Some(ts("1996-01-01")), Some("1-URGENT")),
-      (2L, 2L, None: Option[String], None: Option[Double],
-        None: Option[java.sql.Timestamp], None: Option[String]))
-      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-        "o_orderdate", "o_orderpriority")
-      .write.parquet(s"$dir/orders.parquet")
-    Seq((1L, 1L, 1L, 1, Some(1.0), Some(2.0), Some(0.1), Some(0.0), Some("N"),
-        Some("O"), Some(ts("1996-01-01"))),
-      (2L, 2L, 2L, 2, None: Option[Double], None: Option[Double],
-        None: Option[Double], None: Option[Double], None: Option[String],
-        None: Option[String], None: Option[java.sql.Timestamp]))
-      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
-        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
-        "l_shipdate")
-      .write.parquet(s"$dir/lineitem.parquet")
-    Seq((0L, Some(1704067200L * 1000000000L), Some(1L), Some("click"), Some(1.0),
-        Some("""{"k": 1}""")),
-      (1L, None: Option[Long], None: Option[Long], None: Option[String],
-        None: Option[Double], None: Option[String]))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.parquet(s"$dir/events.parquet")
-    Seq((0L, Some("w1 w2 w3"), Some("en"), Some("s0"), Some(8L)),
-      (1L, None: Option[String], None: Option[String], None: Option[String],
-        None: Option[Long]))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.parquet(s"$dir/documents.parquet")
-    Seq((0L, Some(Seq.fill(64)(0.5f)), Some(1)),
-      (1L, None: Option[Seq[Float]], None: Option[Int]))
-      .toDF("vec_id", "embedding", "label")
-      .write.parquet(s"$dir/embeddings.parquet")
-  }
-
   test("every registered query survives NULLs in all non-key columns") {
     val d = Files.createTempDirectory("graft-degen-null-").toString
-    writeNulls(d)
+    DegenTables.writeNulls(spark, d)
     val failures = sweep(d)
     assert(failures.isEmpty,
       s"queries crashed on NULL-laden rows:\n${failures.mkString("\n")}")

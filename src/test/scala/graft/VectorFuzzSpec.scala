@@ -10,31 +10,39 @@ import scala.math.BigDecimal.RoundingMode
   *  1. The native codegen'd `graft_cosine` expression on adversarial
   *     values — negatives, extreme magnitudes, length-mismatched arrays —
   *     must stay bit-identical to an independent left-to-right reference
-  *     fold (the summation-order contract in VectorExpressions.scala).
+  *     fold (the summation-order contract in VectorExpressions.scala),
+  *     and must return NULL — not a truncated dot product or NaN — on
+  *     the two undefined shapes: mismatched dimensions and a zero-norm
+  *     side (the round-9 NULL contract, mirrored by the DuckDB oracle
+  *     twin Exact.cosineSqlGuarded).
   *  2. `sim_cosine_topk`'s rank is computed on the 4dp-ROUNDED similarity
   *     with neighbor_id as the tie-break, so vectors whose true cosines
   *     differ only past the 4th decimal must rank by ID, exact duplicates
   *     must tie at 1.0, and ZERO vectors (legal in a 100 TB embedding
-  *     corpus: dead inputs, padding rows) must degrade, not crash: under
-  *     ANSI, NaN = 0/0 casts to NULL in Exact.roundN, and NULL sims sort
-  *     LAST under the descending rank (probed empirically; pinned here so
-  *     a conf or Spark-version change that flips either behavior fails
-  *     loudly instead of silently reordering top-k output).
+  *     corpus: dead inputs, padding rows) must degrade, not crash: the
+  *     expression returns NULL for a zero norm (round-9 contract — was
+  *     previously NaN that the ANSI decimal cast turned NULL), and NULL
+  *     sims sort LAST under the descending rank (pinned here so a conf or
+  *     Spark-version change that flips either behavior fails loudly
+  *     instead of silently reordering top-k output).
   */
 class VectorFuzzSpec extends SparkSpec {
 
-  /** Reference fold in the declared summation order (left-to-right,
-    * min-length zip) — independent of both the codegen and HOF paths.
+  /** Reference fold in the declared summation order (left-to-right) —
+    * independent of both the codegen and HOF paths. None on the two
+    * undefined shapes (mismatched dims, zero norm), per the round-9
+    * NULL contract.
     */
-  private def refCosine(a: Seq[Double], b: Seq[Double]): Double = {
-    val n = math.min(a.length, b.length)
+  private def refCosine(a: Seq[Double], b: Seq[Double]): Option[Double] = {
+    if (a.length != b.length) return None
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
-    while (i < n) {
+    while (i < a.length) {
       dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i)
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (nx == 0.0 || ny == 0.0) None
+    else Some(dot / (math.sqrt(nx) * math.sqrt(ny)))
   }
 
   /** Exact.roundN(_, 4) twin: double → decimal(38,10) → round 4 → double,
@@ -51,21 +59,28 @@ class VectorFuzzSpec extends SparkSpec {
     val rnd = new scala.util.Random(5L)
     val cases: Seq[(Seq[Double], Seq[Double])] = Seq(
       (Seq(1e150, -1e150, 2e150), Seq(1e-150, 1e150, -3e150)),  // extreme magnitudes
-      (Seq(1e-300, 2e-300), Seq(3e-300, -1e-300)),              // subnormal territory
+      (Seq(1e-300, 2e-300), Seq(3e-300, -1e-300)),              // subnormal: x·x underflows
+                                                                //  to 0 → zero norm → NULL
       (Seq(-1.0, -2.0, -3.0), Seq(-1.0, -2.0, -3.0)),           // all-negative self
-      (Seq(1.0, 2.0, 3.0, 4.0), Seq(1.0, 2.0)),                 // length mismatch → min
-      (Seq(0.3, -0.7), Seq(0.7, 0.3))                           // orthogonal
+      (Seq(1.0, 2.0, 3.0, 4.0), Seq(1.0, 2.0)),                 // length mismatch → NULL
+      (Seq(0.0, 0.0, 0.0), Seq(1.0, 2.0, 3.0)),                 // zero left norm → NULL
+      (Seq(1.0, 2.0, 3.0), Seq(0.0, 0.0, 0.0)),                 // zero right norm → NULL
+      (Seq(0.3, -0.7), Seq(0.7, 0.3))                           // orthogonal (0.0, NOT NULL)
     ) ++ (0 until 40).map { _ =>
       (Seq.fill(16)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(9) - 4)),
         Seq.fill(16)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(9) - 4)))
     }
     val df = cases.toDF("a", "b")
     val got = df.select(llm.Similarity.cosine(col("a"), col("b")).as("s"))
-      .collect().map(_.getDouble(0))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    // Four undefined shapes: mismatch, both explicit zero vectors, and the
+    // subnormal pair whose squared norms underflow to 0.0 — the underflow
+    // NULL is the contract working as designed (0/0 was never a cosine).
+    assert(got.count(_.isEmpty) === 4, "exactly the four undefined shapes must be NULL")
     cases.zip(got).foreach { case ((a, b), g) =>
       val want = refCosine(a, b)
-      assert(java.lang.Double.doubleToRawLongBits(g) ===
-        java.lang.Double.doubleToRawLongBits(want),
+      assert(g.map(java.lang.Double.doubleToRawLongBits) ===
+        want.map(java.lang.Double.doubleToRawLongBits),
         s"cosine($a, $b): got $g, reference $want")
     }
   }
@@ -103,7 +118,7 @@ class VectorFuzzSpec extends SparkSpec {
     val asD = vecs.map { case (id, v, _) => id -> v.map(_.toDouble) }.toMap
     val expected = (0L to 9L).flatMap { q =>
       val cands = vecs.map(_._1).filter(_ != q).map { n =>
-        (n, round4(refCosine(asD(q), asD(n))))
+        (n, refCosine(asD(q), asD(n)).flatMap(round4))
       }
       cands.sortWith { case ((ia, sa), (ib, sb)) =>
         (sa, sb) match {

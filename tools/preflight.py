@@ -20,7 +20,7 @@ values are equal. This preflight now replicates that methodology:
   4. pandas.util.hash_pandas_object compare -> FAIL(hash).
   5. Value-exact diff kept as a last step purely for debuggability.
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 import pandas as pd
 
@@ -57,8 +57,24 @@ def main():
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
+        # Driver testdata is one file per table; the degenerate-sweep sets
+        # (tools/degen_preflight.sh) are Spark-written DIRECTORIES of part
+        # files — glob those.
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        cols = "*"
+        if t == "events":
+            # Real events.parquet carries timestamp[ns] (DuckDB: TIMESTAMP);
+            # the degenerate sets store ts as raw epoch-nanos BIGINT, the
+            # exact long Spark's nanosAsLong read sees. Normalize to what
+            # the oracle SQL expects: a timestamp, floor-divided to µs —
+            # same integer `div` Tables.events applies on the Spark side.
+            desc = con.sql(
+                f"DESCRIBE SELECT ts FROM read_parquet({src})").fetchall()
+            if desc and desc[0][1].upper() == "BIGINT":
+                cols = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT {cols} FROM read_parquet({src})")
     n_pass = n_fail = 0
     for name in sorted(oracles):
         if only and name not in only:
