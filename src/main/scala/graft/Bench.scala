@@ -27,7 +27,11 @@ import scala.concurrent.duration.Duration
   *  1-2 printed all ~200 per-query entries and the driver's bounded output
   *  tail cut the line mid-JSON (BENCH_r0{1,2}.json ended up parsed:null).
   *  Totals + 12 slowest (sequential) queries go on the line; both full
-  *  per-query maps go to BENCH_DETAILS.json in the working directory,
+  *  per-query maps go to BENCH_DETAILS.json in the working directory
+  *  TAGGED BY PASS — `seq_queries` (solo costs, the round-over-round
+  *  comparable series) and `conc_queries` (co-scheduled, only meaningful
+  *  against the same pass; VERDICT r08 #2: the unlabeled map caused
+  *  cross-pass comparisons) —
   *  together with the box's 1-minute load average sampled before and
   *  after (VERDICT r05 #5 — cross-round comparisons kept needing
   *  loaded-vs-idle-box guesswork).
@@ -111,7 +115,7 @@ object Bench {
       Paths.get("BENCH_DETAILS.json"),
       f"""{"wall":$wall%.3f,"seq_wall":$seqWall%.3f,"threads":$threads,"cpus":$cpus,"sf":"$sfDir",""" +
         f""""loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,""" +
-        s""""failed":$failed,"queries":${qmap(conc)},"seq_queries":${qmap(seq)}}""" + "\n")
+        s""""failed":$failed,"conc_queries":${qmap(conc)},"seq_queries":${qmap(seq)}}""" + "\n")
     println(
       f"""{"metric":"total","value":$wall%.2f,"unit":"sec","n":${conc.size},""" +
         f""""threads":$threads,"seq_wall":$seqWall%.2f,"queries":$slowest,""" +
