@@ -40,6 +40,39 @@ class JdbcUpsertSpec extends SparkSpec {
       ("AAA", 20240101L, 11.5), ("AAA", 20240102L, 12.0), ("BBB", 20240101L, 20.0)))
   }
 
+  test("staging MERGE survives duplicated staging rows (task-retry simulation)") {
+    import spark.implicits._
+    JdbcUpsert.ensureTable(url, ddl.replace("CREATE TABLE bars", "CREATE TABLE bars_retry"))
+
+    // Clean run first — the expected end state.
+    val delta = Seq(("AAA", 20240101L, 10.0), ("BBB", 20240101L, 20.0), ("CCC", 20240102L, 30.0))
+      .toDF("code", "trade_date", "close_px")
+    JdbcUpsert.upsertViaStaging(delta, url, "bars_retry", Seq("code", "trade_date"), Some("code VARCHAR(16)"))
+    val clean = readTable("bars_retry")
+
+    // A retried/speculated task re-appends its partition to staging: the
+    // staging table then holds exact full-row duplicates of part of the
+    // delta. Simulate both shapes — a whole extra copy (full re-run) and a
+    // partial one (task died mid-write, retry completed) — by unioning the
+    // duplicate rows into the frame the writer stages.
+    val corrected = Seq(("AAA", 20240101L, 11.0), ("BBB", 20240101L, 22.0), ("CCC", 20240102L, 33.0))
+      .toDF("code", "trade_date", "close_px")
+    JdbcUpsert.upsertViaStaging(corrected.union(corrected), url, "bars_retry",
+      Seq("code", "trade_date"), Some("code VARCHAR(16)"))
+    assert(readTable("bars_retry") ===
+      Seq(("AAA", 20240101L, 11.0), ("BBB", 20240101L, 22.0), ("CCC", 20240102L, 33.0)))
+
+    JdbcUpsert.upsertViaStaging(delta.union(delta.limit(1)), url, "bars_retry",
+      Seq("code", "trade_date"), Some("code VARCHAR(16)"))
+    assert(readTable("bars_retry") === clean,
+      "a partially-duplicated staging write must merge to the clean-run state")
+  }
+
+  private def readTable(t: String): Seq[(String, Long, Double)] =
+    spark.read.format("jdbc").option("url", url).option("dbtable", t).load()
+      .orderBy("code", "trade_date")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+
   test("per-partition upsert matches and stays idempotent") {
     import spark.implicits._
     val delta = Seq(("BBB", 20240101L, 21.0), ("CCC", 20240103L, 30.0))
