@@ -36,6 +36,15 @@ class BinBoundaryFuzzSpec extends SparkSpec {
     // upper bin (bin(100) != bin(99); bin(-1) == bin(-100)).
     assert(expected.exists(_._1 < 0L), "negative bins missing")
     assert(bin(100L) == 1L && bin(99L) == 0L && bin(-1L) == -1L && bin(-100L) == -1L)
+    // TEETH (VERDICT r08 #5): the truncate-toward-zero convention — the
+    // bug this spec exists to catch, and the one DuckDB's integer `//`
+    // actually implements (round-9 sweep finding) — must yield a DIFFERENT
+    // histogram on this value set. Only negative values OFF a bin multiple
+    // distinguish the two; if they leave the fixture, this goes red.
+    val expectedTrunc = chars.groupBy(_ / 100L).toSeq.map { case (b, g) =>
+      (b, g.size.toLong, g.min, g.max) }.sortBy(_._1)
+    assert(expected != expectedTrunc,
+      "floor-vs-truncate flip invisible — no negative off-multiple value in the fixture")
 
     val gotText = Registry.queries("text_length_histogram")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq

@@ -84,6 +84,54 @@ class IslandsFuzzSpec extends SparkSpec {
   private def sec(e: Ev): Long = e._2 / 1000000000L
   private def day(e: Ev): Long = sec(e) / 86400L
 
+  /** The three brute-force references, each parameterized by the ONE
+    * boundary its query owns. The comparison tests call them at the
+    * declared value; the TEETH test calls them flipped and asserts the
+    * result CHANGES on the generated corpus (VERDICT r08 #5 — automated
+    * replacement for the manual sed-flip check: a defanged generator or
+    * a reference drifting to the flipped convention both go red; bite
+    * verified by removing the 1800s deltas from `gen` and watching both
+    * the seam test and the TEETH test fail).
+    */
+  private def islandsRef(rows: Seq[Ev], minLen: Long): Seq[(Long, String, Long, Long)] =
+    rows.groupBy(_._3).toSeq.flatMap { case (u, g) =>
+      val ord = g.toSeq.sortBy(_._1) // event_id order, the declared order
+      val runs = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+      for (e <- ord) runs.lastOption match {
+        case Some((_, et, _, len)) if et == e._4 =>
+          runs(runs.size - 1) = runs.last.copy(_4 = len + 1)
+        case _ => runs += ((u, e._4, e._1, 1L))
+      }
+      runs.filter(_._4 >= minLen)
+    }.sortBy(r => (r._1, r._3))
+
+  private def streaksRef(rows: Seq[Ev], extendDelta: Long): Seq[(Long, Long, Long)] =
+    rows.groupBy(_._3).toSeq.map { case (u, g) =>
+      val days = g.map(day).toSeq.distinct.sorted
+      val runLens = scala.collection.mutable.ArrayBuffer[Long]()
+      for ((d, i) <- days.zipWithIndex) {
+        if (i > 0 && d - days(i - 1) <= extendDelta)
+          runLens(runLens.size - 1) += 1L
+        else runLens += 1L
+      }
+      (u, runLens.max, runLens.size.toLong)
+    }.sortBy(_._1)
+
+  private def sessionsRef(rows: Seq[Ev], strictGap: Boolean): Seq[(Long, Long, Long, Double)] =
+    rows.groupBy(_._3).toSeq.map { case (u, g) =>
+      val ord = g.toSeq.sortBy(e => (e._2, e._1)) // (ts, event_id), as declared
+      val sessLens = scala.collection.mutable.ArrayBuffer[Long]()
+      for ((e, i) <- ord.zipWithIndex) {
+        val break = i == 0 || {
+          val gap = sec(e) - sec(ord(i - 1))
+          if (strictGap) gap > 1800L else gap >= 1800L
+        }
+        if (break) sessLens += 1L else sessLens(sessLens.size - 1) += 1L
+      }
+      (u, sessLens.size.toLong, sessLens.max,
+        roundN(sessLens.sum.toDouble / sessLens.size, 2))
+    }.sortBy(_._1)
+
   for (seed <- Seq(5L, 1229L)) {
     lazy val rows = gen(seed)
 
@@ -111,17 +159,17 @@ class IslandsFuzzSpec extends SparkSpec {
         "duplicate-day seam missing")
     }
 
+    test(s"TEETH: each query's boundary flip is visible on this corpus (seed $seed)") {
+      assert(islandsRef(rows, 2L) != islandsRef(rows, 3L),
+        "raising the >= 2 run cutoff changed nothing — no exactly-length-2 run")
+      assert(streaksRef(rows, 1L) != streaksRef(rows, 2L),
+        "merging across one-day gaps changed nothing — no exact one-day gap planted")
+      assert(sessionsRef(rows, strictGap = true) != sessionsRef(rows, strictGap = false),
+        "splitting at exactly-1800s gaps changed nothing — no exact-1800s gap planted")
+    }
+
     test(s"win_islands equals the brute-force run scan (seed $seed)") {
-      val expected = rows.groupBy(_._3).toSeq.flatMap { case (u, g) =>
-        val ord = g.toSeq.sortBy(_._1) // event_id order, the declared order
-        val runs = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
-        for (e <- ord) runs.lastOption match {
-          case Some((_, et, _, len)) if et == e._4 =>
-            runs(runs.size - 1) = runs.last.copy(_4 = len + 1)
-          case _ => runs += ((u, e._4, e._1, 1L))
-        }
-        runs.filter(_._4 >= 2L)
-      }.sortBy(r => (r._1, r._3))
+      val expected = islandsRef(rows, 2L)
       assert(expected.exists(_._4 == 2L), "no exactly-length-2 run — >= boundary unprobed")
       assert(!expected.exists(_._1 == 2L), "alternating user must emit no runs")
       assert(expected.count(_._1 == 1L) == 1, "all-same-type user must emit one run")
@@ -132,16 +180,7 @@ class IslandsFuzzSpec extends SparkSpec {
     }
 
     test(s"behavior_streak_days equals the brute-force day scan (seed $seed)") {
-      val expected = rows.groupBy(_._3).toSeq.map { case (u, g) =>
-        val days = g.map(day).toSeq.distinct.sorted
-        val runLens = scala.collection.mutable.ArrayBuffer[Long]()
-        for ((d, i) <- days.zipWithIndex) {
-          if (i > 0 && d == days(i - 1) + 1L)
-            runLens(runLens.size - 1) += 1L
-          else runLens += 1L
-        }
-        (u, runLens.max, runLens.size.toLong)
-      }.sortBy(_._1)
+      val expected = streaksRef(rows, 1L)
       assert(expected.exists(_._2 >= 3L), "no ≥3-day streak — extension seam unprobed")
       assert(expected.exists(_._3 >= 2L), "no user with a broken streak")
 
@@ -151,16 +190,7 @@ class IslandsFuzzSpec extends SparkSpec {
     }
 
     test(s"ts_sessionize equals the brute-force gap scan (seed $seed)") {
-      val expected = rows.groupBy(_._3).toSeq.map { case (u, g) =>
-        val ord = g.toSeq.sortBy(e => (e._2, e._1)) // (ts, event_id), as declared
-        val sessLens = scala.collection.mutable.ArrayBuffer[Long]()
-        for ((e, i) <- ord.zipWithIndex) {
-          if (i == 0 || sec(e) - sec(ord(i - 1)) > 1800L) sessLens += 1L
-          else sessLens(sessLens.size - 1) += 1L
-        }
-        (u, sessLens.size.toLong, sessLens.max,
-          roundN(sessLens.sum.toDouble / sessLens.size, 2))
-      }.sortBy(_._1)
+      val expected = sessionsRef(rows, strictGap = true)
       assert(expected.exists(_._2 >= 2L), "no multi-session user")
       assert(expected.exists(t => t._1 == 0L && t._2 == 1L),
         "single-event user must form exactly one session")

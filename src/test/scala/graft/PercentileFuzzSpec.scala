@@ -54,6 +54,27 @@ class PercentileFuzzSpec extends SparkSpec {
     else sorted(lo) * (hi - pos) + sorted(hi) * (pos - lo)
   }
 
+  /** Flipped rank conventions — present ONLY for the automated TEETH
+    * check (VERDICT r08 #5, replacing the manual sed-flip ritual): the
+    * teeth test asserts each flip CHANGES the expected series on the
+    * generated corpora. If a generator edit stops planting the seams
+    * (e.g. all groups land where the conventions coincide, or the value
+    * pool degenerates to a constant), or if `pct` itself drifts toward
+    * one of these conventions, the flip becomes invisible and the suite
+    * goes red — the property the manual check used to verify by hand.
+    */
+  private def pctFloorOnly(values: Seq[Double], p: Double): Double = {
+    val sorted = values.sorted.toIndexedSeq
+    sorted(math.floor(p * (sorted.length - 1)).toInt) // nearest-rank-down, no blend
+  }
+  private def pctNBase(values: Seq[Double], p: Double): Double = {
+    val sorted = values.sorted.toIndexedSeq
+    val pos = math.min(p * sorted.length, (sorted.length - 1).toDouble) // n·p, not (n−1)·p
+    val lo = math.floor(pos).toInt
+    val hi = math.ceil(pos).toInt
+    if (lo == hi) sorted(lo) else sorted(lo) * (hi - pos) + sorted(hi) * (pos - lo)
+  }
+
   // ≤2-dp pool: central mass plus rare extremes (so Tukey fences and the
   // 3·MAD rule actually flag something) and negatives.
   private val pool = Vector(
@@ -84,6 +105,23 @@ class PercentileFuzzSpec extends SparkSpec {
   }
 
   for (seed <- Seq(11L, 907L)) {
+
+    test(s"TEETH: flipped rank conventions are visible on this corpus (seed $seed)") {
+      val gs = groups(new scala.util.Random(seed))
+      assertSeams(gs)
+      // The exact series the comparison tests consume: every (group, p)
+      // cell after the queries' own 4-dp decimal round.
+      def series(f: (Seq[Double], Double) => Double): Seq[Double] =
+        for {
+          p <- Seq(0.25, 0.5, 0.75, 0.9)
+          (_, vs) <- gs.toSeq.sortBy(_._1)
+          if vs.size > 1 // n=1 is identical under every convention by design
+        } yield roundN(f(vs, p), 4)
+      assert(series(pct) != series(pctFloorOnly),
+        "dropping interpolation changed nothing — blend seam carries no signal")
+      assert(series(pct) != series(pctNBase),
+        "switching the rank base to n·p changed nothing — base seam carries no signal")
+    }
 
     test(s"agg_percentile matches the order-statistic reference (seed $seed)") {
       import spark.implicits._

@@ -33,14 +33,35 @@ class RankFuzzSpec extends SparkSpec {
     (if (p < r * (q + 1)) p / (q + 1) else (p - r * (q + 1)) / q + r) + 1
   }
 
+  /** Flipped convention for the automated TEETH check (VERDICT r08 #5):
+    * the n % k remainder tiles sit at the BACK instead of the SQL
+    * standard's front. Differs from `ntile` at some position whenever
+    * r > 0, so `runNtile` asserts the difference for every non-multiple
+    * corpus — a reference drifting to this convention, or a future corpus
+    * set that only ever exercises n % 4 == 0, both go red.
+    */
+  private def ntileBack(p: Long, n: Long, k: Long): Long = {
+    val q = n / k; val r = n % k
+    (if (p < (k - r) * q) (if (q == 0L) 0L else p / q)
+     else (p - (k - r) * q) / (q + 1) + (k - r)) + 1
+  }
+
   private def runNtile(rows: Seq[(Long, Double)]): Unit = {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-ntile-fuzz-").toString
     rows.toDF("c_custkey", "c_acctbal").write.parquet(s"$dir/customer.parquet")
     val n = rows.size.toLong
-    val expected = rows.sortBy { case (k, v) => (v, k) }.zipWithIndex
+    val ordered = rows.sortBy { case (k, v) => (v, k) }.zipWithIndex
+    val expected = ordered
       .map { case ((k, v), p) => (k, v, ntile(p.toLong, n, 4L)) }
       .sortBy(_._1)
+    if (n % 4L != 0L) { // TEETH: for every remainder class the flip must show
+      val flipped = ordered
+        .map { case ((k, v), p) => (k, v, ntileBack(p.toLong, n, 4L)) }
+        .sortBy(_._1)
+      assert(expected != flipped,
+        s"remainder-at-back flip invisible at n=$n — tile-boundary seam carries no signal")
+    }
     val got = Registry.queries("win_ntile")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
     assert(got === expected, s"n=$n rows=${rows.take(8)}…")
@@ -97,6 +118,17 @@ class RankFuzzSpec extends SparkSpec {
     assert(keptByGroup.exists(_._2.isEmpty), "vanishing n=1 group not exercised")
     // Seam companion: the asymmetric n=9 group must actually drop a row.
     assert(keptByGroup.exists(_._2.size == 8), "n=9 asymmetric trim not exercised")
+    // TEETH (VERDICT r08 #5): the same cuts under INTEGER division n/10
+    // must keep a different row set for at least one group — n=9/10/11
+    // straddle exactly that seam, so if a size edit removes them (or the
+    // reference drifts to integer cuts) this goes red.
+    val keptIntCut = groups.sortBy(_._1).map { case (pr, rs) =>
+      val cut = (rs.size / 10).toDouble
+      pr -> rs.sortBy { case (k, v) => (v, k) }.zipWithIndex
+        .collect { case ((_, v), i) if i + 1 > cut && i + 1 <= rs.size - cut => v }
+    }
+    assert(keptByGroup != keptIntCut,
+      "integer-division trim cut changed nothing — n∈{9,10,11} seam carries no signal")
     val expected = keptByGroup.filter(_._2.nonEmpty).map { case (pr, kept) =>
       val sum4 = kept.map(v => BigDecimal(java.math.BigDecimal.valueOf(v))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
