@@ -149,6 +149,70 @@ class DegenerateGroupSpec extends SparkSpec {
     assert(q(2L).getLong(3) == 383L, "checksum still sums the present dims")
   }
 
+  test("round-9 NULL contracts: ntile's NULL bucket, all-NULL listagg, " +
+    "printf NULL passthrough, NULL-smallest min_by, sqrt of negatives") {
+    import spark.implicits._
+    val d = dir()
+    // Two NULL-balance customers (their names NULL too) alongside five
+    // healthy ones; a separate all-NULL-names segment for the listagg pin.
+    (Seq((1L, Some("a"), 0, Some(10.0), "SEG"), (2L, Some("b"), 0, Some(20.0), "SEG"),
+      (3L, Some("c"), 0, Some(30.0), "SEG"), (4L, Some("d"), 1, Some(40.0), "SEG"),
+      (5L, Some("e"), 1, Some(50.0), "SEG"),
+      (6L, None: Option[String], 1, None: Option[Double], "NULLSEG"),
+      (7L, None: Option[String], 1, None: Option[Double], "NULLSEG")))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$d/customer.parquet")
+
+    // NULL balances must SURVIVE the range-bucket equi-join (dedicated -1
+    // bucket) and rank first, matching Spark's NULL-smallest sort:
+    // positions 0-1 of 7 rows → quartile 1 under SQL NTILE(4).
+    val nt = Registry.queries("win_ntile")(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(nt.size == 7, "NULL-balance rows must not vanish in the bucket join")
+    assert(nt(6L).getLong(2) == 1L && nt(7L).getLong(2) == 1L,
+      "NULL balances must occupy the first quartile (NULL-smallest)")
+    assert(nt(1L).getLong(2) == 2L && nt(5L).getLong(2) == 4L)
+
+    // listagg of an all-NULL group is NULL (the standard), never ''.
+    val sc = Registry.queries("agg_string_concat")(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(nullAt(sc("NULLSEG"), 1), "all-NULL listagg group must be NULL, not ''")
+    assert(sc("SEG").getString(1) == "a,b,c,d,e")
+
+    // min_by/max_by order structs with NULL SMALLEST: the NULL-balance
+    // customer (lower custkey tie-break) is the group's "poorest", whose
+    // name is itself NULL here; the NULL group must not vanish.
+    val mm = Registry.queries("agg_minmax_by")(spark, d).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(mm(1).getString(1) == "e", "max_by must skip past NULL-smallest structs")
+    assert(nullAt(mm(1), 2), "min_by lands on the NULL-balance customer (name NULL)")
+
+    // printf-style formatting: NULL in → NULL out on both engines
+    // (format_string would happily render the text \"null\").
+    val d2 = dir()
+    Seq((1L, Some("B1"), Some("T1"), Some(5.5)),
+      (2L, None: Option[String], None: Option[String], None: Option[Double]))
+      .toDF("p_partkey", "p_brand", "p_type", "p_retailprice")
+      .write.parquet(s"$d2/part.parquet")
+    val fm = Registry.queries("fn_format")(spark, d2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(fm(1L).getString(1) == "B1-0000001" && fm(1L).getString(2) == "00005.50")
+    assert(nullAt(fm(2L), 1) && nullAt(fm(2L), 2),
+      "NULL printf args must yield NULL, not rendered text")
+    assert(fm(2L).getString(3) == "", "concat_ws skips NULLs on both engines")
+
+    // sqrt of a negative value is NULL on both engines (Spark would give
+    // NaN, DuckDB would throw — the guard defines it away).
+    val d3 = dir()
+    Seq((1L, 1, -4.0, 100.0, 0.05), (2L, 1, 9.0, 100.0, 0.05))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+      .write.parquet(s"$d3/lineitem.parquet")
+    val fmath = Registry.queries("fn_math")(spark, d3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(nullAt(fmath(1L), 5), "sqrt(-4) must be NULL, not NaN")
+    assert(fmath(2L).getDouble(5) == 3.0d)
+  }
+
   test("ts_autocorr: a constant series nulls out, a varying one does not") {
     import spark.implicits._
     val d = dir()
