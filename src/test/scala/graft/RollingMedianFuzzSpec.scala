@@ -35,15 +35,27 @@ class RollingMedianFuzzSpec extends SparkSpec {
       rows.toDF("event_id", "ts", "user_id", "value")
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
-      val expected = rows.groupBy(_._3).toSeq.flatMap { case (u, g) =>
-        val ordered = g.sortBy(_._1)
-        ordered.indices.drop(6).map { i =>
-          val frame = ordered.slice(i - 6, i + 1).map(_._4).sorted
-          (u, ordered(i)._1, frame(3))
-        }
-      }.sortBy(t => (t._1, t._2))
+      // Reference parameterized by its two boundaries — frame length and
+      // order-statistic index — for the automated TEETH check below.
+      def ref(frameLen: Int, statIdx: Int): Seq[(Long, Long, Double)] =
+        rows.groupBy(_._3).toSeq.flatMap { case (u, g) =>
+          val ordered = g.sortBy(_._1)
+          ordered.indices.drop(frameLen - 1).map { i =>
+            val frame = ordered.slice(i - (frameLen - 1), i + 1).map(_._4).sorted
+            (u, ordered(i)._1, frame(statIdx))
+          }
+        }.sortBy(t => (t._1, t._2))
+      val expected = ref(7, 3)
       assert(expected.nonEmpty)
       assert(expected.exists(_._3 == 2.75), "duplicate-heavy frames not exercised")
+      // TEETH (VERDICT r08 #5): the adjacent order statistic and a
+      // one-shorter frame must both change the expected output — if the
+      // value pool degenerates (all frames constant around the middle) or
+      // the exactly-7 seam user disappears, these go red.
+      assert(expected != ref(7, 2),
+        "3rd-vs-4th order statistic flip invisible — frames constant around the median")
+      assert(expected.size != ref(6, 3).size,
+        "frame-length flip invisible — no user straddles the 6/7 frame boundary")
 
       val got = Registry.queries("win_rolling_median")(spark, dir).collect().map { r =>
         (r.getLong(0), r.getLong(1), r.getDouble(2))
