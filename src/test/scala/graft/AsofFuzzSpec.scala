@@ -78,6 +78,49 @@ class AsofFuzzSpec extends SparkSpec {
   private def purchases(events: Seq[Ev]): Seq[Ev] =
     events.filter(_._4 == "purchase")
 
+  /** Brute-force references, parameterized by the ONE boundary each query
+    * owns (VERDICT r08 #5 — automated teeth). The comparison tests call
+    * them at the declared value; the TEETH test calls them flipped and
+    * asserts the output CHANGES. The same-user same-second purchase/signup
+    * ties the generator plants (and the seam test requires, >= 5 per seed)
+    * make each flip deterministically visible: under backward-strict a
+    * same-second signup is excluded and under inclusive it becomes the
+    * unbeatable maximum; mirrored for forward; for nearest the diff-0
+    * candidate is the unbeatable minimum.
+    */
+  private def asofRef(events: Seq[Ev], inclusive: Boolean): Seq[(Long, Long, Long, Long)] = {
+    val sig = signupsByUser(events)
+    purchases(events).flatMap { p =>
+      val cands = sig.getOrElse(p._3, Nil)
+        .filter(s => if (inclusive) sec(s) <= sec(p) else sec(s) < sec(p))
+      if (cands.isEmpty) None
+      else Some((p._1, p._3, sec(p), cands.maxBy(s => (sec(s), s._1))._1))
+    }.sortBy(_._1)
+  }
+
+  private def forwardRef(events: Seq[Ev], inclusive: Boolean): Seq[(Long, Long, Long, Long)] = {
+    val sig = signupsByUser(events)
+    purchases(events).flatMap { p =>
+      val cands = sig.getOrElse(p._3, Nil)
+        .filter(s => if (inclusive) sec(s) >= sec(p) else sec(s) > sec(p))
+      if (cands.isEmpty) None
+      else Some((p._1, p._3, sec(p), cands.minBy(s => (sec(s), s._1))._1))
+    }.sortBy(_._1)
+  }
+
+  private def nearestRef(events: Seq[Ev], includeZeroDiff: Boolean): Seq[(Long, Long, Long, Long)] = {
+    val sig = signupsByUser(events)
+    purchases(events).flatMap { p =>
+      val cands = sig.getOrElse(p._3, Nil)
+        .filter(s => includeZeroDiff || sec(s) != sec(p))
+      if (cands.isEmpty) None
+      else {
+        val best = cands.minBy(s => (math.abs(sec(s) - sec(p)), sec(s), s._1))
+        Some((p._1, p._3, best._1, math.abs(sec(best) - sec(p))))
+      }
+    }.sortBy(_._1)
+  }
+
   for (seed <- Seq(7L, 42L, 1861L)) {
 
     test(s"fuzz corpus is actually adversarial (seed $seed)") {
@@ -98,18 +141,20 @@ class AsofFuzzSpec extends SparkSpec {
       assert(events.exists(_._4 == "click"), "no noise rows to filter out")
     }
 
+    test(s"TEETH: strict/inclusive boundary flips are visible (seed $seed)") {
+      val events = genEvents(seed)
+      assert(asofRef(events, inclusive = false) != asofRef(events, inclusive = true),
+        "backward strict→inclusive flip invisible — no same-second tie reaches a purchase")
+      assert(forwardRef(events, inclusive = true) != forwardRef(events, inclusive = false),
+        "forward inclusive→strict flip invisible — no same-second tie reaches a purchase")
+      assert(nearestRef(events, includeZeroDiff = true) != nearestRef(events, includeZeroDiff = false),
+        "nearest diff-0 exclusion flip invisible — no zero-distance best match")
+    }
+
     test(s"join_asof matches brute force on adversarial events (seed $seed)") {
       val events = genEvents(seed)
       val dir = writeFixture(events)
-      val sig = signupsByUser(events)
-      val expected = purchases(events).flatMap { p =>
-        val cands = sig.getOrElse(p._3, Nil).filter(s => sec(s) < sec(p))
-        if (cands.isEmpty) None
-        else {
-          val best = cands.maxBy(s => (sec(s), s._1))
-          Some((p._1, p._3, sec(p), best._1))
-        }
-      }.sortBy(_._1)
+      val expected = asofRef(events, inclusive = false)
       val got = Registry.queries("join_asof")(spark, dir).collect().map { r =>
         (r.getLong(0), r.getLong(1), r.getTimestamp(2).toInstant.getEpochSecond, r.getLong(3))
       }.toSeq
@@ -120,15 +165,7 @@ class AsofFuzzSpec extends SparkSpec {
     test(s"join_asof_forward matches brute force on adversarial events (seed $seed)") {
       val events = genEvents(seed)
       val dir = writeFixture(events)
-      val sig = signupsByUser(events)
-      val expected = purchases(events).flatMap { p =>
-        val cands = sig.getOrElse(p._3, Nil).filter(s => sec(s) >= sec(p))
-        if (cands.isEmpty) None
-        else {
-          val best = cands.minBy(s => (sec(s), s._1))
-          Some((p._1, p._3, sec(p), best._1))
-        }
-      }.sortBy(_._1)
+      val expected = forwardRef(events, inclusive = true)
       val got = Registry.queries("join_asof_forward")(spark, dir).collect().map { r =>
         (r.getLong(0), r.getLong(1), r.getTimestamp(2).toInstant.getEpochSecond, r.getLong(3))
       }.toSeq
@@ -139,15 +176,7 @@ class AsofFuzzSpec extends SparkSpec {
     test(s"join_asof_nearest matches brute force on adversarial events (seed $seed)") {
       val events = genEvents(seed)
       val dir = writeFixture(events)
-      val sig = signupsByUser(events)
-      val expected = purchases(events).flatMap { p =>
-        val cands = sig.getOrElse(p._3, Nil)
-        if (cands.isEmpty) None
-        else {
-          val best = cands.minBy(s => (math.abs(sec(s) - sec(p)), sec(s), s._1))
-          Some((p._1, p._3, best._1, math.abs(sec(best) - sec(p))))
-        }
-      }.sortBy(_._1)
+      val expected = nearestRef(events, includeZeroDiff = true)
       val got = Registry.queries("join_asof_nearest")(spark, dir).collect().map { r =>
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       }.toSeq
