@@ -53,7 +53,35 @@ class StreamWindowFuzzSpec extends SparkSpec {
       }
       val value = rnd.nextInt(100000) / 100.0 // cent-exact money
       (i.toLong, (base + off) * 1000000000L + nanos, user, kind, value)
-    }
+    } ++ Seq(
+      // Planted AFTER the random block (ids 600+, rnd stream untouched):
+      // one signup exactly 7200 s before a purchase (the interval join's
+      // lower bound) and one signup in the same second as a purchase (its
+      // upper bound), so the TEETH inclusive→strict flips are visible
+      // deterministically at every seed.
+      (600L, (base + 86400L) * 1000000000L, 0L, "signup", 1.0),
+      (601L, (base + 86400L + 7200L) * 1000000000L, 0L, "purchase", 1.0),
+      (602L, (base + 4321L) * 1000000000L + 5L, 1L, "signup", 1.0),
+      (603L, (base + 4321L) * 1000000000L + 999L, 1L, "purchase", 1.0))
+  }
+
+  /** Interval-join reference parameterized by its two bounds (VERDICT r08
+    * #5 — automated teeth): signups in [purchase − 7200 s, purchase],
+    * both ends inclusive as declared.
+    */
+  private def intervalRef(events: Seq[Ev], loInclusive: Boolean,
+      hiInclusive: Boolean): Seq[(Long, Long, Long)] = {
+    val sig = events.filter(_._4 == "signup").groupBy(_._3)
+    events.filter(_._4 == "purchase").flatMap { p =>
+      sig.getOrElse(p._3, Nil)
+        .filter { s =>
+          val lo = secOf(s) - (secOf(p) - 7200L)
+          val hi = secOf(p) - secOf(s)
+          (if (loInclusive) lo >= 0L else lo > 0L) &&
+            (if (hiInclusive) hi >= 0L else hi > 0L)
+        }
+        .map(s => (p._1, p._3, s._1))
+    }.sortBy(t => (t._1, t._3))
   }
 
   private def writeFixture(events: Seq[Ev]): String = {
@@ -152,12 +180,13 @@ class StreamWindowFuzzSpec extends SparkSpec {
     test(s"stream_interval_join matches brute force (seed $seed)") {
       val events = genEvents(seed)
       val dir = writeFixture(events)
-      val sig = events.filter(_._4 == "signup").groupBy(_._3)
-      val expected = events.filter(_._4 == "purchase").flatMap { p =>
-        sig.getOrElse(p._3, Nil)
-          .filter(s => secOf(s) >= secOf(p) - 7200L && secOf(s) <= secOf(p))
-          .map(s => (p._1, p._3, s._1))
-      }.sortBy(t => (t._1, t._3))
+      val expected = intervalRef(events, loInclusive = true, hiInclusive = true)
+      // TEETH: each inclusive bound made strict must change the output —
+      // guaranteed by the planted exactly-7200s and same-second pairs.
+      assert(expected != intervalRef(events, loInclusive = false, hiInclusive = true),
+        "lower-bound inclusive→strict flip invisible — exactly-7200s pair missing")
+      assert(expected != intervalRef(events, loInclusive = true, hiInclusive = false),
+        "upper-bound inclusive→strict flip invisible — same-second pair missing")
       val got = Registry.queries("stream_interval_join")(spark, dir).collect().map { r =>
         (r.getLong(0), r.getLong(1), r.getLong(2))
       }.toSeq
