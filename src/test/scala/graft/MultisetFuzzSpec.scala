@@ -47,6 +47,10 @@ class MultisetFuzzSpec extends SparkSpec {
       add(Some(k), "O", rnd.nextInt(4))
       add(Some(k), "P", rnd.nextInt(2))
     }
+    // Planted for the TEETH flips: a key with MORE O- than F-copies —
+    // the partial-survival direction set_except_all actually computes
+    // (O EXCEPT ALL F), which the other engineered keys don't guarantee.
+    add(Some(21L), "O", 3); add(Some(21L), "F", 1)
     rnd.shuffle(rows.toSeq)
   }
 
@@ -62,6 +66,8 @@ class MultisetFuzzSpec extends SparkSpec {
     assert(f.keySet.diff(o.keySet).nonEmpty && o.keySet.diff(f.keySet).nonEmpty,
       "one-side-only keys missing")
     assert(f.contains(None) && o.contains(None), "NULL key must be on both sides")
+    assert(o.exists { case (k, c) => f.getOrElse(k, 0) > 0 && c > f(k) },
+      "partial-survival key (more O- than F-copies) missing")
     assert(rows.exists(_._2 == "P"), "invisible-status rows missing")
     assert(rows.exists(r => r._2 == "F" && r._3 == "1-URGENT"),
       "F-and-urgent union double-count seam missing")
@@ -106,6 +112,18 @@ class MultisetFuzzSpec extends SparkSpec {
       // Query takes O as the left side of EXCEPT ALL.
       val expExcept = bag(o.map { case (k, c) => k -> math.max(c - f.getOrElse(k, 0), 0) })
       val expIntersect = bag(f.map { case (k, c) => k -> math.min(c, o.getOrElse(k, 0)) })
+      // TEETH (VERDICT r08 #5): collapsing bag to set semantics must
+      // change both expected outputs — the planted partial-survival key
+      // (O=3, F=1 → exactly 2 copies survive) and the equal-counts key
+      // (min = 2 copies intersect) make the flips deterministic.
+      val exceptAsSet = bag(o.map { case (k, c) =>
+        k -> (if (f.getOrElse(k, 0) > 0) 0 else c) })
+      val intersectOneCopy = bag(f.map { case (k, c) =>
+        k -> math.min(1, math.min(c, o.getOrElse(k, 0))) })
+      assert(expExcept != exceptAsSet,
+        "bag→set except flip invisible — no partial-survival key")
+      assert(expIntersect != intersectOneCopy,
+        "bag→set intersect flip invisible — no multi-copy intersection key")
       assert(keysOf("set_except_all", dir) === expExcept)
       assert(keysOf("set_intersect_all", dir) === expIntersect)
     }
