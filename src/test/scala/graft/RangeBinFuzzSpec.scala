@@ -52,10 +52,20 @@ class RangeBinFuzzSpec extends SparkSpec {
         .toDF("l_orderkey", "l_quantity")
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
 
-      val expected = bands.map { case (lo, hi) =>
-        val n = qs.count(_.exists(q => q >= lo && q <= hi))
-        (f"q${lo.toInt}%02d_${hi.toInt}", n.toLong)
-      }.filter(_._2 > 0L) // inner join: empty bands are absent, not zero
+      def countsRef(loInc: Boolean, hiInc: Boolean): Seq[(String, Long)] =
+        bands.map { case (lo, hi) =>
+          val n = qs.count(_.exists(q =>
+            (if (loInc) q >= lo else q > lo) && (if (hiInc) q <= hi else q < hi)))
+          (f"q${lo.toInt}%02d_${hi.toInt}", n.toLong)
+        }.filter(_._2 > 0L) // inner join: empty bands are absent, not zero
+      val expected = countsRef(loInc = true, hiInc = true)
+      // TEETH (VERDICT r08 #5): each BETWEEN bound made strict must change
+      // the counts — the exact band-edge values asserted above carry the
+      // signal; if they stop reaching the corpus, this goes red.
+      assert(expected != countsRef(loInc = false, hiInc = true),
+        "lower-bound inclusive→strict flip invisible — no value on a band's lo edge")
+      assert(expected != countsRef(loInc = true, hiInc = false),
+        "upper-bound inclusive→strict flip invisible — no value on a band's hi edge")
       val got = Registry.queries("join_range_binned")(spark, dir).collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq
       assert(got === expected)

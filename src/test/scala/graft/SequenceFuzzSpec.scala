@@ -91,14 +91,21 @@ class SequenceFuzzSpec extends SparkSpec {
     }
 
     test(s"ts_ffill equals the brute-force forward-fill scan (seed $seed)") {
-      val expected = byUser.toSeq.sortBy(_._1).flatMap { case (u, g) =>
+      // Reference parameterized by the mask boundary (VERDICT r08 #5):
+      // strict=false is the declared `value >= 100` keep rule.
+      def ffillRef(strict: Boolean) = byUser.toSeq.sortBy(_._1).flatMap { case (u, g) =>
         var lastKept: Option[Double] = None
         g.map { case (id, _, v) =>
-          val masked = if (v >= 100.0d) Some(v) else None
+          val masked = if (if (strict) v > 100.0d else v >= 100.0d) Some(v) else None
           if (masked.isDefined) lastKept = masked
           (u, id, masked, lastKept)
         }
       }
+      val expected = ffillRef(strict = false)
+      // TEETH: the >=→> flip must change the fill — the exact-100 values
+      // the seam assertion requires are what carry the signal.
+      assert(expected != ffillRef(strict = true),
+        "mask-boundary flip invisible — exact-100 values carry no signal")
       val got = Registry.queries("ts_ffill")(spark, dir).collect().map { r =>
         (r.getLong(0), r.getLong(1),
           if (r.isNullAt(2)) None else Some(r.getDouble(2)),
