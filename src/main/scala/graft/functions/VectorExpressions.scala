@@ -35,11 +35,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
   /** Cosine is UNDEFINED — NULL, not a truncated or NaN number — when the
     * vectors differ in length (a ragged embedding row is malformed data; a
     * silent min-length dot product would rank it with a wrong similarity)
-    * or when either norm is zero (0/0). Pinned cross-engine by the round-9
-    * degenerate parity sweep: the oracle twin is Exact.cosineSqlGuarded
-    * (DuckDB's raw list_cosine_similarity instead THROWS on ragged pairs
-    * and clamps the zero-vector NaN to -1.0). NULL similarities rank last
-    * under `DESC` in both engines, so top-k stays aligned.
+    * or when either norm is zero (0/0) — or NaN, which a NaN input element
+    * produces. The guard is `!(norm > 0)` rather than `norm == 0` so a NaN
+    * norm takes the NULL branch too, matching [[graft.llm.Similarity.cosineHof]]
+    * whose `na > 0d` predicate already evaluates false for NaN: both
+    * formulations share one contract on every input, not just the fixtures.
+    * Pinned cross-engine by the round-9 degenerate parity sweep: the oracle
+    * twin is Exact.cosineSqlGuarded (DuckDB's raw list_cosine_similarity
+    * instead THROWS on ragged pairs and clamps the zero-vector NaN to -1.0).
+    * NULL similarities rank last under `DESC` in both engines, so top-k
+    * stays aligned.
     */
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -53,7 +58,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    if (nx == 0.0 || ny == 0.0) null
+    if (!(nx > 0.0) || !(ny > 0.0)) null
     else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
@@ -77,7 +82,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    double $yi = $y.getDouble($i);
          |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |  }
-         |  if ($nx == 0.0 || $ny == 0.0) {
+         |  if (!($nx > 0.0) || !($ny > 0.0)) {
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));

@@ -39,8 +39,15 @@ object Similarity {
     val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
     val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
     // same NULL contract as the native expression: mismatched dims or a
-    // zero norm are undefined, not a truncated dot / NaN (round-9 sweep)
-    when(size(a) === size(b) && na > 0d && nb > 0d, dot / (na * nb))
+    // norm that is zero OR NaN are undefined, not a truncated dot / NaN.
+    // The explicit isnan() is load-bearing: Spark SQL orders NaN GREATER
+    // than every number (unlike Java), so `na > 0d` alone is TRUE for a
+    // NaN norm and would leak NaN through — the native expression's Java
+    // `!(nx > 0)` guard catches NaN for free, and this predicate keeps
+    // the two paths on one contract (round-10 NaN unification, pinned in
+    // VectorFuzzSpec)
+    when(size(a) === size(b) &&
+      !isnan(na) && !isnan(nb) && na > 0d && nb > 0d, dot / (na * nb))
   }
 
   /** IVF nprobe=1 top-5 per query (vec_id < 10): deterministic seed

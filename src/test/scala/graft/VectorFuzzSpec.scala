@@ -29,9 +29,11 @@ import scala.math.BigDecimal.RoundingMode
 class VectorFuzzSpec extends SparkSpec {
 
   /** Reference fold in the declared summation order (left-to-right) —
-    * independent of both the codegen and HOF paths. None on the two
-    * undefined shapes (mismatched dims, zero norm), per the round-9
-    * NULL contract.
+    * independent of both the codegen and HOF paths. None on the undefined
+    * shapes (mismatched dims, zero-or-NaN norm), per the round-9 NULL
+    * contract extended round-10: `!(norm > 0)` so a NaN norm (from a NaN
+    * input element) is NULL too, in BOTH the native expression and the
+    * HOF twin.
     */
   private def refCosine(a: Seq[Double], b: Seq[Double]): Option[Double] = {
     if (a.length != b.length) return None
@@ -41,7 +43,7 @@ class VectorFuzzSpec extends SparkSpec {
       dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i)
       i += 1
     }
-    if (nx == 0.0 || ny == 0.0) None
+    if (!(nx > 0.0) || !(ny > 0.0)) None
     else Some(dot / (math.sqrt(nx) * math.sqrt(ny)))
   }
 
@@ -65,7 +67,9 @@ class VectorFuzzSpec extends SparkSpec {
       (Seq(1.0, 2.0, 3.0, 4.0), Seq(1.0, 2.0)),                 // length mismatch → NULL
       (Seq(0.0, 0.0, 0.0), Seq(1.0, 2.0, 3.0)),                 // zero left norm → NULL
       (Seq(1.0, 2.0, 3.0), Seq(0.0, 0.0, 0.0)),                 // zero right norm → NULL
-      (Seq(0.3, -0.7), Seq(0.7, 0.3))                           // orthogonal (0.0, NOT NULL)
+      (Seq(0.3, -0.7), Seq(0.7, 0.3)),                          // orthogonal (0.0, NOT NULL)
+      (Seq(Double.NaN, 1.0), Seq(1.0, 2.0)),                    // NaN left norm → NULL
+      (Seq(1.0, 2.0), Seq(3.0, Double.NaN))                     // NaN right norm → NULL
     ) ++ (0 until 40).map { _ =>
       (Seq.fill(16)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(9) - 4)),
         Seq.fill(16)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(9) - 4)))
@@ -73,16 +77,46 @@ class VectorFuzzSpec extends SparkSpec {
     val df = cases.toDF("a", "b")
     val got = df.select(llm.Similarity.cosine(col("a"), col("b")).as("s"))
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
-    // Four undefined shapes: mismatch, both explicit zero vectors, and the
-    // subnormal pair whose squared norms underflow to 0.0 — the underflow
-    // NULL is the contract working as designed (0/0 was never a cosine).
-    assert(got.count(_.isEmpty) === 4, "exactly the four undefined shapes must be NULL")
+    // Six undefined shapes: mismatch, both explicit zero vectors, the
+    // subnormal pair whose squared norms underflow to 0.0, and the two
+    // NaN-element pairs whose norms are NaN — the underflow/NaN NULLs are
+    // the contract working as designed (0/0 was never a cosine).
+    assert(got.count(_.isEmpty) === 6, "exactly the six undefined shapes must be NULL")
     cases.zip(got).foreach { case ((a, b), g) =>
       val want = refCosine(a, b)
       assert(g.map(java.lang.Double.doubleToRawLongBits) ===
         want.map(java.lang.Double.doubleToRawLongBits),
         s"cosine($a, $b): got $g, reference $want")
     }
+  }
+
+  test("native and HOF cosine agree (both NULL) on NaN-containing vectors") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // ADVICE r09: the HOF guard `na > 0d` was NULL for a NaN norm while the
+    // native `nx == 0.0` passed NaN through — the two paths disagreed
+    // out-of-fixture. Pin the unified contract: one defined result (NULL)
+    // from both formulations on every NaN shape, and identical non-NULL
+    // bits on clean vectors evaluated alongside them.
+    val cases: Seq[(Seq[Double], Seq[Double])] = Seq(
+      (Seq(Double.NaN, 1.0, 2.0), Seq(1.0, 2.0, 3.0)),
+      (Seq(1.0, 2.0, 3.0), Seq(Double.NaN, 2.0, 3.0)),
+      (Seq(Double.NaN, Double.NaN), Seq(Double.NaN, Double.NaN)),
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))  // clean control pair
+    )
+    val df = cases.toDF("a", "b")
+    val rows = df.select(
+      llm.Similarity.cosine(col("a"), col("b")).as("native"),
+      llm.Similarity.cosineHof(col("a"), col("b")).as("hof")).collect()
+    rows.zip(cases).foreach { case (r, c) =>
+      val nat = if (r.isNullAt(0)) None else Some(r.getDouble(0))
+      val hof = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      assert(nat.map(java.lang.Double.doubleToRawLongBits) ===
+        hof.map(java.lang.Double.doubleToRawLongBits),
+        s"native/HOF divergence on $c: $nat vs $hof")
+    }
+    assert(rows.take(3).forall(_.isNullAt(0)), "NaN shapes must be NULL")
+    assert(!rows(3).isNullAt(0), "the clean pair must stay defined")
   }
 
   test("sim_cosine_topk: 4dp-rounded rank, ID tie-breaks, and null-degrading zero vectors") {
