@@ -86,6 +86,39 @@ class JdbcUpsertSpec extends SparkSpec {
       ("BBB", 20240101L, 21.0), ("CCC", 20240103L, 30.0)))
   }
 
+  test("batched per-partition upsert equals the staging path on a multi-partition delta") {
+    import spark.implicits._
+    // VERDICT r09 #2: the fallback now chunks addBatch/executeBatch and
+    // routes update-count-0 rows to a batched INSERT. Drive it across
+    // several partitions with a batchSize smaller than the per-partition
+    // row count (3 partitions × ~13 rows, batchSize 7 ⇒ every partition
+    // runs ≥2 chunks, every chunk mixes hits and misses), then pin
+    // result-equality with the staging MERGE path and idempotence.
+    JdbcUpsert.ensureTable(url, ddl.replace("CREATE TABLE bars", "CREATE TABLE bars_pp"))
+    JdbcUpsert.ensureTable(url, ddl.replace("CREATE TABLE bars", "CREATE TABLE bars_mg"))
+    val keys = Seq("code", "trade_date")
+    val seed = (0 until 25).map(i => (f"C$i%02d", 20240101L, i.toDouble))
+      .toDF("code", "trade_date", "close_px")
+    JdbcUpsert.upsertViaStaging(seed, url, "bars_pp", keys, Some("code VARCHAR(16)"))
+    JdbcUpsert.upsertViaStaging(seed, url, "bars_mg", keys, Some("code VARCHAR(16)"))
+
+    // rows 10-24 update seeded keys, 25-39 are fresh inserts
+    val delta = (10 until 40).map(i => (f"C$i%02d", 20240101L, i + 0.5))
+      .toDF("code", "trade_date", "close_px").repartition(3)
+    JdbcUpsert.upsertPerPartition(delta, url, "bars_pp", keys, batchSize = 7)
+    JdbcUpsert.upsertPerPartition(delta, url, "bars_pp", keys, batchSize = 7) // idempotent
+    JdbcUpsert.upsertViaStaging(delta, url, "bars_mg", keys, Some("code VARCHAR(16)"))
+
+    val got = readTable("bars_pp")
+    assert(got === readTable("bars_mg"),
+      "batched fallback and staging MERGE must produce identical end states")
+    assert(got.size === 40)
+    assert(got.filter(_._1 < "C10").forall { case (c, _, px) => px === c.drop(1).toInt.toDouble },
+      "non-delta seed rows must be untouched")
+    assert(got.filter(_._1 >= "C10").forall { case (c, _, px) => px === c.drop(1).toInt + 0.5 },
+      "every delta key must carry the delta value")
+  }
+
   test("all-key frame upserts via insert-only MERGE (no UPDATE SET clause)") {
     import spark.implicits._
     JdbcUpsert.ensureTable(url,
