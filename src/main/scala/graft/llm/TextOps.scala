@@ -521,15 +521,16 @@ object TextOps {
               size(array_distinct(col("grams"))).cast("double") /
                 size(col("grams")).cast("double"), 4).as("rep_score"))
           .orderBy("doc_id"),
+      // oracle uses concat_ws (NULL-skipping in DuckDB too), not ||: on
+      // 1-2 token docs the padded last positions index past the list end
+      // and || would NULL the whole gram while Spark's concat_ws keeps
+      // the short one
       Some(s"""SELECT doc_id,
               |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
               |  CAST(len(grams) AS BIGINT) AS n_total,
               |  ${Exact.roundNSql(
                  "1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)", 4)} AS rep_score
               |FROM (
-  -- concat_ws (NULL-skipping in DuckDB too), not ||: on 1-2 token docs
-  -- the padded last positions index past the list end and || would
-  -- NULL the whole gram while Spark's concat_ws keeps the short one
               |  SELECT doc_id, list_transform(
               |    range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
               |    i -> concat_ws(' ', string_split(text, ' ')[i],

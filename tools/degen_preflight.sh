@@ -1,5 +1,6 @@
 #!/usr/bin/env bash
-# Round-9 degenerate-fixture ORACLE parity sweep (VERDICT r08 item 1).
+# Degenerate-fixture ORACLE parity sweep (VERDICT r08 item 1; hardened
+# round 10 per ADVICE r09).
 #
 # DegenerateSweepSpec proves every query SURVIVES the three adversarial
 # table sets (tiny / empty / NULL-laden); this script proves the survivors
@@ -12,11 +13,21 @@
 # standard emits the () grand-total row over an empty relation, Spark's
 # Expand+Aggregate emits zero rows. Anything else failing is a regression.
 #
+# False-green hardening (ADVICE r09): the original gate only counted
+# '^FAIL' lines, so an sbt crash, a preflight.py traceback, or a stale
+# out_$s dir produced zero FAILs and the set was reported green without
+# having compared anything. Now every sbt exit status is checked (a crash
+# over a stale out dir would otherwise compare old results), and each
+# set must produce preflight.py's final "N pass, M fail, K declared"
+# tally with n_pass > 0 and n_pass + n_fail == declared — a sweep that
+# did not actually compare the full registry cannot pass.
+#
 # Usage: tools/degen_preflight.sh [baseDir] [logFile]
-# Writes the full transcript to the log; exit 1 on any UNEXPECTED failure.
-set -u
+# Writes the full transcript to the log; exit 1 on any UNEXPECTED failure
+# OR any crashed/incomplete stage.
+set -u -o pipefail
 BASE="${1:-target/degen}"
-LOG="${2:-DEGENERATE_PREFLIGHT_r09.log}"
+LOG="${2:-DEGENERATE_PREFLIGHT_r10.log}"
 
 expected_for() {
   case "$1" in
@@ -24,31 +35,62 @@ expected_for() {
   esac
 }
 
+rc=0
+
 {
   echo "== degenerate oracle parity sweep, $(date -u +%Y-%m-%dT%H:%M:%SZ), HEAD $(git rev-parse --short HEAD) =="
   sbt -batch "Test/runMain graft.DegenGen $BASE" 2>&1 | grep "\[degen\]"
 } | tee "$LOG"
+gen_rc=$?
+if [ "$gen_rc" -ne 0 ]; then
+  echo "DegenGen FAILED (pipeline rc=$gen_rc) — aborting, nothing was compared" | tee -a "$LOG"
+  echo "== sweep ABORTED, rc=1 (log: $LOG) ==" | tee -a "$LOG"
+  exit 1
+fi
 
-rc=0
 for s in tiny empty nulls; do
   {
     echo
     echo "== set: $s =="
-    # sbt runs are sequential on purpose — the build lock serializes them.
-    sbt -batch "runMain graft.Verify $BASE/$s $BASE/out_$s" 2>&1 \
-      | grep "\[verify\]"
   } | tee -a "$LOG"
+  # sbt runs are sequential on purpose — the build lock serializes them.
+  # A failed Verify over a STALE out_$s dir from a prior run would let
+  # preflight.py green-light old results, so the exit status gates the set.
+  sbt -batch "runMain graft.Verify $BASE/$s $BASE/out_$s" 2>&1 \
+    | grep "\[verify\]" | tee -a "$LOG"
+  verify_rc=$?
+  if [ "$verify_rc" -ne 0 ]; then
+    echo "set $s: Verify FAILED (pipeline rc=$verify_rc) — set NOT compared" | tee -a "$LOG"
+    rc=1
+    continue
+  fi
   out=$(python3 tools/preflight.py "$BASE/$s" "$BASE/out_$s" 2>&1)
+  py_rc=$?
   printf '%s\n' "$out" >> "$LOG"
   printf '%s\n' "$out" | grep -v "^PASS"   # console: failures + tally only
+  # The tally line is the proof the compare ran to completion — a
+  # traceback (py_rc=1, same as an expected-FAIL exit) never prints it.
+  tally=$(printf '%s\n' "$out" | grep -E "^[0-9]+ pass, [0-9]+ fail, [0-9]+ declared" | tail -1)
+  if [ -z "$tally" ] || [ "$py_rc" -gt 1 ]; then
+    echo "set $s: preflight.py did not complete (rc=$py_rc, no tally) — set NOT compared" | tee -a "$LOG"
+    rc=1
+    continue
+  fi
+  n_pass=$(echo "$tally" | awk '{print $1}')
+  n_fail=$(echo "$tally" | awk '{print $3}')
+  n_decl=$(echo "$tally" | awk '{print $5}')
+  if [ "$n_pass" -eq 0 ] || [ $((n_pass + n_fail)) -ne "$n_decl" ]; then
+    echo "set $s: incomplete compare ($n_pass pass + $n_fail fail != $n_decl declared, or zero passes)" | tee -a "$LOG"
+    rc=1
+    continue
+  fi
   unexpected=$(printf '%s\n' "$out" | grep "^FAIL" | cut -d: -f1 | cut -d' ' -f2 \
     | grep -vxF -f <(expected_for "$s"; echo __none__) || true)
   if [ -n "$unexpected" ]; then
     echo "UNEXPECTED failures in set $s: $unexpected" | tee -a "$LOG"
     rc=1
   else
-    n_exp=$(echo "$out" | grep -c "^FAIL" || true)
-    echo "set $s: all failures expected ($n_exp documented divergences)" | tee -a "$LOG"
+    echo "set $s: $n_pass/$n_decl pass, all $n_fail failures expected (documented divergences)" | tee -a "$LOG"
   fi
 done
 
