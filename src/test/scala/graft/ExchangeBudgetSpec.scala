@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Registry-wide shuffle-budget ratchet (VERDICT r09 item 4).
+  *
+  * PlanSpec pins the known-risk plan shapes by hand; this suite guards
+  * the other ~190 queries the same way the fuzz teeth work: the Exchange
+  * counts of EVERY registered query's physical plan are recorded in a
+  * committed golden file, and any drift — a new shuffle slipped into an
+  * untested query by a refactor, a broadcast that silently fell back to a
+  * shuffle — fails here before it ships. At sf0.001 a stray exchange
+  * costs microseconds and no test would notice; at 100 TB it's a
+  * full-data shuffle, which is exactly why the count is pinned rather
+  * than the runtime.
+  *
+  * Counted on `executedPlan` (the AQE initial plan): `sparkPlan` is the
+  * strategy output BEFORE EnsureRequirements, where exchanges from
+  * required distributions don't exist yet, so it would undercount to
+  * near-zero. Counts are parsed from the plan string because
+  * AdaptiveSparkPlanExec doesn't expose its initial plan as children for
+  * `collect`. Scalar-subquery subtrees render as expressions, not
+  * operators, so their internal exchanges are out of scope — the budget
+  * is a drift detector with a fixed methodology, not an absolute shuffle
+  * census.
+  *
+  * Update workflow (same as the teeth checks): when a plan change is
+  * INTENTIONAL, re-run with `SPARK_GRAFT_UPDATE_EXCHANGE_BUDGET=1` to
+  * regenerate src/test/resources/exchange-budget.tsv, then justify the
+  * diff in the commit message. The git diff of the golden file IS the
+  * review surface.
+  */
+class ExchangeBudgetSpec extends SparkSpec {
+
+  private val budgetPath = Paths.get("src/test/resources/exchange-budget.tsv")
+
+  /** (shuffle, broadcast) exchange counts in the query's initial physical
+    * plan. The negative lookbehind keeps `BroadcastExchange` and
+    * `ReusedExchange` out of the shuffle count.
+    */
+  private def exchangeCounts(name: String): (Int, Int) = {
+    val p = Registry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+    val shuffles = "(?<![A-Za-z])Exchange ".r.findAllIn(p).size
+    val broadcasts = "(?<![A-Za-z])BroadcastExchange".r.findAllIn(p).size
+    (shuffles, broadcasts)
+  }
+
+  test("every registered query's Exchange counts match the committed budget") {
+    val actual: Seq[(String, Int, Int)] = Registry.all.map(_.name).sorted.map { n =>
+      val (s, b) = exchangeCounts(n)
+      (n, s, b)
+    }
+    if (sys.env.contains("SPARK_GRAFT_UPDATE_EXCHANGE_BUDGET")) {
+      val lines = ("# query\tshuffle_exchanges\tbroadcast_exchanges — regenerate with" +
+        " SPARK_GRAFT_UPDATE_EXCHANGE_BUDGET=1 sbt 'testOnly graft.ExchangeBudgetSpec'") +:
+        actual.map { case (n, s, b) => s"$n\t$s\t$b" }
+      Files.createDirectories(budgetPath.getParent)
+      Files.write(budgetPath, lines.asJava)
+      info(s"rewrote $budgetPath with ${actual.size} entries")
+    }
+    assert(Files.exists(budgetPath),
+      s"$budgetPath missing — run once with SPARK_GRAFT_UPDATE_EXCHANGE_BUDGET=1 to seed it")
+    val expected: Map[String, (Int, Int)] = Files.readAllLines(budgetPath).asScala
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .map { l => val f = l.split("\t"); f(0) -> (f(1).toInt, f(2).toInt) }.toMap
+
+    val missing = actual.map(_._1).filterNot(expected.contains)
+    val stale = expected.keys.toSeq.filterNot(actual.map(_._1).contains)
+    val drifted = actual.flatMap { case (n, s, b) =>
+      expected.get(n).collect { case (es, eb) if (es, eb) != (s, b) =>
+        s"$n: shuffle $es->$s, broadcast $eb->$b"
+      }
+    }
+    assert(missing.isEmpty && stale.isEmpty && drifted.isEmpty,
+      s"""Exchange budget drift (intentional? regenerate the golden file and justify in the commit):
+         |  unbudgeted queries: ${missing.mkString(", ")}
+         |  stale budget rows:  ${stale.mkString(", ")}
+         |  drifted counts:
+         |    ${drifted.mkString("\n    ")}""".stripMargin)
+  }
+}
