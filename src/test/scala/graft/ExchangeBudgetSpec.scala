@@ -46,6 +46,26 @@ class ExchangeBudgetSpec extends SparkSpec {
     (shuffles, broadcasts)
   }
 
+  test("the exchange counter has teeth: added shuffles are visible") {
+    // Teeth convention: before trusting the ratchet, prove the counter
+    // registers the regression class it guards against. NOT built on a
+    // registry query: bolting .repartition onto one that ends in orderBy
+    // does not ADD an exchange — Catalyst's EliminateSorts drops the sort
+    // under the repartition, swapping the range exchange for a hash one
+    // (net zero; first draft of this test failed exactly that way). A
+    // neutral fixture isolates the counter itself.
+    import org.apache.spark.sql.functions._
+    def shuffles(df: org.apache.spark.sql.DataFrame) =
+      "(?<![A-Za-z])Exchange ".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    val base = spark.range(100).toDF("id")
+    assert(shuffles(base) === 0)
+    assert(shuffles(base.repartition(8, col("id"))) === 1,
+      "counter blind to an added hash repartition")
+    assert(shuffles(base.groupBy(col("id") % 7).count()) === 1,
+      "counter blind to an aggregation exchange")
+  }
+
   test("every registered query's Exchange counts match the committed budget") {
     val actual: Seq[(String, Int, Int)] = Registry.all.map(_.name).sorted.map { n =>
       val (s, b) = exchangeCounts(n)
