@@ -119,7 +119,11 @@ object JdbcUpsert {
     * re-execute of just that statement — re-applying an UPDATE with the
     * same values is idempotent, so correctness is unaffected, only that
     * row pays the extra round trip. The whole partition commits as one
-    * transaction, as before.
+    * transaction, as before. Key-uniqueness of the delta stays the
+    * caller's contract (same as the staging path): two rows sharing a
+    * new key inside one chunk both miss their UPDATE and the second
+    * INSERT fails loudly on the key constraint, rather than silently
+    * last-writer-winning the way the old row-at-a-time loop did.
     */
   def upsertPerPartition(df: DataFrame, url: String, table: String, keys: Seq[String],
       batchSize: Int = 500): Unit = {
