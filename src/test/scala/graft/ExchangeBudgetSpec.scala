@@ -25,6 +25,15 @@ import scala.jdk.CollectionConverters._
   * is a drift detector with a fixed methodology, not an absolute shuffle
   * census.
   *
+  * The counts are STATIC-TREE upper bounds on runtime shuffles: a
+  * multi-consumer subtree (e.g. text_source_divergence's per-source
+  * token counts feeding three aggregations) appears once per consumer in
+  * the initial plan, but AQE's stage reuse materializes identical
+  * subtrees once — measured on text_source_divergence at sf0.001: 10
+  * static exchanges, 9 runtime ShuffleQueryStages with 2 reuse markers,
+  * so the expensive scan+explode+aggregate base runs once. Drift in the
+  * static count still means a real plan change, which is what's pinned.
+  *
   * Update workflow (same as the teeth checks): when a plan change is
   * INTENTIONAL, re-run with `SPARK_GRAFT_UPDATE_EXCHANGE_BUDGET=1` to
   * regenerate src/test/resources/exchange-budget.tsv, then justify the
