@@ -151,13 +151,19 @@ object Scalars {
       "fn_map",
       (s, d) =>
         Tables.events(s, d)
-          .withColumn("m", from_json(col("props"), MapType(StringType, IntegerType)))
+          // map<string,STRING>, not map<string,int>: from_json with a typed
+          // int map NULLs the ENTIRE map when ANY value fails the type
+          // ({"k": 7, "s": "café"} lost k — round-10 unicode parity set).
+          // Real-world props are heterogeneous; parse permissively, then
+          // cast only the field being extracted.
+          .withColumn("m", from_json(col("props"), MapType(StringType, StringType)))
           .select(
             col("event_id"),
             // try_element_at: ANSI element_at throws on a map missing the
             // key — one malformed props row would kill the job; NULL is
-            // the bad-row posture (round-8 sweep)
-            try_element_at(col("m"), lit("k")).cast("long").as("k"))
+            // the bad-row posture (round-8 sweep). try_cast: a non-numeric
+            // k yields NULL, matching the oracle's digits-only regex.
+            expr("try_cast(try_element_at(m, 'k') AS BIGINT)").as("k"))
           .orderBy("event_id"),
       // oracle extracts the "k" field specifically and NULLIF-guards the
       // cast: a digit-free or k-less props row must yield NULL (matching
@@ -360,6 +366,14 @@ object Scalars {
     // Levenshtein distance against a probe string, plus a normalized
     // similarity in exact integer-ratio arithmetic rounded 4dp.
     QueryDef(
+      // KNOWN ENGINE-DEFINED DIVERGENCE (unicode inputs only): Spark's
+      // levenshtein counts CODE POINTS while DuckDB's counts BYTES of the
+      // UTF-8 encoding ('pièce détachée' vs 'small widget': Spark 13,
+      // DuckDB 16 — one per two-byte accent). No DuckDB builtin computes
+      // code-point edit distance, so the gap is irreconcilable in oracle
+      // SQL; the driver fixtures are ASCII (units coincide) and the
+      // round-10 unicode parity set carries fn_levenshtein as a
+      // documented expected divergence (tools/degen_preflight.sh).
       "fn_levenshtein",
       (s, d) =>
         Tables.part(s, d)

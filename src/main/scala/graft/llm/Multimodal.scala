@@ -69,6 +69,20 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** DuckDB expression for BYTE `i` (1-based) of `text`'s UTF-8 encoding,
+    * given `hx` = `hex(text)`: each byte is a hex pair, decoded with
+    * strpos arithmetic. Replaces the round-9 `ascii(substring(...))`
+    * replica, which equals the byte only for ASCII text — the round-10
+    * unicode parity set caught the divergence (é is 2 bytes / 1 code
+    * point, so frame boundaries and header bytes drifted on multibyte
+    * docs). Past-the-end: substring yields '' and strpos(_, '') = 1, so
+    * the decoded byte is 0 — exactly [[FakeDecoder.decode]]'s default for
+    * a missing header byte, pinned by the unicode sweep's 1-byte docs.
+    */
+  private def byteSql(hx: String, i: String): String =
+    s"(16 * (strpos('0123456789ABCDEF', substring($hx, 2 * ($i) - 1, 1)) - 1)" +
+      s" + strpos('0123456789ABCDEF', substring($hx, 2 * ($i), 1)) - 1)"
+
   /** documents.text encoded as the stand-in binary payload. */
   def withPayload(docs: DataFrame): DataFrame =
     docs.withColumn("payload", encode(col("text"), "UTF-8"))
@@ -151,32 +165,38 @@ object Multimodal {
       },
       // FakeDecoder defines an EMPTY payload as luma 0.0 (a black frame),
       // where DuckDB's list-sum over the empty range is NULL — hence the
-      // CASE's zero branch; a NULL text stays NULL on both sides (ELSE
-      // branch). Round-9 degenerate parity sweep.
+      // CASE's zero branch; a NULL text stays NULL on both sides (hex(NULL)
+      // propagates). Byte-exact via hex pairs (round-10 unicode set): the
+      // decoder reads UTF-8 BYTES, so ascii(substring(...)) — code points —
+      // diverged on multibyte text.
       Some(s"""SELECT doc_id,
-              |  64 + (ascii(substring(text, 1, 1)) % 128) AS width,
-              |  64 + (ascii(substring(text, 2, 1)) % 128) AS height,
+              |  CAST(64 + (${byteSql("hx", "1")} % 128) AS BIGINT) AS width,
+              |  CAST(64 + (${byteSql("hx", "2")} % 128) AS BIGINT) AS height,
               |  ${Exact.roundNSql(
-                 "CASE WHEN length(text) = 0 THEN 0.0 ELSE list_sum(list_transform(range(1, length(text)+1), i -> ascii(substring(text, i, 1)))) * 1.0 / length(text) END", 4)} AS mean_luma
-              |FROM documents ORDER BY doc_id""".stripMargin)),
+                 s"CASE WHEN n = 0 THEN 0.0 ELSE list_sum(list_transform(range(1, n + 1), i -> ${byteSql("hx", "i")})) * 1.0 / n END", 4)} AS mean_luma
+              |FROM (SELECT doc_id, hex(text) AS hx, strlen(text) AS n FROM documents) h
+              |ORDER BY doc_id""".stripMargin)),
 
     // Frame sampling as a declared query: every 4th 16-byte frame of the
-    // payload with its byte checksum. ASCII text ⇒ byte i == ascii(char i),
-    // so DuckDB replays the sampler in exact integer arithmetic.
+    // payload with its byte checksum. Byte-exact hex-pair replica
+    // (round-10): frame boundaries are BYTE offsets, so the former
+    // length()/ascii() code-point replica drifted on multibyte text.
     QueryDef(
       "multimodal_frame_sample",
       (s, d) =>
         sampleFrames(withPayload(Tables.documents(s, d)))
           .orderBy("doc_id", "frame_idx"),
-      Some("""WITH f AS (
-             |  SELECT doc_id, text, length(text) AS n,
-             |    unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT), 4)) AS frame_idx
-             |  FROM documents)
-             |SELECT doc_id, frame_idx,
-             |  CAST(list_sum(list_transform(
-             |    range(frame_idx * 16 + 1, least(frame_idx * 16 + 16, n) + 1),
-             |    i -> ascii(substring(text, i, 1)))) AS BIGINT) AS checksum
-             |FROM f ORDER BY doc_id, frame_idx""".stripMargin)),
+      Some(s"""WITH h AS (
+              |  SELECT doc_id, hex(text) AS hx, strlen(text) AS n FROM documents),
+              |f AS (
+              |  SELECT doc_id, hx, n,
+              |    unnest(range(0, CAST(ceil(n / 16.0) AS BIGINT), 4)) AS frame_idx
+              |  FROM h)
+              |SELECT doc_id, frame_idx,
+              |  CAST(list_sum(list_transform(
+              |    range(frame_idx * 16 + 1, least(frame_idx * 16 + 16, n) + 1),
+              |    i -> ${byteSql("hx", "i")})) AS BIGINT) AS checksum
+              |FROM f ORDER BY doc_id, frame_idx""".stripMargin)),
 
     // Content-addressed media dedup: group binary payloads by md5 digest —
     // the "same bytes, keep one" pass every media-ingest pipeline runs

@@ -157,10 +157,74 @@ object DegenTables {
       .write.parquet(s"$dir/embeddings.parquet")
   }
 
+  /** Fourth set (round 10): multibyte/adversarial TEXT with healthy join
+    * keys and sane numerics — the class a real web corpus is full of and
+    * the ASCII driver fixtures never exercise. Probes the byte-vs-codepoint
+    * and casing seams between Spark (JDK string semantics) and DuckDB
+    * (utf8proc): accented latin, CJK tokens, non-BMP emoji (surrogate
+    * pairs in UTF-16 land, 4-byte sequences in UTF-8), combining-mark vs
+    * precomposed é (byte-different, must NOT dedup together), the Greek
+    * final-sigma casing context, RTL Hebrew, and an exact-duplicate
+    * unicode pair so the dedup family hashes multibyte text on both
+    * engines. n_chars carries CODE-POINT counts (Spark length() and
+    * DuckDB length() both count code points — pinned by the parity
+    * sweep over this set).
+    */
+  def writeUnicode(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    Seq((0, "ALL"), (1, "Régión"))
+      .toDF("r_regionkey", "r_name").write.parquet(s"$dir/region.parquet")
+    Seq((0, "ALL", 0), (1, "日本", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey").write.parquet(s"$dir/nation.parquet")
+    Seq((1L, "Søren Kierkegård", 0, 10.5))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$dir/supplier.parquet")
+    Seq((1L, "Müller", 0, 20.0, "SEG"), (2L, "Ñandú", 1, 7.25, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, "pièce détachée", "Brand#Ω", "SMALL", 5, 3.5))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    Seq((1L, 1L, "F", 10.0, ts("1996-01-01"), "1-URGENT"),
+      (2L, 2L, "O", 4.5, ts("1996-02-01"), "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L, 1L, 1, 2.0, 10.0, 0.1, 0.0, "N", "O", ts("1996-01-01")),
+      (2L, 1L, 1L, 2, 1.0, 4.5, 0.0, 0.05, "R", "F", ts("1996-02-01")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((0L, 1704067200L * 1000000000L, 1L, "click", 1.0, """{"k": 7, "s": "café"}"""),
+      (1L, 1704070800L * 1000000000L, 1L, "view", 2.0, """{"k": 2, "s": "日本"}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    // é two ways: precomposed U+00E9 vs e + combining U+0301 — different
+    // bytes, different tokens, and must stay that way on both engines.
+    val eComb = "étoile"
+    Seq(
+      (0L, "héllo wörld héllo wörld naïve", "fr", "s0", 29L),
+      (1L, "héllo wörld héllo wörld naïve", "fr", "s0", 29L), // exact dup of 0
+      (2L, "日本語 テキスト 処理 日本語 処理", "ja", "s1", 18L),
+      (3L, "emoji 🌍🌍 test 🚀 emoji", "en", "s1", 21L),
+      (4L, s"étoile $eComb étoile $eComb", "fr", "s0", 29L),
+      (5L, "STRASSE straße ΣΊΣΥΦΟΣ σίσυφος", "de", "s2", 30L),
+      (6L, "שלום עולם hello world", "he", "s2", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq((0L, Seq.tabulate(64)(i => (0.1f + i * 0.01f)), 0),
+      (1L, Seq.tabulate(64)(i => (0.9f - i * 0.01f)), 1),
+      (2L, Seq.tabulate(64)(i => (0.1f + i * 0.01f)), 0)) // dup of 0
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+  }
+
   val sets: Map[String, (SparkSession, String) => Unit] = Map(
     "tiny" -> writeTiny,
     "empty" -> writeEmpty,
-    "nulls" -> writeNulls)
+    "nulls" -> writeNulls,
+    "unicode" -> writeUnicode)
 }
 
 /** `sbt "Test/runMain graft.DegenGen <baseDir>"` — materialize all three

@@ -53,4 +53,19 @@ class DegenerateSweepSpec extends SparkSpec {
     assert(failures.isEmpty,
       s"queries crashed on NULL-laden rows:\n${failures.mkString("\n")}")
   }
+
+  /** Fourth variant (round 10): multibyte text — accents, CJK, non-BMP
+    * emoji (4-byte UTF-8 / surrogate pairs), combining marks, final-sigma
+    * casing, RTL — through every tokenizer, regex, hash, and dedup path.
+    * A web-scale corpus is full of this; the ASCII driver fixtures never
+    * reach it. Value-level cross-engine parity on the same set is the
+    * degen_preflight.sh oracle sweep.
+    */
+  test("every registered query survives multibyte unicode text") {
+    val d = Files.createTempDirectory("graft-degen-unicode-").toString
+    DegenTables.writeUnicode(spark, d)
+    val failures = sweep(d)
+    assert(failures.isEmpty,
+      s"queries crashed on unicode text:\n${failures.mkString("\n")}")
+  }
 }

@@ -32,6 +32,10 @@ LOG="${2:-DEGENERATE_PREFLIGHT_r10.log}"
 expected_for() {
   case "$1" in
     empty) printf '%s\n' agg_rollup agg_cube agg_grouping_sets ;;
+    # Spark levenshtein counts code points, DuckDB's counts UTF-8 bytes —
+    # engine-defined, documented at the fn_levenshtein QueryDef; ASCII
+    # fixtures coincide, only the multibyte set diverges.
+    unicode) printf '%s\n' fn_levenshtein ;;
   esac
 }
 
@@ -48,7 +52,7 @@ if [ "$gen_rc" -ne 0 ]; then
   exit 1
 fi
 
-for s in tiny empty nulls; do
+for s in tiny empty nulls unicode; do
   {
     echo
     echo "== set: $s =="
