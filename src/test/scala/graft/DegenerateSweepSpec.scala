@@ -67,5 +67,24 @@ class DegenerateSweepSpec extends SparkSpec {
     val failures = sweep(d)
     assert(failures.isEmpty,
       s"queries crashed on unicode text:\n${failures.mkString("\n")}")
+
+    // Seam companions (house teeth convention): the fixture must keep the
+    // shapes the set exists for — an edit can't silently defang the sweep.
+    val texts = spark.read.parquet(s"$d/documents.parquet")
+      .select("text").collect().flatMap(r => Option(r.getString(0)))
+    assert(texts.exists(_.exists(_.isSurrogate)),
+      "fixture lost its non-BMP (surrogate-pair) text")
+    assert(texts.exists(_.contains('́')),
+      "fixture lost its combining-mark text")
+    assert(texts.exists(t => t.contains('Σ') && t.contains('ς')),
+      "fixture lost the capital-sigma/final-sigma casing context")
+    assert(texts.exists(_.exists(c => c >= '֐' && c <= '׿')),
+      "fixture lost its RTL Hebrew text")
+    assert(texts.exists(_.exists(c => c >= '぀' && c <= '鿿')),
+      "fixture lost its CJK text")
+    assert(texts.groupBy(identity).exists(_._2.length > 1),
+      "fixture lost the exact-duplicate unicode pair")
+    assert(texts.exists(t => t.getBytes("UTF-8").length > t.codePointCount(0, t.length)),
+      "fixture lost multibyte text entirely (bytes == code points everywhere)")
   }
 }
