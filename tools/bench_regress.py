@@ -42,12 +42,21 @@ def load_seq(spec):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thresh = 2.0
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    args, thresh = [], 2.0
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold"):
-            thresh = float(a.split("=", 1)[1] if "=" in a
-                           else sys.argv[sys.argv.index(a) + 1])
+            # both --threshold=X and --threshold X
+            if "=" in a:
+                thresh = float(a.split("=", 1)[1])
+            else:
+                i += 1
+                thresh = float(argv[i])
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         sys.exit(__doc__)
     old, old_tag = load_seq(args[0])
