@@ -27,13 +27,27 @@ import org.apache.spark.sql.functions._
   */
 object Exact {
 
-  /** Deterministic cross-engine round of a computed double expression. */
+  /** Deterministic cross-engine round of a computed double expression.
+    *
+    * Overflow posture (round-11 decision, evidence pinned in BASELINE.md
+    * round-10): the decimal re-representation is `try_cast`, so |x| ≥
+    * ~1e28 yields NULL instead of killing the job — at 100 TB one
+    * poisoned row must not abort a stats query, and NULL is an honest
+    * "not representable" at a FINAL output site. DuckDB's TRY_CAST
+    * returns NULL on the same inputs, so oracle parity is preserved
+    * (enforced by the extremes degenerate set). This posture applies to
+    * final rounding sites ONLY: aggregation-INPUT casts ([[sumDec]],
+    * [[sumDec8]] and the inline decimal sums) keep the plain throwing
+    * cast, because a NULL there silently drops the row from SUM/AVG —
+    * a wrong answer rather than a missing one. AnsiOverflowSpec pins
+    * both behaviors.
+    */
   def roundN(c: Column, n: Int): Column =
-    round(c.cast("decimal(38,10)"), n).cast("double")
+    round(c.try_cast("decimal(38,10)"), n).cast("double")
 
   /** SQL twin of [[roundN]] for oracle text. */
   def roundNSql(expr: String, n: Int): String =
-    s"CAST(ROUND(CAST($expr AS DECIMAL(38,10)), $n) AS DOUBLE)"
+    s"CAST(ROUND(TRY_CAST($expr AS DECIMAL(38,10)), $n) AS DOUBLE)"
 
   /** DuckDB twin of [[graft.functions.CosineSimilarity]]'s NULL contract:
     * NULL when the vectors differ in length (raw `list_cosine_similarity`

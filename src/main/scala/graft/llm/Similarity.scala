@@ -431,7 +431,7 @@ object Similarity {
         graft.functions.GraftExtensions.install(s)
         Tables.embeddings(s, d).createOrReplaceTempView("graft_emb_sql")
         s.sql("""SELECT e.vec_id,
-                |  CAST(ROUND(CAST(graft_cosine(CAST(e.embedding AS ARRAY<DOUBLE>), q.qe)
+                |  CAST(ROUND(TRY_CAST(graft_cosine(CAST(e.embedding AS ARRAY<DOUBLE>), q.qe)
                 |    AS DECIMAL(38,10)), 4) AS DOUBLE) AS sim
                 |FROM graft_emb_sql e
                 |CROSS JOIN (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS qe

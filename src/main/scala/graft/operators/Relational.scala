@@ -140,14 +140,14 @@ object Relational {
       (s, d) => {
         Tables.orders(s, d).createOrReplaceTempView("graft_orders_scalar")
         s.sql(s"""SELECT o_orderkey, o_orderpriority, o_totalprice,
-                 |  CAST(ROUND(CAST((SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                 |  CAST(ROUND(TRY_CAST((SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
                  |    FROM graft_orders_scalar o2
                  |    WHERE o2.o_orderpriority = o.o_orderpriority) AS DECIMAL(38,10)), 2) AS DOUBLE) AS prio_avg
                  |FROM graft_orders_scalar o
                  |ORDER BY o_orderkey""".stripMargin)
       },
       Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
-             |  CAST(ROUND(CAST((SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+             |  CAST(ROUND(TRY_CAST((SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
              |    FROM orders o2
              |    WHERE o2.o_orderpriority = o.o_orderpriority) AS DECIMAL(38,10)), 2) AS DOUBLE) AS prio_avg
              |FROM orders o
