@@ -205,6 +205,15 @@ object Scalars {
              |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin)),
 
     // printf-style formatting — same %-directives in both engines.
+    //
+    // KNOWN ENGINE-DEFINED DIVERGENCE (extremes sweep, round 11): for
+    // doubles past 2^53, Java's Formatter %f renders the SHORTEST decimal
+    // representation (1e30 → "1000…000.00") while C printf renders the
+    // exact binary expansion ("…019884624838656.00"). Both are faithful
+    // decimal renderings of the same double; no DuckDB builtin reproduces
+    // Java's choice. Registered as the extremes set's expected failure
+    // (DegenTables.extremesExpectedDivergences); the driver fixtures'
+    // money-scale doubles are exactly representable, where both agree.
     QueryDef(
       "fn_format",
       (s, d) =>
@@ -492,12 +501,22 @@ object Scalars {
             expr("try_add(9223372036854775800L, CASE WHEN k > 5 THEN event_id ELSE 0 END)")
               .as("try_sum"))
           .orderBy("event_id"),
+      // Spark's floor(DOUBLE) returns BIGINT and SATURATES out-of-range
+      // inputs (JVM Double.toLong: ±1e30 → Long.Max/MinValue — a function
+      // contract, not an ANSI cast, so no throw); DuckDB's FLOOR stays
+      // DOUBLE and a plain CAST throws at ±1e30 (extremes sweep, round
+      // 11). The oracle replicates the saturation explicitly: saturate
+      // iff floor(value) ≥ 2^63 (the first double past Long.MaxValue) or
+      // < -2^63, both exactly representable as doubles.
       Some("""SELECT event_id,
              |  CASE WHEN k = 0 THEN NULL ELSE value / k END AS try_div,
              |  CASE WHEN k > 5 AND event_id > 7 THEN NULL
              |       ELSE 9223372036854775800 + (CASE WHEN k > 5 THEN event_id ELSE 0 END)
              |  END AS try_sum
-             |FROM (SELECT event_id, value, CAST(FLOOR(value) AS BIGINT) % 7 AS k
+             |FROM (SELECT event_id, value,
+             |        (CASE WHEN FLOOR(value) >= 9223372036854775808.0 THEN 9223372036854775807
+             |              WHEN FLOOR(value) < -9223372036854775808.0 THEN -9223372036854775808
+             |              ELSE CAST(FLOOR(value) AS BIGINT) END) % 7 AS k
              |      FROM events) t
              |ORDER BY event_id""".stripMargin)),
 

@@ -220,11 +220,193 @@ object DegenTables {
       .write.parquet(s"$dir/embeddings.parquet")
   }
 
+  /** Fifth set (round 11): ±1e30-class doubles — the decimal-overflow
+    * seam. Exercises the round-11 posture split end-to-end: every FINAL
+    * rounding site ([[graft.Exact.roundN]], `try_cast`-based) must yield
+    * NULL identically on both engines when an aggregate/ratio of a
+    * poisoned column exceeds the decimal(38,10) range (~1e28), while
+    * aggregation-INPUT decimal casts keep the loud ANSI throw — so the
+    * queries that decimal-cast a poisoned column before aggregating are
+    * this set's DOCUMENTED expected failures (both engines throw; pinned
+    * by AnsiOverflowSpec and the BASELINE.md round-10 probe), listed in
+    * tools/degen_preflight.sh `expected_for(extremes)`.
+    *
+    * Poisoned: events.value (±1e30 plus a 1e-30 underflow probe),
+    * c_acctbal (±1e30), p_retailprice and s_acctbal (1e30). Deliberately
+    * SANE: lineitem/orders money columns (the sumDec/sumMoney paths stay
+    * on the loud side and must keep passing), n_chars (Spark sum(BIGINT)
+    * throws on long overflow where DuckDB widens to HUGEINT — an
+    * engine-defined divergence this set is not about), text, embeddings.
+    */
+  def writeExtremes(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    Seq((0, "ALL"), (1, "R1"))
+      .toDF("r_regionkey", "r_name").write.parquet(s"$dir/region.parquet")
+    Seq((0, "ALL", 0), (1, "N1", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey").write.parquet(s"$dir/nation.parquet")
+    Seq((1L, "s1", 0, 1e30), (2L, "s2", 1, -1e30))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$dir/supplier.parquet")
+    Seq((1L, "c1", 0, 1e30, "SEG"), (2L, "c2", 0, -1e30, "SEG"),
+      (3L, "c3", 1, 5.0, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, "p1", "Brand#1", "SMALL", 5, 1e30), (2L, "p2", "Brand#1", "SMALL", 7, 3.5))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    Seq((1L, 1L, "F", 10.0, ts("1996-01-01"), "1-URGENT"),
+      (2L, 2L, "O", 4.5, ts("1996-02-01"), "2-HIGH"),
+      (3L, 3L, "F", 7.25, ts("1996-02-15"), "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L, 1L, 1, 2.0, 10.0, 0.1, 0.0, "N", "O", ts("1996-01-01")),
+      (2L, 1L, 2L, 2, 1.0, 4.5, 0.0, 0.05, "R", "F", ts("1996-02-01")),
+      (3L, 2L, 1L, 1, 3.0, 6.0, 0.2, 0.1, "N", "O", ts("1996-02-15")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    // Epoch-nanos BIGINT ts, like the other degen sets (preflight.py
+    // normalizes). Healthy rows stay ≤ 4.0 so double sums that include a
+    // ±1e30 row are absorption-exact in any order on both engines.
+    val t0 = 1704067200L * 1000000000L
+    val hour = 3600L * 1000000000L
+    Seq((0L, t0 + 0 * hour, 1L, "click", 1e30, """{"k": 1}"""),
+      (1L, t0 + 1 * hour, 1L, "view", -1e30, """{"k": 2}"""),
+      (2L, t0 + 2 * hour, 1L, "click", 1.5, """{"k": 3}"""),
+      (3L, t0 + 3 * hour, 2L, "click", 1e-30, """{"k": 4}"""),
+      (4L, t0 + 4 * hour, 2L, "view", 2.5, """{"k": 5}"""),
+      (5L, t0 + 5 * hour, 2L, "purchase", 4.0, """{"k": 6}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    Seq((0L, "the quick brown fox jumps", "en", "s0", 25L),
+      (1L, "the quick brown fox jumps", "en", "s0", 25L), // exact dup of 0
+      (2L, "lorem ipsum dolor sit amet", "en", "s1", 26L),
+      (3L, "pack my box with five dozen jugs", "en", "s1", 32L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq((0L, Seq.tabulate(64)(i => 0.1f + i * 0.01f), 0),
+      (1L, Seq.tabulate(64)(i => 0.9f - i * 0.01f), 1),
+      (2L, Seq.tabulate(64)(i => 0.1f + i * 0.01f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+  }
+
+  /** Sixth set (round 11, VERDICT r10 #6): HOT-KEY SKEW — the shape that
+    * melts pair joins at 100 TB. One (lang, source) block holds ~all
+    * 1,200 documents and the token "the" appears in every one of them, so
+    * its posting list's document frequency (1,200) exceeds
+    * [[graft.llm.Dedup.DfBound]] (default 1,000) and the df guard MUST
+    * drop it before the pair join — without the guard that single token
+    * contributes C(1200,2) ≈ 719k candidate pairs; with it, pairs come
+    * only from the 60 20-doc shingle groups (sim exactly at the 0.6
+    * threshold: 3 shared of 4 surviving tokens) plus one exact-dup pair
+    * at 1.0. Both engines apply the same guard (the oracle QUALIFY reads
+    * the same DfBound), so this is the first ORACLE-PARITY exercise of
+    * the guard-engaged path — DedupGuardSpec covers it only Spark-side.
+    * Events (40-vs-5 per user), orders and lineitem (one hot customer /
+    * order) carry the same skew for the window/join/salting families.
+    * No expected failures: skew must degrade performance gracefully,
+    * never correctness.
+    */
+  def writeSkew(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    Seq((0, "ALL"), (1, "R1"))
+      .toDF("r_regionkey", "r_name").write.parquet(s"$dir/region.parquet")
+    Seq((0, "ALL", 0), (1, "N1", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey").write.parquet(s"$dir/nation.parquet")
+    Seq((1L, "s1", 0, 10.0), (2L, "s2", 0, 20.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$dir/supplier.parquet")
+    // every customer in one nation/segment: maximally skewed group keys
+    (1L to 8L).map(i => (i, s"c$i", 0, i * 10.0, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, "p1", "Brand#1", "SMALL", 5, 10.0), (2L, "p2", "Brand#1", "SMALL", 7, 20.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    // one hot customer owns 30 of 34 orders
+    ((1L to 30L).map(i => (i, 1L, "F", 100.0 + i, ts("1996-01-01"), "1-URGENT")) ++
+      (31L to 34L).map(i => (i, i - 29L, "O", 50.0 + i, ts("1996-02-01"), "2-HIGH")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    // one hot order carries 30 of 34 lines
+    ((1 to 30).map(i => (1L, (i % 2 + 1).toLong, 1L, i, 2.0, 10.0, 0.1, 0.0,
+      "N", "O", ts("1996-01-01"))) ++
+      (1 to 4).map(i => ((i + 1).toLong, 1L, 2L, i, 1.0, 5.0, 0.0, 0.05,
+        "R", "F", ts("1996-02-01"))))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val t0 = 1704067200L * 1000000000L
+    val hour = 3600L * 1000000000L
+    // 40 events for user 1, 5 for user 2 — hot window partitions
+    ((0 until 40).map(i => (i.toLong, t0 + i * hour, 1L,
+      Seq("click", "view", "purchase")(i % 3), 1.0 + i, s"""{"k": $i}""")) ++
+      (0 until 5).map(i => ((40 + i).toLong, t0 + i * hour, 2L, "click",
+        0.5 + i, s"""{"k": $i}""")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    // 1,200 docs, ONE block: "the" in all (df 1200 > DfBound 1000 →
+    // guarded away); groups of 20 share 3 tokens (a_g b_g c_g) and keep a
+    // unique u_i, so post-guard Jaccard = 3/(4+4-3) = 0.6 exactly.
+    val block = (0 until 1200).map { i =>
+      val g = i % 60
+      val text = s"the a$g b$g c$g u$i"
+      (i.toLong, text, "en", "s0", text.length.toLong)
+    }
+    val dupText = "the dup1 dup2 dup3"
+    val extra = Seq(
+      (1200L, dupText, "en", "s0", dupText.length.toLong),
+      (1201L, dupText, "en", "s0", dupText.length.toLong), // exact dup pair
+      (1202L, "petit texte divers", "fr", "s1", 18L),
+      (1203L, "autre texte encore", "fr", "s1", 18L))
+    (block ++ extra)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // a 10-vector identical cluster (hot ANN bucket) + distinct tail
+    ((0 until 10).map(i => (i.toLong, Seq.tabulate(64)(j => 0.5f + j * 0.001f), 0)) ++
+      (10 until 40).map(i => (i.toLong, Seq.tabulate(64)(j =>
+        math.sin(i * 64 + j).toFloat), i % 4)))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+  }
+
+  /** The extremes set's documented expected failures: every query that
+    * feeds a poisoned column (events.value or c_acctbal) into an
+    * aggregation-INPUT decimal cast, which by the round-11 posture keeps
+    * the loud ANSI throw (NULL there would silently drop rows from
+    * SUM/AVG). Both engines throw on these inputs — Spark
+    * NUMERIC_VALUE_OUT_OF_RANGE, DuckDB Conversion Error (round-10
+    * probe, BASELINE.md). Shared source of truth for
+    * DegenerateSweepSpec's extremes test and
+    * tools/degen_preflight.sh `expected_for(extremes)` — keep the shell
+    * list in sync (ExtremesLoudListSpec pins the sync).
+    */
+  val extremesLoudQueries: Set[String] = Set(
+    "agg_skew", "agg_stats", // sum(cast(c_acctbal as decimal(18,4)))
+    "stream_tumbling", // sumMoney2(value)
+    "ts_autocorr", "ts_impute_mean", "ts_seasonality_dow", // decimal sums of value
+    "win_rolling_std") // windowed decimal sums of value
+
+  /** Extremes-set VALUE divergences (query returns on both engines but
+    * the rendering is engine-defined past 2^53): Java %f formats the
+    * shortest decimal representation of a double, C printf the exact
+    * binary expansion — documented at the fn_format QueryDef. Part of
+    * the shell sweep's expected list alongside the loud throws.
+    */
+  val extremesExpectedDivergences: Set[String] = Set("fn_format")
+
   val sets: Map[String, (SparkSession, String) => Unit] = Map(
     "tiny" -> writeTiny,
     "empty" -> writeEmpty,
     "nulls" -> writeNulls,
-    "unicode" -> writeUnicode)
+    "unicode" -> writeUnicode,
+    "extremes" -> writeExtremes,
+    "skew" -> writeSkew)
 }
 
 /** `sbt "Test/runMain graft.DegenGen <baseDir>"` — materialize all three

@@ -87,4 +87,100 @@ class DegenerateSweepSpec extends SparkSpec {
     assert(texts.exists(t => t.getBytes("UTF-8").length > t.codePointCount(0, t.length)),
       "fixture lost multibyte text entirely (bytes == code points everywhere)")
   }
+
+  /** Fifth variant (round 11): ±1e30-class doubles — the decimal-overflow
+    * posture, both directions. Queries whose FINAL rounding sites see the
+    * poison must survive (try_cast → NULL); queries that decimal-cast a
+    * poisoned column INSIDE an aggregation must fail LOUDLY with the ANSI
+    * overflow error ([[DegenTables.extremesLoudQueries]]) — the set
+    * equality is the teeth: a query silently going quiet (someone
+    * try_cast-ing an agg input) or newly dying (a final site losing its
+    * try_cast) both fail this test. Cross-engine value parity on the same
+    * set is the degen_preflight.sh oracle sweep.
+    */
+  test("extremes: final-round sites survive, agg-input casts die loudly") {
+    val d = Files.createTempDirectory("graft-degen-extremes-").toString
+    DegenTables.writeExtremes(spark, d)
+    val failures = sweep(d)
+    assert(failures.map(_._1).toSet == DegenTables.extremesLoudQueries,
+      s"extremes posture drifted — expected exactly " +
+        s"${DegenTables.extremesLoudQueries.toSeq.sorted.mkString(",")}, got:\n" +
+        failures.mkString("\n"))
+    failures.foreach { case (name, err) =>
+      assert(err.contains("NUMERIC_VALUE_OUT_OF_RANGE"),
+        s"$name died of something other than the documented decimal " +
+          s"overflow: $err")
+    }
+
+    // Seam companions: the fixture must keep the shapes the set exists for.
+    val vals = spark.read.parquet(s"$d/events.parquet")
+      .select("value").collect().map(_.getDouble(0))
+    assert(vals.exists(v => math.abs(v) >= 1e30),
+      "fixture lost its past-decimal(38,10)-range value")
+    assert(vals.exists(v => v != 0 && math.abs(v) <= 1e-28),
+      "fixture lost its underflow-to-zero probe value")
+    val bals = spark.read.parquet(s"$d/customer.parquet")
+      .select("c_acctbal").collect().map(_.getDouble(0))
+    assert(bals.exists(_ >= 1e30) && bals.exists(_ <= -1e30),
+      "fixture lost its poisoned account balances")
+    // lineitem/orders money columns must STAY sane: the sumDec/sumMoney
+    // loud paths are meant to keep passing on this set, not to be tested
+    // by it — poisoning them here would silently convert 30+ green parity
+    // rows into expected failures.
+    val money = spark.read.parquet(s"$d/lineitem.parquet")
+      .select("l_extendedprice").collect().map(_.getDouble(0))
+    assert(money.forall(m => math.abs(m) < 1e13),
+      "lineitem money columns must stay within decimal(18,4) range")
+  }
+
+  /** Sixth variant (round 11): hot-key skew. Survival plus the teeth the
+    * verdict asked for: the fixture must actually ENGAGE the df guard
+    * (hot-token document frequency above [[graft.llm.Dedup.DfBound]], a
+    * nonzero guard-dropped posting count) and the guarded pair join must
+    * still emit pairs — otherwise an innocent fixture edit converts the
+    * set into an ordinary small corpus and the sweep proves nothing.
+    * Cross-engine parity of the guard-engaged path is the
+    * degen_preflight.sh oracle sweep over this same set.
+    */
+  test("skew: queries survive hot keys and the df guard visibly engages") {
+    val d = Files.createTempDirectory("graft-degen-skew-").toString
+    DegenTables.writeSkew(spark, d)
+    val failures = sweep(d)
+    assert(failures.isEmpty,
+      s"queries crashed on hot-key skew:\n${failures.mkString("\n")}")
+
+    import org.apache.spark.sql.functions._
+    val postings = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val dfs = postings.groupBy("lang", "source", "tok").count()
+    val hotDf = dfs.agg(max("count")).head().getLong(0)
+    assert(hotDf > graft.llm.Dedup.DfBound,
+      s"fixture lost its hot posting list (max df $hotDf <= bound " +
+        s"${graft.llm.Dedup.DfBound}) — the guard never engages")
+    val dropped = dfs.filter(col("count") > graft.llm.Dedup.DfBound)
+      .agg(coalesce(sum("count"), lit(0L))).head().getLong(0)
+    assert(dropped > 0, "guard-dropped posting count must be nonzero")
+    val pairs = graft.llm.Dedup.tokenPairs(
+      spark.read.parquet(s"$d/documents.parquet")).filter(col("sim_raw") >= 0.6)
+    assert(pairs.count() > 0,
+      "guarded pair join emitted nothing — the shingle groups are gone")
+  }
+
+  test("degen_preflight.sh's extremes expected-failure list stays in sync") {
+    val sh = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("tools/degen_preflight.sh")), "UTF-8")
+    // The shell case arm spans continuation lines; extract every token
+    // after `extremes)` up to the closing `;;`.
+    val arm = sh.split("extremes\\)", 2)(1).split(";;", 2)(0)
+    // Keep only query-name-shaped tokens (drops printf and its '%s\n').
+    val shellList = arm.split("[\\s\\\\]+")
+      .filter(_.matches("[a-z0-9_]+")).filterNot(_ == "printf").toSet
+    val expected =
+      DegenTables.extremesLoudQueries ++ DegenTables.extremesExpectedDivergences
+    assert(shellList == expected,
+      s"tools/degen_preflight.sh expected_for(extremes) drifted from " +
+        s"DegenTables.extremesLoudQueries ++ extremesExpectedDivergences: " +
+        s"shell=$shellList")
+  }
 }

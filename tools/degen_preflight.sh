@@ -27,7 +27,7 @@
 # OR any crashed/incomplete stage.
 set -u -o pipefail
 BASE="${1:-target/degen}"
-LOG="${2:-DEGENERATE_PREFLIGHT_r10.log}"
+LOG="${2:-DEGENERATE_PREFLIGHT_r11.log}"
 
 expected_for() {
   case "$1" in
@@ -36,6 +36,18 @@ expected_for() {
     # engine-defined, documented at the fn_levenshtein QueryDef; ASCII
     # fixtures coincide, only the multibyte set diverges.
     unicode) printf '%s\n' fn_levenshtein ;;
+    # Round-11 posture (DegenTables.extremesLoudQueries — keep in sync,
+    # DegenerateSweepSpec pins the list): these feed a ±1e30 column into
+    # an aggregation-INPUT decimal cast, which intentionally keeps the
+    # loud ANSI throw on BOTH engines (Spark NUMERIC_VALUE_OUT_OF_RANGE,
+    # DuckDB Conversion Error). Every other query must round to NULL at
+    # its final try_cast site and AGREE with the oracle.
+    # …plus fn_format: Java %f renders a >2^53 double via its shortest
+    # decimal representation, C printf via the exact binary expansion —
+    # engine-defined, documented at the fn_format QueryDef.
+    extremes) printf '%s\n' agg_skew agg_stats stream_tumbling \
+      ts_autocorr ts_impute_mean ts_seasonality_dow win_rolling_std \
+      fn_format ;;
   esac
 }
 
@@ -52,7 +64,7 @@ if [ "$gen_rc" -ne 0 ]; then
   exit 1
 fi
 
-for s in tiny empty nulls unicode; do
+for s in tiny empty nulls unicode extremes skew; do
   {
     echo
     echo "== set: $s =="
