@@ -139,6 +139,14 @@ object JdbcUpsert {
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.nonEmpty) {
         val c = DriverManager.getConnection(url)
+        // Error-path discipline (round 11, found by the off-spec shim
+        // test): closing a connection with an open transaction THROWS on
+        // Derby, and an exception from `finally c.close()` would REPLACE
+        // the real failure — the loud duplicate-key/off-spec-driver
+        // contract surfaced as a baffling "cannot close a connection"
+        // instead. Roll back on failure first, and suppress (not
+        // propagate) any close-time error onto the original.
+        var failure: Throwable = null
         try {
           c.setAutoCommit(false)
           val upd = c.prepareStatement(updateSql)
@@ -160,6 +168,16 @@ object JdbcUpsert {
               case (r, java.sql.Statement.SUCCESS_NO_INFO) =>
                 bindUpdate(r)
                 if (upd.executeUpdate() == 0) Some(r) else None
+              // Any OTHER negative count (EXECUTE_FAILED from an off-spec
+              // driver that returns instead of throwing
+              // BatchUpdateException) must fail loudly — treating it as a
+              // matched UPDATE would leave the row silently neither
+              // updated nor inserted (ADVICE r10).
+              case (_, n) if n < 0 =>
+                throw new IllegalStateException(
+                  s"JDBC driver returned update count $n for a batched " +
+                    s"UPDATE on $table — off-spec failure signal; aborting " +
+                    "the partition transaction")
               case _ => None
             }
             if (misses.nonEmpty) {
@@ -173,7 +191,16 @@ object JdbcUpsert {
             }
           }
           c.commit()
-        } finally c.close()
+        } catch { case t: Throwable =>
+          failure = t
+          try c.rollback() catch { case s: Throwable => t.addSuppressed(s) }
+          throw t
+        } finally {
+          try c.close()
+          catch { case s: Throwable =>
+            if (failure != null) failure.addSuppressed(s) else throw s
+          }
+        }
       }
     }
   }

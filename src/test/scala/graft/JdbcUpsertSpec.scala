@@ -152,4 +152,129 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(delta.count() === 1)
     assert(delta.head().getString(0) === "DDD")
   }
+
+  test("SUCCESS_NO_INFO batch counts degrade to per-row probe, same result") {
+    // VERDICT r10 #4: Derby returns real counts, so the SUCCESS_NO_INFO
+    // branch had never executed. ShimJdbc registers a wrapper driver that
+    // rewrites every batch count to SUCCESS_NO_INFO — the fallback must
+    // then produce the exact staging-path end state and stay idempotent.
+    import spark.implicits._
+    ShimJdbc.ensureRegistered()
+    JdbcUpsert.ensureTable(url, ddl.replace("CREATE TABLE bars", "CREATE TABLE bars_ni"))
+    JdbcUpsert.ensureTable(url, ddl.replace("CREATE TABLE bars", "CREATE TABLE bars_ni_mg"))
+    val keys = Seq("code", "trade_date")
+    val seed = (0 until 10).map(i => (f"N$i%02d", 20240101L, i.toDouble))
+      .toDF("code", "trade_date", "close_px")
+    JdbcUpsert.upsertViaStaging(seed, url, "bars_ni", keys, Some("code VARCHAR(16)"))
+    JdbcUpsert.upsertViaStaging(seed, url, "bars_ni_mg", keys, Some("code VARCHAR(16)"))
+
+    // rows 5-9 update seeded keys, 10-14 are fresh inserts; batchSize 4
+    // so chunks mix hits and misses
+    val delta = (5 until 15).map(i => (f"N$i%02d", 20240101L, i + 0.5))
+      .toDF("code", "trade_date", "close_px").repartition(2)
+    val before = ShimJdbc.batchRewrites.get()
+    val shimUrl = "jdbc:graftshim:noinfo:memory:graftdb;create=true"
+    JdbcUpsert.upsertPerPartition(delta, shimUrl, "bars_ni", keys, batchSize = 4)
+    JdbcUpsert.upsertPerPartition(delta, shimUrl, "bars_ni", keys, batchSize = 4) // idempotent
+    assert(ShimJdbc.batchRewrites.get() > before,
+      "the shim never rewrote a batch — the forced path did not run")
+    JdbcUpsert.upsertViaStaging(delta, url, "bars_ni_mg", keys, Some("code VARCHAR(16)"))
+    assert(readTable("bars_ni") === readTable("bars_ni_mg"),
+      "the SUCCESS_NO_INFO degraded path must equal the staging MERGE end state")
+  }
+
+  test("off-spec negative batch counts abort the partition loudly") {
+    // ADVICE r10: a driver returning EXECUTE_FAILED instead of throwing
+    // BatchUpdateException must not be treated as a successful UPDATE.
+    import spark.implicits._
+    ShimJdbc.ensureRegistered()
+    JdbcUpsert.ensureTable(url, ddl.replace("CREATE TABLE bars", "CREATE TABLE bars_offspec"))
+    val seed = Seq(("AAA", 20240101L, 1.0)).toDF("code", "trade_date", "close_px")
+    JdbcUpsert.upsertViaStaging(seed, url, "bars_offspec", Seq("code", "trade_date"),
+      Some("code VARCHAR(16)"))
+    val delta = Seq(("AAA", 20240101L, 2.0), ("BBB", 20240102L, 3.0))
+      .toDF("code", "trade_date", "close_px")
+    val e = intercept[Exception] {
+      JdbcUpsert.upsertPerPartition(delta,
+        "jdbc:graftshim:fail:memory:graftdb;create=true", "bars_offspec",
+        Seq("code", "trade_date"))
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("off-spec")),
+      s"expected the IllegalStateException guard in the cause chain, got $e")
+    // The partition transaction never committed: target unchanged.
+    assert(readTable("bars_offspec") === Seq(("AAA", 20240101L, 1.0)))
+  }
+}
+
+/** Test-only JDBC driver: wraps embedded Derby and rewrites every
+  * `executeBatch` count array — `noinfo` mode to `SUCCESS_NO_INFO` (the
+  * JDBC-legal "statement succeeded, count unknown" many drivers emit for
+  * large batches), `fail` mode to an off-spec `-3` (a driver signaling
+  * failure through the count array instead of `BatchUpdateException`).
+  * URL shape: `jdbc:graftshim:<mode>:<derby-suffix>`. Single-statement
+  * `executeUpdate` passes through untouched, which is exactly what the
+  * degraded per-row probe relies on.
+  */
+object ShimJdbc {
+  import java.lang.reflect.{InvocationHandler, InvocationTargetException, Method, Proxy}
+  import java.sql.{Connection, DriverManager, PreparedStatement}
+
+  val batchRewrites = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val registered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  def ensureRegistered(): Unit =
+    if (registered.compareAndSet(false, true))
+      DriverManager.registerDriver(new ShimDriver)
+
+  private def rewrite(mode: String, counts: Array[Int]): Array[Int] = {
+    batchRewrites.incrementAndGet()
+    mode match {
+      case "noinfo" =>
+        counts.map(c => if (c >= 0) java.sql.Statement.SUCCESS_NO_INFO else c)
+      case "fail" => counts.map(_ => -3)
+      case m => throw new IllegalArgumentException(s"unknown shim mode $m")
+    }
+  }
+
+  private def handler(target: AnyRef, wrap: (Method, AnyRef) => AnyRef): InvocationHandler =
+    (_, m: Method, args: Array[AnyRef]) =>
+      try wrap(m, if (args == null) m.invoke(target) else m.invoke(target, args: _*))
+      catch { case e: InvocationTargetException => throw e.getCause }
+
+  private def proxyStatement(real: PreparedStatement, mode: String): PreparedStatement =
+    Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[PreparedStatement]),
+      handler(real, (m, r) =>
+        if (m.getName == "executeBatch") rewrite(mode, r.asInstanceOf[Array[Int]])
+        else r)).asInstanceOf[PreparedStatement]
+
+  private def proxyConnection(real: Connection, mode: String): Connection =
+    Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[Connection]),
+      handler(real, (m, r) =>
+        if (m.getName == "prepareStatement")
+          proxyStatement(r.asInstanceOf[PreparedStatement], mode)
+        else r)).asInstanceOf[Connection]
+
+  class ShimDriver extends java.sql.Driver {
+    private val prefix = "jdbc:graftshim:"
+    override def acceptsURL(url: String): Boolean =
+      url != null && url.startsWith(prefix)
+    override def connect(url: String, info: java.util.Properties): Connection = {
+      if (!acceptsURL(url)) return null // JDBC contract: null, not throw
+      val rest = url.stripPrefix(prefix)
+      val mode = rest.takeWhile(_ != ':')
+      val real = DriverManager.getConnection(
+        "jdbc:derby:" + rest.dropWhile(_ != ':').drop(1), info)
+      proxyConnection(real, mode)
+    }
+    override def getMajorVersion: Int = 1
+    override def getMinorVersion: Int = 0
+    override def getPropertyInfo(u: String, i: java.util.Properties) =
+      Array.empty[java.sql.DriverPropertyInfo]
+    override def jdbcCompliant(): Boolean = false
+    override def getParentLogger: java.util.logging.Logger =
+      throw new java.sql.SQLFeatureNotSupportedException()
+  }
 }
