@@ -353,9 +353,20 @@ object Aggregates {
     QueryDef(
       "agg_chi_square",
       (s, d) => {
-        val o = Tables.events(s, d)
+        // The obs matrix feeds FOUR consumers (o, row totals, column
+        // totals, grand total). AQE stage reuse does NOT fire for this
+        // agg-over-agg-with-join-back shape (measured round 11: zero
+        // reuse markers even on a plain-column repro — unlike the
+        // join-fed shared subtrees in behavior_lift/sim_ann_recall which
+        // do reuse), so the un-materialized plan re-ran the events SCAN
+        // once per consumer — 4 full scans at 100 TB. Materializing the
+        // tiny |event_type|×7 matrix once (same localCheckpoint/
+        // reliable-checkpoint helper as Dedup.tokenPairs) makes it one
+        // scan + three re-aggregations of a handful of rows. Pinned by
+        // AqeReuseSpec's single-scan assertion.
+        val o = graft.llm.Dedup.materialize(Tables.events(s, d)
           .groupBy(col("event_type"), (dayofweek(col("ts")) + 0).as("dow"))
-          .agg(count(lit(1)).cast("double").as("obs"))
+          .agg(count(lit(1)).cast("double").as("obs")))
         val rt = o.groupBy(col("event_type")).agg(sum(col("obs")).as("r"))
         val ct = o.groupBy(col("dow")).agg(sum(col("obs")).as("c"))
         val t = o.agg(sum(col("obs")).as("n"))
