@@ -11,20 +11,38 @@
 # machine-readable per-query series that round-over-round regression
 # scans diff against.
 #
-# Usage: tools/bench_quote.sh <round> [note]
+# CONTROL RUNS TOO (VERDICT r10 #2): the round-10 A/B control was archived
+# summary-only because its per-query map lived in a throwaway worktree's
+# scratch — pass that worktree's BENCH_DETAILS.json as the 3rd arg (skips
+# the Bench run here, archives the given file verbatim) with an explicit
+# run label as the 4th, and the control's full seq_queries lands in the
+# committed archive like every head run's.
+#
+# Usage: tools/bench_quote.sh <round> [note] [details_json [run_label]]
 #   e.g. tools/bench_quote.sh 11 "run 2, 4 min settle"
+#        tools/bench_quote.sh 11 "r10 code rebuilt on today's box" \
+#            /tmp/wt_r10/BENCH_DETAILS.json r10_code_control
 set -euo pipefail
 cd "$(dirname "$0")/.."
-N="${1:?usage: bench_quote.sh <round> [note]}"
+N="${1:?usage: bench_quote.sh <round> [note] [details_json [run_label]]}"
 NOTE="${2:-}"
+DETAILS="${3:-}"
+RUN_LABEL="${4:-}"
 
-SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  sbt -batch "runMain graft.Bench"
+if [ -z "$DETAILS" ]; then
+  SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+    sbt -batch "runMain graft.Bench"
+  DETAILS="BENCH_DETAILS.json"
+fi
 
-python3 - "$N" "$NOTE" "$(git rev-parse --short HEAD)" <<'EOF'
+python3 - "$N" "$NOTE" "$(git rev-parse --short HEAD)" "$DETAILS" "$RUN_LABEL" <<'EOF'
 import json, os, sys
-n, note, head = sys.argv[1], sys.argv[2], sys.argv[3]
-d = json.load(open("BENCH_DETAILS.json"))
+n, note, head, details, run_label = sys.argv[1:6]
+d = json.load(open(details))
+if "seq_queries" not in d:
+    sys.exit(f"{details} has no seq_queries map — refusing to archive a "
+             "summary-only record (the round-10 control gap this script "
+             "exists to close)")
 path = f"BENCH_SEQ_r{n}.json"
 if os.path.exists(path):
     doc = json.load(open(path))
@@ -36,7 +54,7 @@ else:
            "Compare seq<->seq only; conc_queries include FAIR-scheduler "
            "contention. sf0.1, local[32].",
            "runs": []}
-run = {"run": f"r{n}_run{len(doc['runs']) + 1}",
+run = {"run": run_label or f"r{n}_run{len(doc['runs']) + 1}",
        "head": head,
        "note": note,
        "seq_wall": d["seq_wall"], "wall": d["wall"],

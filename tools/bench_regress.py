@@ -47,13 +47,18 @@ def main():
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--threshold"):
-            # both --threshold=X and --threshold X
+        # Exact flag match only (ADVICE r10: startswith silently accepted
+        # misspellings like --thresholds), and bounds-check the space form.
+        if a == "--threshold" or a.startswith("--threshold="):
             if "=" in a:
                 thresh = float(a.split("=", 1)[1])
             else:
                 i += 1
+                if i >= len(argv):
+                    sys.exit("--threshold requires a value\n\n" + __doc__)
                 thresh = float(argv[i])
+        elif a.startswith("--"):
+            sys.exit(f"unknown flag {a!r}\n\n" + __doc__)
         else:
             args.append(a)
         i += 1
@@ -71,6 +76,15 @@ def main():
     med = statistics.median(basis) if basis else 1.0
     print(f"comparing {new_tag} vs {old_tag}: {len(common)} queries, "
           f"median ratio {med:.2f} (box-load factor, divided out below)")
+    # ADVICE r10: median normalization divides out any slowdown that hits
+    # the MAJORITY of queries — a genuine uniform regression (a shared scan
+    # path, a session-config change) would read as box load and exit clean.
+    # Surface it for the solo-confirm step rather than silently absorbing.
+    if med > 1.5:
+        print(f"WARNING: raw median ratio {med:.2f} exceeds 1.5x — if the "
+              "box was idle (check loadavg in the archived run records), "
+              "this is a UNIFORM regression in a shared path, not load; "
+              "solo-confirm before disposing")
     flagged = []
     for k in common:
         if old[k] <= 0.05:

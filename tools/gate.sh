@@ -30,4 +30,42 @@ echo "=== bench sf0.1 ==="
 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   sbt -batch "runMain graft.Bench" | grep -o '{"metric".*}' | tee /tmp/gate_bench.json
 
+# Per-query regression gate (VERDICT r10 #3): scan this run's map against
+# the newest committed BENCH_SEQ archive (override with GATE_REGRESS_BASE,
+# e.g. to force the PREVIOUS round's file after this round's first quote
+# exists). A flag BLOCKS the gate until BASELINE.md carries a disposal
+# note containing the literal token `disposal(<query>)` with the evidence
+# (solo-confirm or root-cause) — prose-only disposals no longer count.
+echo "=== per-query regression scan ==="
+BASE_MAP="${GATE_REGRESS_BASE:-$(ls BENCH_SEQ_r*.json 2>/dev/null | sort -V | tail -1)}"
+if [[ -z "$BASE_MAP" ]]; then
+  echo "no BENCH_SEQ archive yet — scan skipped"
+else
+  set +e
+  SCAN=$(python3 tools/bench_regress.py "$BASE_MAP" BENCH_DETAILS.json 2>&1)
+  scan_rc=$?
+  set -e
+  echo "$SCAN"
+  if [[ $scan_rc -ne 0 ]]; then
+    flags=$(echo "$SCAN" | awk '/^FLAG /{print $2}' | tr -d ':')
+    if [[ -z "$flags" ]]; then
+      echo "GATE BLOCKED: bench_regress.py errored (no FLAG lines, rc=$scan_rc)"
+      exit 1
+    fi
+    undisposed=""
+    for q in $flags; do
+      grep -qF "disposal($q)" BASELINE.md || undisposed="$undisposed $q"
+    done
+    if [[ -n "$undisposed" ]]; then
+      echo "GATE BLOCKED: flagged queries without a 'disposal(<query>)' note" \
+           "in BASELINE.md:$undisposed"
+      echo "Solo-confirm or root-cause each, append the evidence to" \
+           "BASELINE.md including the literal token 'disposal(<query>)'," \
+           "then re-run the gate."
+      exit 1
+    fi
+    echo "all flags carry disposal notes in BASELINE.md — accepted"
+  fi
+fi
+
 echo "=== gate green ==="
