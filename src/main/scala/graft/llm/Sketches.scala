@@ -38,23 +38,32 @@ object Sketches {
     QueryDef(
       "sketch_cms_heavy_hitters",
       (s, d) => {
-        val toks = Tables.documents(s, d)
+        // Tokenize and count ONCE: the sketch is built from the per-term
+        // counts (Σ true_cnt per bucket ≡ token count per bucket — the
+        // hash is a function of the term), not from the raw token stream.
+        // The previous shape consumed `toks` twice — two identical full
+        // scans AND two tokenize passes at 100 TB (round-11 ScanAudit) —
+        // and its bucket aggregation ran over the token stream instead of
+        // the vastly smaller vocabulary.
+        val terms = Tables.documents(s, d)
           .select(explode(split(col("text"), " ")).as("term"))
           .withColumn("t", tokHash(col("term")))
-        val cells = toks
-          .select(posexplode(array((0 until Rows).map { i =>
-            (lit(aI(i)) * col("t") + lit(bI(i))) % Width
-          }: _*)).as(Seq("row_i", "bucket")))
+          .groupBy(col("term"), col("t"))
+          .agg(count(lit(1)).as("true_cnt"))
+        val cells = terms
+          .select(col("true_cnt"),
+            posexplode(array((0 until Rows).map { i =>
+              (lit(aI(i)) * col("t") + lit(bI(i))) % Width
+            }: _*)).as(Seq("row_i", "bucket")))
           .groupBy(col("row_i"), col("bucket"))
-          .agg(count(lit(1)).as("cell"))
+          .agg(sum(col("true_cnt")).as("cell"))
         // Top-10 via orderBy+limit (TakeOrderedAndProject: per-partition
         // top-k then a k-row merge on the driver), NOT a global row_number
         // window — an unpartitioned WindowExec funnels the ENTIRE term
         // vocabulary through one partition, which is the classic 100 TB
         // chokepoint. The (true_cnt DESC, term) sort key is total, so the
         // selected set is deterministic and matches the oracle's rk <= 10.
-        val top = toks.groupBy(col("term"), col("t"))
-          .agg(count(lit(1)).as("true_cnt"))
+        val top = terms
           .orderBy(col("true_cnt").desc, col("term"))
           .limit(10)
         val probes = top.select(col("term"), col("true_cnt"),
@@ -68,8 +77,10 @@ object Sketches {
           .orderBy(col("true_cnt").desc, col("term"))
       },
       Some {
+        // Mirrors the Spark restructure: one terms CTE, sketch cells as
+        // Σ true_cnt (≡ token count per bucket — t is a function of term).
         val cellRows = (0 until Rows).map { i =>
-          s"SELECT $i AS row_i, (${aI(i)} * t + ${bI(i)}) % $Width AS bucket FROM toks"
+          s"SELECT $i AS row_i, (${aI(i)} * t + ${bI(i)}) % $Width AS bucket, true_cnt FROM terms"
         }.mkString("\n  UNION ALL ")
         val probeRows = (0 until Rows).map { i =>
           s"SELECT term, true_cnt, $i AS row_i, (${aI(i)} * t + ${bI(i)}) % $Width AS bucket FROM top"
@@ -77,15 +88,17 @@ object Sketches {
         s"""WITH toks AS (
            |  SELECT term, $tokHashSql AS t FROM (
            |    SELECT unnest(string_split(text, ' ')) AS term FROM documents) x),
+           |terms AS (
+           |  SELECT term, t, COUNT(*) AS true_cnt FROM toks GROUP BY 1, 2),
            |cells AS (
-           |  SELECT row_i, bucket, COUNT(*) AS cell FROM (
+           |  SELECT row_i, bucket, SUM(true_cnt) AS cell FROM (
            |  $cellRows) h
            |  GROUP BY 1, 2),
            |top AS (
            |  SELECT term, t, true_cnt FROM (
-           |    SELECT term, t, COUNT(*) AS true_cnt,
-           |      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rk
-           |    FROM toks GROUP BY term, t) r
+           |    SELECT term, t, true_cnt,
+           |      ROW_NUMBER() OVER (ORDER BY true_cnt DESC, term) AS rk
+           |    FROM terms) r
            |  WHERE rk <= 10),
            |probes AS (
            |  $probeRows)

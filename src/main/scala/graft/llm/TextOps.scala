@@ -288,7 +288,11 @@ object TextOps {
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-        val total = toks.agg(count(lit(1)).as("total"))
+        // Corpus size from the term frequencies, not a third scan: the
+        // token total is Σ cnt over the (already tiny, already broadcast)
+        // tf table — the round-11 ScanAudit showed the direct count
+        // re-scanning and re-tokenizing documents a third time.
+        val total = tf.agg(sum(col("cnt")).as("total"))
         val lp = Exact.roundN(log(col("cnt").cast("double") / col("total")), 8)
         toks.join(broadcast(tf), "term")
           .crossJoin(broadcast(total))
@@ -301,7 +305,7 @@ object TextOps {
       Some(s"""WITH toks AS (
               |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
               |tf AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
-              |tot AS (SELECT COUNT(*) AS total FROM toks)
+              |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tf)
               |SELECT doc_id, COUNT(*) AS n_toks,
               |  ${Exact.roundNSql(
                  s"CAST(SUM(CAST(${Exact.roundNSql("LN(CAST(cnt AS DOUBLE) / total)", 8)} AS DECIMAL(28,10))) AS DOUBLE)",

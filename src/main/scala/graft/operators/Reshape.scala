@@ -223,10 +223,17 @@ object Reshape {
     QueryDef(
       "ts_active_concurrency",
       (s, d) => {
-        val e = Tables.events(s, d)
-        val bounds = e.select(col("event_type"), col("ts").as("bt"), lit(1).as("delta"))
-          .unionAll(e.select(col("event_type"),
-            (col("ts") + expr("INTERVAL 30 MINUTE")).as("bt"), lit(-1).as("delta")))
+        // One scan, not a self-UNION: each event row explodes into its
+        // (+1 at ts, -1 at ts+30min) boundary pair. The union form scanned
+        // events twice with the same pruned columns (round-11 ScanAudit:
+        // identical scan signature ×2) — at 100 TB that is the whole
+        // table read twice for rows derivable in one pass.
+        val bounds = Tables.events(s, d)
+          .select(col("event_type"), explode(array(
+            struct(col("ts").as("bt"), lit(1).as("delta")),
+            struct((col("ts") + expr("INTERVAL 30 MINUTE")).as("bt"),
+              lit(-1).as("delta")))).as("b"))
+          .select(col("event_type"), col("b.bt").as("bt"), col("b.delta").as("delta"))
         val w = Window.partitionBy(col("event_type")).orderBy(col("bt"), col("delta"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         bounds

@@ -167,18 +167,19 @@ object Windows {
         val buckets = 64
         val c = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
         val stats = c.agg(min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
-        val bucketed = c.crossJoin(broadcast(stats))
-          // NULL balances get their own bucket BELOW the range (-1): they
-          // must survive the equi-join on bkt (a NULL bkt row would
-          // silently vanish) and rank first, matching Spark's
-          // NULL-smallest sort — the oracle says NULLS FIRST explicitly
-          // because DuckDB defaults to NULLS LAST (round-9 parity sweep)
-          .withColumn("bkt",
+        // NULL balances get their own bucket BELOW the range (-1): they
+        // must survive the equi-join on bkt (a NULL bkt row would
+        // silently vanish) and rank first, matching Spark's
+        // NULL-smallest sort — the oracle says NULLS FIRST explicitly
+        // because DuckDB defaults to NULLS LAST (round-9 parity sweep)
+        def withBkt(base: org.apache.spark.sql.DataFrame) =
+          base.crossJoin(broadcast(stats)).withColumn("bkt",
             when(col("c_acctbal").isNull, lit(-1))
               .when(col("hi") === col("lo"), lit(0)).otherwise(
                 least(lit(buckets - 1),
                   floor((col("c_acctbal") - col("lo")) * buckets /
                     (col("hi") - col("lo"))).cast("int"))))
+        val bucketed = withBkt(c)
         val wIn = Window.partitionBy(col("bkt"))
           .orderBy(col("c_acctbal"), col("c_custkey"))
         val ranked = bucketed.withColumn("rn", row_number().over(wIn))
@@ -186,7 +187,20 @@ object Windows {
           .rowsBetween(Window.unboundedPreceding, -1)
         val wAll = Window.orderBy(col("bkt"))
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        val offs = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+        // Per-bucket counts come from a SECOND pass over c_acctbal alone
+        // (not from the ranked stream, and not via a shared exchange).
+        // This is a deliberate ScanBudgetSpec exception, measured round
+        // 11: AQE stage reuse does not fire for the window-vs-aggregate
+        // consumer pair (column pruning makes the subtrees unequal — the
+        // agg_chi_square class), and every scan-once alternative is worse
+        // at 100 TB: deriving counts from `ranked` sorts the full table a
+        // second time, materializing `bucketed` checkpoints a full-table
+        // intermediate, and a global ORDER BY bkt window is the
+        // single-partition chokepoint this query exists to avoid. The
+        // repeated read is ONE pruned column that partial-aggregates to
+        // ≤66 rows per task, map-side — the cheapest of the options.
+        val offs = withBkt(c.select(col("c_acctbal")))
+          .groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
           .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
           .withColumn("n", sum(col("cnt")).over(wAll))
         ranked.join(broadcast(offs.select("bkt", "off", "n")), "bkt")

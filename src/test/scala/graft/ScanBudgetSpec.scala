@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Registry-wide LIVE-SCAN ratchet (round 11, the agg_chi_square lesson
+  * generalized).
+  *
+  * ExchangeBudgetSpec pins static shuffle counts; this suite pins what
+  * each query actually READS: the per-table count of live parquet-scan
+  * subtrees in the FINAL adaptive plan, after AQE stage reuse has
+  * collapsed whatever it is going to collapse (so each query is executed,
+  * not just planned — runtime reuse is the whole point; the static tree
+  * over-reports exactly the shapes this suite exists to distinguish). A
+  * query silently growing a second full read of a 100 TB table — a lost
+  * ReusedExchange, a refactor splitting a shared base into unequal
+  * subtrees, a new self-join that was meant to be a reuse — fails here
+  * before it ships, instead of surviving until a manual plan audit.
+  *
+  * Second, sharper invariant: NO query repeats an IDENTICAL scan
+  * signature (same pruned columns + pushed/partition filters ⇒ same
+  * bytes read twice) unless it is a justified entry in
+  * [[identicalRepeatExceptions]]. Distinct-signature repeats are by
+  * construction — a self-join's two sides, a tiny profile pass feeding a
+  * broadcast beside the full probe pass — and are pinned by count in the
+  * golden file instead. The round-11 audit found exactly four
+  * identical-signature offenders; three (sketch_cms_heavy_hitters,
+  * text_logprob_score, ts_active_concurrency) were restructured to scan
+  * once, and the fourth (win_ntile) is the exception below.
+  *
+  * Counting and signature extraction live in [[ScanAudit]] (also a
+  * standalone main for ad-hoc audits at other scales). Update workflow:
+  * when a plan change is INTENTIONAL, regenerate with
+  * `SPARK_GRAFT_UPDATE_SCAN_BUDGET=1 sbt 'Test/testOnly graft.ScanBudgetSpec'`
+  * and justify the golden-file diff in the commit message.
+  */
+class ScanBudgetSpec extends SparkSpec {
+
+  private val budgetPath = Paths.get("src/test/resources/scan-budget.tsv")
+
+  /** query -> tables allowed to repeat an identical scan signature, each
+    * with a measured justification. Adding an entry requires showing the
+    * scan-once alternatives are WORSE at 100 TB, not just that the repeat
+    * exists.
+    *
+    *  - win_ntile/customer: the per-bucket count pass re-reads ONE pruned
+    *    column (c_acctbal) and partial-aggregates it map-side to ≤66 rows
+    *    per task. Measured round 11: AQE stage reuse does not fire for
+    *    its window-vs-aggregate consumer pair (column pruning makes the
+    *    subtrees unequal — the agg_chi_square class), deriving counts
+    *    from the ranked stream sorts the full table twice, materializing
+    *    the bucketed table checkpoints a full-table intermediate, and a
+    *    global ORDER BY window is a single-partition chokepoint. The
+    *    repeat is also load-bearingly SEQUENTIAL: bucket bounds need the
+    *    min/max pass's result before the count pass can start.
+    */
+  private val identicalRepeatExceptions: Map[String, Set[String]] =
+    Map("win_ntile" -> Set("customer"))
+
+  test("the scan counter has teeth: duplicate and reused scans are visible") {
+    import org.apache.spark.sql.functions._
+    def counts(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      ScanAudit.liveScans(df.queryExecution.executedPlan, mutable.Set.empty[Int])
+    }
+    val one = spark.read.parquet(s"$sf0001/region.parquet")
+    assert(counts(one).size === 1, "counter blind to a plain scan")
+    // A self-union scans twice with one signature — the exact class the
+    // identical-signature invariant rejects in registry queries.
+    val twice = counts(one.unionAll(one))
+    assert(twice.size === 2 && twice.map(_._2).distinct.size === 1,
+      "counter blind to a duplicated identical scan")
+    // A pushed-down filter on one side ⇒ different signatures.
+    val filtered = counts(one.select("r_regionkey")
+      .unionAll(one.filter(col("r_regionkey") > 0).select("r_regionkey")))
+    assert(filtered.size === 2 && filtered.map(_._2).distinct.size === 2,
+      "counter blind to pushed-filter differences between scans")
+  }
+
+  test("every query's live scan counts match the budget; no identical-signature repeats") {
+    val actual: Seq[(String, Map[String, (Int, Int)])] =
+      Registry.all.map(_.name).sorted.map { n =>
+        n -> ScanAudit.scanCounts(spark, n, sf0001)
+      }
+
+    def fmt(m: Map[String, (Int, Int)]): String =
+      m.toSeq.sorted.map { case (t, (n, sigs)) => s"$t:$n:$sigs" }.mkString(",")
+
+    if (sys.env.contains("SPARK_GRAFT_UPDATE_SCAN_BUDGET")) {
+      val lines = ("# query\ttable:live_scans:distinct_signatures,... — final adaptive plan" +
+        " at sf0.001; regenerate with SPARK_GRAFT_UPDATE_SCAN_BUDGET=1" +
+        " sbt 'Test/testOnly graft.ScanBudgetSpec'") +:
+        actual.map { case (n, m) => s"$n\t${fmt(m)}" }
+      Files.createDirectories(budgetPath.getParent)
+      Files.write(budgetPath, lines.asJava)
+      info(s"rewrote $budgetPath with ${actual.size} entries")
+    }
+
+    val repeats = actual.flatMap { case (n, m) =>
+      m.collect {
+        case (t, (c, sigs)) if sigs < c &&
+          !identicalRepeatExceptions.get(n).exists(_.contains(t)) =>
+          s"$n: $t x$c with $sigs signature(s)"
+      }
+    }
+    assert(repeats.isEmpty,
+      s"""identical scan signature repeated — the same bytes read more than once at 100 TB
+         |(restructure to scan once — derived aggregate, explode, narrower second pass —
+         |or add a measured justification to identicalRepeatExceptions):
+         |  ${repeats.mkString("\n  ")}""".stripMargin)
+    val staleExceptions = identicalRepeatExceptions.flatMap { case (n, ts) =>
+      val m = actual.find(_._1 == n).map(_._2).getOrElse(Map.empty)
+      ts.filterNot(t => m.get(t).exists { case (c, sigs) => sigs < c })
+        .map(t => s"$n/$t")
+    }
+    assert(staleExceptions.isEmpty,
+      s"exception entries no longer needed (repeat gone — remove them): ${staleExceptions.mkString(", ")}")
+
+    assert(Files.exists(budgetPath),
+      s"$budgetPath missing — run once with SPARK_GRAFT_UPDATE_SCAN_BUDGET=1 to seed it")
+    val expected: Map[String, String] = Files.readAllLines(budgetPath).asScala
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .map { l => val f = l.split("\t", 2); f(0) -> (if (f.length > 1) f(1) else "") }.toMap
+
+    val missing = actual.map(_._1).filterNot(expected.contains)
+    val stale = expected.keys.toSeq.filterNot(actual.map(_._1).contains)
+    val drifted = actual.flatMap { case (n, m) =>
+      expected.get(n).collect { case e if e != fmt(m) => s"$n: '$e' -> '${fmt(m)}'" }
+    }
+    assert(missing.isEmpty && stale.isEmpty && drifted.isEmpty,
+      s"""Scan budget drift (intentional? regenerate the golden file and justify in the commit):
+         |  unbudgeted queries: ${missing.mkString(", ")}
+         |  stale budget rows:  ${stale.mkString(", ")}
+         |  drifted counts:
+         |    ${drifted.mkString("\n    ")}""".stripMargin)
+  }
+}
