@@ -330,11 +330,11 @@ object Dedup {
     //    a ~2,300-doc near-identical cluster, so one bucket per band held
     //    ~2,270 docs → 11M pairs (O(cluster²), 327 s at sf0.1).
     // Cluster-representative assignment is the production-scale shape:
-    // rep(bucket) = min(doc_id) is a map-side-combinable aggregate, the
-    // bucket join is 1-row-per-bucket on the build side, and output is
-    // O(n·bands) regardless of how skewed the clusters are — the property
-    // that keeps this runnable at 100 TB. Hash family not portable to
-    // SQL → no oracle (smoke-only), per SURVEY B.10.
+    // rep(bucket) = min(doc_id) over the band-bucket window (one shuffle,
+    // round 11 — see the in-body comment), and output is O(n·bands)
+    // regardless of how skewed the clusters are — the property that keeps
+    // this runnable at 100 TB. Hash family not portable to SQL → no
+    // oracle (smoke-only), per SURVEY B.10.
     QueryDef(
       "dedup_minhash",
       (s, d) => {
@@ -351,9 +351,18 @@ object Dedup {
             posexplode(array((0 until numHashes / bandSize).map { b =>
               array((0 until bandSize).map(r => col("sig")(b * bandSize + r)): _*)
             }: _*)).as(Seq("band_idx", "band_key")))
-        val reps = banded.groupBy(col("band_idx"), col("band_key"))
-          .agg(min(col("doc_id")).as("rep"))
-        val clustered = banded.join(reps, Seq("band_idx", "band_key"))
+        // Bucket representative via a window MIN over the band partition,
+        // not groupBy+join-back: the join shape consumed `banded` twice
+        // with unequal subtrees (partial-agg vs raw — AQE reuse can't
+        // fire, the agg_chi_square class), so the xxhash64 signature
+        // computation AND the documents scan ran twice (round-11
+        // ScanAudit: documents ×4). The window form needs only the single
+        // shuffle by band key the join needed anyway, with the second
+        // scan+signature pass gone; per-bucket row counts are bounded by
+        // the band collision rate, the same skew exposure the join had.
+        val clustered = banded
+          .withColumn("rep", min(col("doc_id"))
+            .over(Window.partitionBy(col("band_idx"), col("band_key"))))
           .groupBy(col("doc_id")).agg(min(col("rep")).as("cluster_rep"))
           .filter(col("cluster_rep") < col("doc_id"))
         val t1 = doc.select(col("doc_id"), col("toks"))
@@ -373,8 +382,8 @@ object Dedup {
     // signatures, 4×4 banding, cluster-representative assignment, verify —
     // is expressible identically in DuckDB SQL and the driver can hash-
     // check it (upgrades the flagship dedup op from smoke-only). Same
-    // O(n·bands) cluster-rep shape as dedup_minhash: reps are a map-side-
-    // combinable MIN per bucket, never candidate PAIRS (the fixture's
+    // O(n·bands) cluster-rep shape as dedup_minhash: reps via a window
+    // MIN per band bucket, never candidate PAIRS (the fixture's
     // ~2,300-doc near-dup cluster makes pair output O(cluster²)).
     // Verification filters clusters to exact Jaccard ≥ 0.5.
     QueryDef(
@@ -403,9 +412,14 @@ object Dedup {
         }: _*)
         val banded = sig
           .select(col("doc_id"), posexplode(bandKeys).as(Seq("band_idx", "band_key")))
-        val reps = banded.groupBy(col("band_idx"), col("band_key"))
-          .agg(min(col("doc_id")).as("rep"))
-        val clustered = banded.join(reps, Seq("band_idx", "band_key"))
+        // Window-MIN rep assignment, same reasoning as dedup_minhash: the
+        // groupBy+join-back shape re-computed the whole explode+16-LCG
+        // signature aggregate per consumer (documents ×4 in the round-11
+        // ScanAudit). The DuckDB oracle keeps its reps/clustered CTE join
+        // — CTEs are evaluated once there, and the values are identical.
+        val clustered = banded
+          .withColumn("rep", min(col("doc_id"))
+            .over(Window.partitionBy(col("band_idx"), col("band_key"))))
           .groupBy(col("doc_id")).agg(min(col("rep")).as("cluster_rep"))
           .filter(col("cluster_rep") < col("doc_id"))
         val t1 = doc.select(col("doc_id"), col("toks"))
