@@ -121,5 +121,14 @@ object Bench {
         f""""threads":$threads,"seq_wall":$seqWall%.2f,"queries":$slowest,""" +
         s""""failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
+    // ADVICE r11 #4: a bench run with ANY failed query must not exit 0 —
+    // rc-gating automation treated the 45-query-broken r11 run as green
+    // and its (meaningless, 45 × -1.0 sentinel) wall number as a speedup.
+    // The JSON line and BENCH_DETAILS.json are already written above, so
+    // diagnostics survive; only the exit status changes.
+    if (failed != "[]") {
+      System.err.println(s"[bench] FAILING RUN: failed=$failed")
+      sys.exit(1)
+    }
   }
 }

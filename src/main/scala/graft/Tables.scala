@@ -38,17 +38,36 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  /** `events.ts` is parquet `timestamp[ns]`, which Spark's parquet reader
-    * rejects outright ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,…))").
-    * Read the nanos as a long (legacy conf) and floor-divide to µs — exact
-    * integer arithmetic (`div`, not `/`: the ns epoch ≈ 1.7e18 exceeds
-    * double's 2^53 exact range). All declared queries then `date_trunc` to
-    * second-or-coarser (SURVEY D4), so µs-vs-ns can never leak into output.
+  /** `events.ts` has shipped in three physical forms across fixture
+    * generations, so normalize from whatever the footer declares to one
+    * logical type — `TimestampType` (UTC; every session here pins
+    * spark.sql.session.timeZone=UTC, so the NTZ cast is value-preserving):
+    *
+    *  - parquet `timestamp[ns]` / raw BIGINT epoch-nanos (degenerate sets):
+    *    Spark rejects TIMESTAMP(NANOS) outright, so read the nanos as a
+    *    long (legacy conf) and floor-divide to µs — exact integer
+    *    arithmetic (`div`, not `/`: the ns epoch ≈ 1.7e18 exceeds double's
+    *    2^53 exact range).
+    *  - parquet `timestamp[us]` isAdjustedToUTC=false (r11+ fixtures):
+    *    Spark reads TIMESTAMP_NTZ; cast to TimestampType so downstream
+    *    operators see the exact type they were verified against in r10.
+    *  - already TimestampType: pass through.
+    *
+    * All declared queries `date_trunc` to second-or-coarser (SURVEY D4),
+    * so sub-second unit drift can never leak into output. ADVICE r11 #1:
+    * the previous unconditional nanos arithmetic broke all 45 events
+    * queries when the fixtures switched to timestamp[us].
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

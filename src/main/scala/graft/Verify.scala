@@ -34,7 +34,12 @@ object Verify {
       }
     }
     // A failed query silently fails the driver's gate (missing output dir),
-    // so make the tally impossible to miss in the log.
+    // so make the tally impossible to miss in the log. Fixed denominator:
+    // when no trailing filter is given, the denominator is the FULL
+    // declared inventory — ADVICE r11 #3: the r11 sweep dropped 45 erroring
+    // queries and read as green at 159/159; the tally below would have said
+    // 159/204 + FAILED list, and the nonzero exit at the bottom makes the
+    // run impossible to record as a clean sweep.
     System.err.println(
       s"[verify] ${selected.size - failed.size}/${selected.size} query outputs written" +
         (if (failed.nonEmpty) s"; FAILED: ${failed.mkString(", ")}" else ""))
@@ -53,6 +58,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable run manifest alongside the outputs: total declared,
+    // written, and the failed names. A downstream compare can assert
+    // written == declared instead of trusting "every dir it found".
+    Files.writeString(
+      Paths.get(s"$outDir/verify_manifest.json"),
+      s"""{"declared":${SparkEntry.queries.size},"selected":${selected.size},""" +
+        s""""written":${selected.size - failed.size},""" +
+        s""""failed":${failed.sorted.map(q).mkString("[", ",", "]")}}""" + "\n")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }
