@@ -52,6 +52,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.scheduler.mode", "FAIR")
+      // Same TZ pin as Verify/tests: Tables.events' NTZ→LTZ normalization
+      // is session-TZ-sensitive, so an unpinned bench on a non-UTC box
+      // would run subtly different plans than the correctness gate.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -67,6 +67,20 @@ object Verify {
         s""""written":${selected.size - failed.size},""" +
         s""""failed":${failed.sorted.map(q).mkString("[", ",", "]")}}""" + "\n")
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    // Exit contract (ADVICE r11 #3): any failed query fails the run —
+    // UNLESS it is explicitly declared expected via
+    // SPARK_GRAFT_VERIFY_EXPECT_FAIL (comma-separated names). The
+    // degenerate extremes set NEEDS this: its seven loud-posture queries
+    // throw by design on ±1e30 aggregation inputs (ANSI decimal overflow
+    // at an aggregation-INPUT site must stay loud — NULL there would
+    // silently drop rows from SUM/AVG), and the sweep asserts that the
+    // throw happens. Everything about the failure is still recorded
+    // (stderr tally, manifest); only the exit status is forgiven, and
+    // only for the named queries.
+    val expectFail = sys.env.get("SPARK_GRAFT_VERIFY_EXPECT_FAIL")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val unexpected = failed.toSet -- expectFail
+    if (unexpected.nonEmpty) sys.exit(1)
   }
 }
