@@ -57,6 +57,19 @@ object Tables {
     * so sub-second unit drift can never leak into output. ADVICE r11 #1:
     * the previous unconditional nanos arithmetic broke all 45 events
     * queries when the fixtures switched to timestamp[us].
+    *
+    * Pushdown trade-off (audited round 12): wrapping `ts` in a cast means
+    * predicates on it (incl. IsNotNull) no longer reach PushedFilters on
+    * the parquet scan. Acceptable here because no registry query filters
+    * `events.ts` against a literal — every ts predicate is
+    * column-vs-column after a join — and IsNotNull-skipping on a
+    * nearly-null-free column is worthless. The alternative (disabling
+    * spark.sql.parquet.inferTimestampNTZ session-wide to read LTZ
+    * natively) would change orders/lineitem read types depending on
+    * session history — order-dependent schemas are worse than one
+    * codegen'd per-row cast. Revisit only if a literal time-range
+    * operator over events is ever added: then filter BEFORE this cast,
+    * or pin the conf in every session builder and re-verify.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
