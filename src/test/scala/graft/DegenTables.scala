@@ -375,6 +375,118 @@ object DegenTables {
       .write.parquet(s"$dir/embeddings.parquet")
   }
 
+  /** Seventh set (round 12): TOTAL ORDERING TIES — the shape that exposes
+    * D3 (determinism) violations. Every ordering key a query could sort,
+    * rank, or pick-first by is tied somewhere in this set: one instant
+    * holds most of the events (same user AND across users, with fully
+    * duplicated non-id rows), orders share (date, totalprice), customers
+    * share acctbal within and across nations, lineitem shares
+    * (quantity, extendedprice) within an order, two documents carry the
+    * SAME text under DIFFERENT (lang, source), another permutes the same
+    * token multiset, and two embeddings are bit-identical under different
+    * labels with a third that is an exact 2× scaling (cosine ties
+    * bit-exactly against any probe: ×2 and sqrt-of-4× are exact in IEEE,
+    * on both engines). A query that orders by a value column without a
+    * key tie-break, or uses first()/max_by without a total order, is
+    * correct on the driver fixtures by luck and nondeterministic at
+    * 100 TB — here it hash-diverges from DuckDB instead. No expected
+    * failures: ties must never cost determinism.
+    */
+  def writeTies(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    Seq((0, "ALL"), (1, "R1"))
+      .toDF("r_regionkey", "r_name").write.parquet(s"$dir/region.parquet")
+    Seq((0, "N0", 0), (1, "N1", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey").write.parquet(s"$dir/nation.parquet")
+    // identical acctbal pair (supplier ranking ties)
+    Seq((1L, "s1", 0, 10.0), (2L, "s2", 1, 10.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$dir/supplier.parquet")
+    // acctbal tied within a nation (1,2) and across nations (3,4); two
+    // segments so segment grouping stays non-trivial
+    Seq((1L, "cA", 0, 100.0, "SEG"), (2L, "cB", 0, 100.0, "SEG"),
+      (3L, "cC", 0, 50.0, "SEG"), (4L, "cD", 1, 50.0, "OTH"),
+      (5L, "cE", 1, 75.0, "OTH"), (6L, "cF", 1, 25.0, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    // identical (retailprice, size) part pair
+    Seq((1L, "p one", "Brand#1", "SMALL CASE", 5, 10.0),
+      (2L, "p two", "Brand#2", "SMALL CASE", 5, 10.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    // cust 1: four orders, SAME date, SAME totalprice (rank/topk ties);
+    // cust 2: same-date pair with distinct prices; 3 and 4: one order
+    // each whose totalprice ties ACROSS customers
+    (Seq((1L, 1L, "F", 100.0, ts("1996-03-01"), "1-URGENT"),
+      (2L, 1L, "F", 100.0, ts("1996-03-01"), "1-URGENT"),
+      (3L, 1L, "O", 100.0, ts("1996-03-01"), "2-HIGH"),
+      (4L, 1L, "O", 100.0, ts("1996-03-01"), "2-HIGH"),
+      (5L, 2L, "F", 80.0, ts("1996-03-01"), "3-MEDIUM"),
+      (6L, 2L, "O", 90.0, ts("1996-03-01"), "3-MEDIUM"),
+      (7L, 3L, "F", 70.0, ts("1996-04-01"), "4-NOT SPECIFIED"),
+      (8L, 4L, "O", 70.0, ts("1996-04-01"), "5-LOW")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    // order 1: four lines with identical (quantity, extendedprice);
+    // extendedprice also ties across orders 2 and 3
+    ((1 to 4).map(i => (1L, (i % 2 + 1).toLong, (i % 2 + 1).toLong, i,
+      2.0, 10.0, 0.1, 0.0, "N", "O", ts("1996-03-01"))) ++
+      Seq((2L, 1L, 1L, 1, 3.0, 15.0, 0.0, 0.05, "R", "F", ts("1996-03-02")),
+        (3L, 2L, 2L, 1, 4.0, 15.0, 0.0, 0.05, "R", "F", ts("1996-03-02"))))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    // ONE instant t0 holds 16 of 20 events: user 1 twelve times (ids 0-11,
+    // ids 0 and 1 fully identical in every non-id column), user 2 three
+    // times (values tying user 1's), user 3 once (single-event user).
+    // User 1 returns at t0+1day (same instant thrice) for a 2-day streak.
+    // BIGINT epoch-nanos on purpose — regression-covers the loader's
+    // LongType branch alongside the real fixtures' timestamp[us].
+    val t0 = 1704067200L * 1000000000L
+    val day = 86400L * 1000000000L
+    val types = Seq("click", "view", "purchase", "error")
+    val u1 = (0 until 12).map { i =>
+      val v = if (i < 2) 1.0 else 1.0 + (i % 3) // duplicate pair + value ties
+      (i.toLong, t0, 1L, types(if (i < 2) 0 else i % 4), v, s"""{"k": ${v.toInt}}""")
+    }
+    val u2 = (12 until 15).map(i => (i.toLong, t0, 2L, types(i % 4), 1.0 + (i % 3), s"""{"k": 1}"""))
+    val u3 = Seq((15L, t0, 3L, "click", 2.0, """{"k": 2}"""))
+    val day2 = (16 until 19).map(i => (i.toLong, t0 + day, 1L, types(i % 4), 3.0, """{"k": 3}"""))
+    val stray = Seq((19L, t0 + 2 * day, 2L, "view", 4.0, """{"k": 4}"""))
+    (u1 ++ u2 ++ u3 ++ day2 ++ stray)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    // same text twice in (en, s0); SAME text again under (fr, s1); a
+    // token-multiset permutation; an identical-n_chars pair of distinct
+    // texts; two 12-token docs with tied token counts (survive the
+    // clean-pipeline quality cut)
+    val dup = "tie alpha beta gamma"
+    val perm = "gamma beta alpha tie"
+    val twelve1 = "the a b c d e f g h i j k"
+    val twelve2 = "the z y x w v u t s r q p"
+    Seq(
+      (0L, dup, "en", "s0", dup.length.toLong),
+      (1L, dup, "en", "s0", dup.length.toLong),
+      (2L, dup, "fr", "s1", dup.length.toLong),
+      (3L, perm, "en", "s0", perm.length.toLong),
+      (4L, "aaaa bbbb", "en", "s0", 9L),
+      (5L, "cccc dddd", "en", "s0", 9L),
+      (6L, twelve1, "en", "s0", twelve1.length.toLong),
+      (7L, twelve2, "en", "s0", twelve2.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // v0 == v1 bit-identical (different labels: knn votes tie); v2 = 2×v0
+    // (cosine ties bit-exactly, norm differs); distinct tail
+    val base = Seq.tabulate(64)(j => 0.25f + j * 0.0625f)
+    ((Seq((0L, base, 0), (1L, base, 1), (2L, base.map(_ * 2f), 0)) ++
+      (3 until 10).map(i => (i.toLong, Seq.tabulate(64)(j =>
+        math.sin(i * 64 + j).toFloat), i % 3))))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+  }
+
   /** The extremes set's documented expected failures: every query that
     * feeds a poisoned column (events.value or c_acctbal) into an
     * aggregation-INPUT decimal cast, which by the round-11 posture keeps
@@ -406,7 +518,8 @@ object DegenTables {
     "nulls" -> writeNulls,
     "unicode" -> writeUnicode,
     "extremes" -> writeExtremes,
-    "skew" -> writeSkew)
+    "skew" -> writeSkew,
+    "ties" -> writeTies)
 }
 
 /** `sbt "Test/runMain graft.DegenGen <baseDir>"` — materialize all three

@@ -167,6 +167,44 @@ class DegenerateSweepSpec extends SparkSpec {
       "guarded pair join emitted nothing — the shingle groups are gone")
   }
 
+  /** Seventh variant (round 12): total ordering ties. Survival plus
+    * teeth: the fixture must actually CONTAIN the tie shapes — a modal
+    * (user, ts) group bigger than one, a fully duplicated non-id events
+    * row, bit-identical embeddings under different labels, and the same
+    * document text under two different (lang, source) blocks — otherwise
+    * an innocent edit turns it into an ordinary small fixture and the
+    * oracle sweep (tools/degen_preflight.sh over this same set) stops
+    * proving tie determinism.
+    */
+  test("ties: queries survive total ordering ties and the ties are real") {
+    val d = Files.createTempDirectory("graft-degen-ties-").toString
+    DegenTables.writeTies(spark, d)
+    val failures = sweep(d)
+    assert(failures.isEmpty,
+      s"queries crashed on ordering ties:\n${failures.mkString("\n")}")
+
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, d)
+    val modal = ev.groupBy("user_id", "ts").count()
+      .agg(max("count")).head().getLong(0)
+    assert(modal >= 10,
+      s"fixture lost its tied instant (modal (user, ts) group $modal < 10)")
+    val dupRows = ev.groupBy("user_id", "ts", "event_type", "value", "props")
+      .count().filter(col("count") > 1).count()
+    assert(dupRows > 0, "no fully duplicated non-id events row left")
+    val em = spark.read.parquet(s"$d/embeddings.parquet")
+    val dupVecs = em.groupBy("embedding").agg(
+      countDistinct("label").as("nl"), count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("nl") > 1).count()
+    assert(dupVecs > 0,
+      "no bit-identical embedding pair with differing labels left")
+    val dupText = spark.read.parquet(s"$d/documents.parquet")
+      .groupBy("text").agg(countDistinct("lang", "source").as("nb"))
+      .filter(col("nb") > 1).count()
+    assert(dupText > 0,
+      "no duplicate text across distinct (lang, source) blocks left")
+  }
+
   test("degen_preflight.sh's extremes expected-failure list stays in sync") {
     val sh = new String(Files.readAllBytes(
       java.nio.file.Paths.get("tools/degen_preflight.sh")), "UTF-8")

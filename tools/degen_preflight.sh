@@ -76,7 +76,7 @@ if [ "$gen_rc" -ne 0 ]; then
   exit 1
 fi
 
-for s in tiny empty nulls unicode extremes skew; do
+for s in tiny empty nulls unicode extremes skew ties; do
   {
     echo
     echo "== set: $s =="
