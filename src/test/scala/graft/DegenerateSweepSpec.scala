@@ -221,4 +221,22 @@ class DegenerateSweepSpec extends SparkSpec {
         s"DegenTables.extremesLoudQueries ++ extremesExpectedDivergences: " +
         s"shell=$shellList")
   }
+
+  test("degen_preflight.sh's extremes loud-throw declaration stays in sync") {
+    // expected_loud_for(extremes) feeds SPARK_GRAFT_VERIFY_EXPECT_FAIL —
+    // a drifted name would either let an undeclared throw fail the sweep
+    // or silently forgive a query that should die loudly. Pin it to the
+    // same source of truth as the compare-stage list. The function
+    // definition precedes its call site, so split-on-first-occurrence
+    // lands on the case arm.
+    val sh = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("tools/degen_preflight.sh")), "UTF-8")
+    val fn = sh.split("expected_loud_for", 2)(1)
+    val arm = fn.split("extremes\\)", 2)(1).split(";;", 2)(0)
+    val shellList = arm.split("[\\s\\\\]+")
+      .filter(_.matches("[a-z0-9_]+")).filterNot(_ == "printf").toSet
+    assert(shellList == DegenTables.extremesLoudQueries,
+      s"tools/degen_preflight.sh expected_loud_for(extremes) drifted from " +
+        s"DegenTables.extremesLoudQueries: shell=$shellList")
+  }
 }
