@@ -7,6 +7,20 @@ import java.nio.file.{Files, Paths}
   * fast iteration path (preflight.py takes the same trailing filter).
   */
 object Verify {
+  /** Exit policy, factored for direct testing (the negative path never
+    * runs in a green sweep): the run fails iff some query failed that is
+    * NOT named in the expect-fail declaration (comma-separated, as the
+    * SPARK_GRAFT_VERIFY_EXPECT_FAIL env var arrives). Declared names that
+    * did NOT fail are fine here — the degenerate sweep separately asserts
+    * the loud queries really die (preflight's expected list).
+    */
+  def shouldFailRun(failed: Seq[String], expectFailRaw: Option[String]): Boolean = {
+    val expectFail = expectFailRaw
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    (failed.toSet -- expectFail).nonEmpty
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Verify <sfDir> <outDir> [query...]")
     val (sfDir, outDir) = (args(0), args(1))
@@ -77,10 +91,7 @@ object Verify {
     // throw happens. Everything about the failure is still recorded
     // (stderr tally, manifest); only the exit status is forgiven, and
     // only for the named queries.
-    val expectFail = sys.env.get("SPARK_GRAFT_VERIFY_EXPECT_FAIL")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set.empty[String])
-    val unexpected = failed.toSet -- expectFail
-    if (unexpected.nonEmpty) sys.exit(1)
+    if (shouldFailRun(failed, sys.env.get("SPARK_GRAFT_VERIFY_EXPECT_FAIL")))
+      sys.exit(1)
   }
 }
