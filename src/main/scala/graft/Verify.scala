@@ -11,8 +11,11 @@ object Verify {
     * runs in a green sweep): the run fails iff some query failed that is
     * NOT named in the expect-fail declaration (comma-separated, as the
     * SPARK_GRAFT_VERIFY_EXPECT_FAIL env var arrives). Declared names that
-    * did NOT fail are fine here — the degenerate sweep separately asserts
-    * the loud queries really die (preflight's expected list).
+    * did NOT fail are fine HERE — that the loud queries really die is
+    * asserted elsewhere, twice: DegenerateSweepSpec's extremes test
+    * (intercepts each throw in-process) and degen_preflight.sh's manifest
+    * check (each declared-loud name must appear in verify_manifest.json's
+    * failed list, ADVICE r12).
     */
   def shouldFailRun(failed: Seq[String], expectFailRaw: Option[String]): Boolean = {
     val expectFail = expectFailRaw
@@ -87,10 +90,12 @@ object Verify {
     // degenerate extremes set NEEDS this: its seven loud-posture queries
     // throw by design on ±1e30 aggregation inputs (ANSI decimal overflow
     // at an aggregation-INPUT site must stay loud — NULL there would
-    // silently drop rows from SUM/AVG), and the sweep asserts that the
-    // throw happens. Everything about the failure is still recorded
-    // (stderr tally, manifest); only the exit status is forgiven, and
-    // only for the named queries.
+    // silently drop rows from SUM/AVG). That the throw HAPPENS is
+    // enforced by DegenerateSweepSpec's extremes test and by
+    // degen_preflight.sh's verify_manifest.json failed-list check — the
+    // declaration here only forgives the exit status. Everything about
+    // the failure is still recorded (stderr tally, manifest), and only
+    // for the named queries.
     if (shouldFailRun(failed, sys.env.get("SPARK_GRAFT_VERIFY_EXPECT_FAIL")))
       sys.exit(1)
   }

@@ -224,11 +224,21 @@ object Dedup {
       : org.apache.spark.sql.DataFrame =
     connectedComponentsWithRounds(edgesIn)._1
 
+  /** Hard ceiling on fixpoint rounds (VERDICT r12 #4). Pointer doubling
+    * halves the distance-to-minimum each round, so 64 rounds covers any
+    * component with < 2^64 nodes — reaching it means the loop is NOT
+    * converging (corrupt edge set, non-deterministic input, a broken
+    * materialize), and the failure mode before this cap was Verify hanging
+    * silently. Throw loudly with the round count instead.
+    */
+  private[graft] val MaxCcRounds = 64
+
   /** [[connectedComponents]] plus the number of fixpoint rounds it took —
     * the observable the O(log n) property test pins.
     */
   private[graft] def connectedComponentsWithRounds(
-      edgesIn: org.apache.spark.sql.DataFrame)
+      edgesIn: org.apache.spark.sql.DataFrame,
+      maxRounds: Int = MaxCcRounds)
       : (org.apache.spark.sql.DataFrame, Int) = {
     val edges = materialize(edgesIn)
     var labels = materialize(
@@ -237,6 +247,12 @@ object Dedup {
     var rounds = 0
     var converged = false
     while (!converged) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge after $rounds rounds " +
+            s"(cap $maxRounds); pointer doubling converges in O(log n) " +
+            "rounds on any well-formed edge set, so this edge set is " +
+            "corrupt or non-deterministic")
       rounds += 1
       val prop = edges.join(labels, edges("db") === labels("id"))
         .groupBy(edges("da")).agg(min(col("comp")).as("ncomp"))

@@ -495,8 +495,9 @@ object DegenTables {
     * NUMERIC_VALUE_OUT_OF_RANGE, DuckDB Conversion Error (round-10
     * probe, BASELINE.md). Shared source of truth for
     * DegenerateSweepSpec's extremes test and
-    * tools/degen_preflight.sh `expected_for(extremes)` — keep the shell
-    * list in sync (ExtremesLoudListSpec pins the sync).
+    * tools/degen_preflight.sh `expected_for(extremes)`, which reads
+    * tools/degen_extremes_loud.txt — DegenerateSweepSpec pins file ==
+    * this set, so edit BOTH together.
     */
   val extremesLoudQueries: Set[String] = Set(
     "agg_skew", "agg_stats", // sum(cast(c_acctbal as decimal(18,4)))

@@ -205,38 +205,34 @@ class DegenerateSweepSpec extends SparkSpec {
       "no duplicate text across distinct (lang, source) blocks left")
   }
 
-  test("degen_preflight.sh's extremes expected-failure list stays in sync") {
-    val sh = new String(Files.readAllBytes(
-      java.nio.file.Paths.get("tools/degen_preflight.sh")), "UTF-8")
-    // The shell case arm spans continuation lines; extract every token
-    // after `extremes)` up to the closing `;;`.
-    val arm = sh.split("extremes\\)", 2)(1).split(";;", 2)(0)
-    // Keep only query-name-shaped tokens (drops printf and its '%s\n').
-    val shellList = arm.split("[\\s\\\\]+")
-      .filter(_.matches("[a-z0-9_]+")).filterNot(_ == "printf").toSet
-    val expected =
-      DegenTables.extremesLoudQueries ++ DegenTables.extremesExpectedDivergences
-    assert(shellList == expected,
-      s"tools/degen_preflight.sh expected_for(extremes) drifted from " +
-        s"DegenTables.extremesLoudQueries ++ extremesExpectedDivergences: " +
-        s"shell=$shellList")
-  }
-
-  test("degen_preflight.sh's extremes loud-throw declaration stays in sync") {
-    // expected_loud_for(extremes) feeds SPARK_GRAFT_VERIFY_EXPECT_FAIL —
+  test("the extremes loud-throw list has ONE source of truth: tools/degen_extremes_loud.txt") {
+    // ADVICE r12: the old tests regex-scraped degen_preflight.sh's case
+    // arms, which any inline comment or second command would break. Now
+    // the list lives in a data file the script reads verbatim (tr < file)
+    // and this test pins file == DegenTables.extremesLoudQueries — no
+    // shell parsing anywhere. expected_loud_for(extremes) feeds
+    // SPARK_GRAFT_VERIFY_EXPECT_FAIL and the manifest loud-throw check;
     // a drifted name would either let an undeclared throw fail the sweep
-    // or silently forgive a query that should die loudly. Pin it to the
-    // same source of truth as the compare-stage list. The function
-    // definition precedes its call site, so split-on-first-occurrence
-    // lands on the case arm.
+    // or silently forgive a query that should die loudly.
+    import scala.jdk.CollectionConverters._
+    val fileList = Files.readAllLines(
+      java.nio.file.Paths.get("tools/degen_extremes_loud.txt")).asScala
+      .map(_.trim).filter(_.nonEmpty).toSet
+    assert(fileList == DegenTables.extremesLoudQueries,
+      s"tools/degen_extremes_loud.txt drifted from " +
+        s"DegenTables.extremesLoudQueries: file=$fileList")
+    // The script must actually consume that file (not a re-typed copy),
+    // and its compare-stage extremes arm must be loud-list + the declared
+    // value divergences (fn_format) — pin both by content, loudly.
     val sh = new String(Files.readAllBytes(
       java.nio.file.Paths.get("tools/degen_preflight.sh")), "UTF-8")
-    val fn = sh.split("expected_loud_for", 2)(1)
-    val arm = fn.split("extremes\\)", 2)(1).split(";;", 2)(0)
-    val shellList = arm.split("[\\s\\\\]+")
-      .filter(_.matches("[a-z0-9_]+")).filterNot(_ == "printf").toSet
-    assert(shellList == DegenTables.extremesLoudQueries,
-      s"tools/degen_preflight.sh expected_loud_for(extremes) drifted from " +
-        s"DegenTables.extremesLoudQueries: shell=$shellList")
+    assert(sh.contains("degen_extremes_loud.txt"),
+      "degen_preflight.sh no longer reads tools/degen_extremes_loud.txt")
+    assert(sh.contains("expected_loud_for extremes; printf '%s\\n' fn_format"),
+      "degen_preflight.sh expected_for(extremes) is no longer " +
+        "loud-list + fn_format — re-sync with extremesExpectedDivergences")
+    assert(DegenTables.extremesExpectedDivergences == Set("fn_format"),
+      "extremesExpectedDivergences changed — update degen_preflight.sh's " +
+        "expected_for(extremes) printf and this test together")
   }
 }

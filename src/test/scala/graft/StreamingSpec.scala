@@ -21,10 +21,11 @@ class StreamingSpec extends SparkSpec {
   }
 
   private def streamed(transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-      name: String): Array[org.apache.spark.sql.Row] = {
+      name: String,
+      source: org.apache.spark.sql.DataFrame = null): Array[org.apache.spark.sql.Row] = {
     import spark.implicits._
     implicit val sq = spark.sqlContext
-    val rows = batchEvents.collect().map(r => Ev(
+    val rows = Option(source).getOrElse(batchEvents).collect().map(r => Ev(
       r.getLong(0), r.getAs[Timestamp](1), r.getLong(2), r.getString(3), r.getDouble(4)))
     val stream = MemoryStream[Ev]
     // two chunks → two micro-batches, exercising incremental state merge
@@ -50,6 +51,27 @@ class StreamingSpec extends SparkSpec {
   test("streaming session windows equal their batch twin") {
     val streaming = streamed(StreamingHarness.sessions, "sessions_out")
     val batch = StreamingHarness.sessions(batchEvents).collect()
+    assert(sortedSeq(streaming) === sortedSeq(batch))
+  }
+
+  test("ties fixture replays through streaming session windows with batch parity") {
+    // VERDICT r12 #7: the seven adversarial sets sweep the 204 declared
+    // queries; this harness never saw them. The ties set is the
+    // adversarial one for session_window state merge: 16 of 20 events
+    // share ONE instant (zero-gap merges, a fully-duplicated row pair,
+    // one single-event user), with a 1-day return and a stray — and its
+    // events.ts is BIGINT epoch-nanos, so the replay also rides the
+    // loader's LongType branch. The micro-batch split lands same-instant
+    // events in BOTH batches, forcing a cross-batch merge of sessions
+    // that start at identical timestamps.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ties_stream").toString
+    DegenTables.writeTies(spark, dir)
+    val tiesEvents = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+    val streaming = streamed(StreamingHarness.sessions, "ties_sessions_out", tiesEvents)
+    val batch = StreamingHarness.sessions(tiesEvents).collect()
+    assert(batch.length >= 3, "ties fixture lost its multi-user session shape")
     assert(sortedSeq(streaming) === sortedSeq(batch))
   }
 

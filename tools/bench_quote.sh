@@ -11,6 +11,22 @@
 # machine-readable per-query series that round-over-round regression
 # scans diff against.
 #
+# LOADAVG GATE (VERDICT r12 #6): round 12 burned a full gate run on a
+# mid-window external tenant (r12_run1, 122.7 s vs the 64.7 s clean rerun)
+# and disposed it manually in BASELINE.md. That protocol is now code:
+#  - at launch, 1-min loadavg must be <= GRAFT_BENCH_MAX_LAUNCH_LOAD
+#    (default 1.5 — clean archived runs launched at 0.04-0.43);
+#  - a background sampler records the max 1-min loadavg every 5 s during
+#    the run; Bench's own local[32] work peaks this box at ~3-5 (archived
+#    loadavg_after series), so a max above GRAFT_BENCH_MAX_RUN_LOAD
+#    (default 10.0) means an external tenant shared the window.
+# Either trip REFUSES to archive the run and appends a machine-readable
+# refusal record (reason + observed load) to BENCH_SEQ_r{N}.json instead,
+# exit 2. Clean runs archive their sampled max as max_load_1m so future
+# disposals can cite it. The gate only applies to runs THIS script
+# launches — archiving a pre-existing details file (control-run mode,
+# 3rd arg) skips it, since the window being judged already passed.
+#
 # CONTROL RUNS TOO (VERDICT r10 #2): the round-10 A/B control was archived
 # summary-only because its per-query map lived in a throwaway worktree's
 # scratch — pass that worktree's BENCH_DETAILS.json as the 3rd arg (skips
@@ -28,16 +44,54 @@ N="${1:?usage: bench_quote.sh <round> [note] [details_json [run_label]]}"
 NOTE="${2:-}"
 DETAILS="${3:-}"
 RUN_LABEL="${4:-}"
+MAX_LAUNCH_LOAD="${GRAFT_BENCH_MAX_LAUNCH_LOAD:-1.5}"
+MAX_RUN_LOAD="${GRAFT_BENCH_MAX_RUN_LOAD:-10.0}"
+MAX_LOAD_SEEN=""
+
+refuse() { # reason observed threshold
+  python3 - "$N" "$NOTE" "$(git rev-parse --short HEAD)" "$1" "$2" "$3" <<'EOF'
+import json, os, sys
+n, note, head, reason, observed, threshold = sys.argv[1:7]
+path = f"BENCH_SEQ_r{n}.json"
+doc = json.load(open(path)) if os.path.exists(path) else {"runs": []}
+doc.setdefault("refusals", []).append({
+    "head": head, "note": note, "reason": reason,
+    "load_1m": float(observed), "threshold": float(threshold)})
+json.dump(doc, open(path, "w"), indent=1)
+print(f"[bench_quote] REFUSED to archive ({reason}: load {observed} > "
+      f"{threshold}); refusal recorded in {path}")
+EOF
+  exit 2
+}
 
 if [ -z "$DETAILS" ]; then
+  LOAD_AT_LAUNCH=$(cut -d' ' -f1 /proc/loadavg)
+  if awk "BEGIN{exit !($LOAD_AT_LAUNCH > $MAX_LAUNCH_LOAD)}"; then
+    refuse "launch-load" "$LOAD_AT_LAUNCH" "$MAX_LAUNCH_LOAD"
+  fi
+  MON_FILE=$(mktemp)
+  ( while :; do cut -d' ' -f1 /proc/loadavg; sleep 5; done >> "$MON_FILE" ) &
+  MON_PID=$!
+  trap 'kill "$MON_PID" 2>/dev/null || true' EXIT
+  set +e
   SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
     sbt -batch "runMain graft.Bench"
+  BENCH_RC=$?
+  set -e
+  kill "$MON_PID" 2>/dev/null || true
+  trap - EXIT
+  [ "$BENCH_RC" -ne 0 ] && { echo "[bench_quote] Bench failed (rc=$BENCH_RC) — nothing archived"; exit "$BENCH_RC"; }
+  MAX_LOAD_SEEN=$(sort -g "$MON_FILE" | tail -1)
+  rm -f "$MON_FILE"
+  if [ -n "$MAX_LOAD_SEEN" ] && awk "BEGIN{exit !($MAX_LOAD_SEEN > $MAX_RUN_LOAD)}"; then
+    refuse "midrun-load" "$MAX_LOAD_SEEN" "$MAX_RUN_LOAD"
+  fi
   DETAILS="BENCH_DETAILS.json"
 fi
 
-python3 - "$N" "$NOTE" "$(git rev-parse --short HEAD)" "$DETAILS" "$RUN_LABEL" <<'EOF'
+python3 - "$N" "$NOTE" "$(git rev-parse --short HEAD)" "$DETAILS" "$RUN_LABEL" "$MAX_LOAD_SEEN" <<'EOF'
 import json, os, sys
-n, note, head, details, run_label = sys.argv[1:6]
+n, note, head, details, run_label, max_load = sys.argv[1:7]
 d = json.load(open(details))
 if "seq_queries" not in d:
     sys.exit(f"{details} has no seq_queries map — refusing to archive a "
@@ -61,6 +115,7 @@ run = {"run": run_label or f"r{n}_run{len(doc['runs']) + 1}",
        "threads": d.get("threads"),
        "loadavg_before": d.get("loadavg_before"),
        "loadavg_after": d.get("loadavg_after"),
+       "max_load_1m": float(max_load) if max_load else None,
        "failed": d.get("failed"),
        "seq_queries": d["seq_queries"],
        "conc_queries": d.get("conc_queries")}
@@ -68,5 +123,6 @@ doc["runs"].append(run)
 json.dump(doc, open(path, "w"), indent=1)
 status = "FAILED QUERIES PRESENT" if d.get("failed") else "ok"
 print(f"[bench_quote] appended {run['run']} (head {head}, "
-      f"seq_wall {d['seq_wall']}s, {status}) to {path}")
+      f"seq_wall {d['seq_wall']}s, max_load_1m {max_load or 'n/a'}, "
+      f"{status}) to {path}")
 EOF

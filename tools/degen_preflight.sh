@@ -27,7 +27,24 @@
 # OR any crashed/incomplete stage.
 set -u -o pipefail
 BASE="${1:-target/degen}"
-LOG="${2:-DEGENERATE_PREFLIGHT_r11.log}"
+# Default log is date-stamped (ADVICE r12): a hardcoded round number here
+# silently overwrote the archived prior-round transcript when the script
+# ran without the log argument. Pass the r{N} name explicitly to archive.
+LOG="${2:-DEGENERATE_PREFLIGHT_$(date -u +%Y%m%d).log}"
+TOOLS_DIR="$(dirname "$0")"
+
+# Queries whose Verify-stage THROW is itself the expected behavior on a
+# set (execution-stage loud postures, vs expected_for's compare-stage
+# divergences). The list lives in tools/degen_extremes_loud.txt — the ONE
+# source of truth, read verbatim here and by DegenerateSweepSpec, which
+# asserts file == DegenTables.extremesLoudQueries (no regex-scraping of
+# this script, ADVICE r12).
+expected_loud_for() {
+  case "$1" in
+    extremes) tr -d '\r' < "$TOOLS_DIR/degen_extremes_loud.txt" ;;
+    *) : ;;
+  esac
+}
 
 expected_for() {
   case "$1" in
@@ -36,30 +53,16 @@ expected_for() {
     # engine-defined, documented at the fn_levenshtein QueryDef; ASCII
     # fixtures coincide, only the multibyte set diverges.
     unicode) printf '%s\n' fn_levenshtein ;;
-    # Round-11 posture (DegenTables.extremesLoudQueries — keep in sync,
-    # DegenerateSweepSpec pins the list): these feed a ±1e30 column into
-    # an aggregation-INPUT decimal cast, which intentionally keeps the
-    # loud ANSI throw on BOTH engines (Spark NUMERIC_VALUE_OUT_OF_RANGE,
-    # DuckDB Conversion Error). Every other query must round to NULL at
-    # its final try_cast site and AGREE with the oracle.
+    # Round-11 posture: the loud-throw queries (degen_extremes_loud.txt)
+    # feed a ±1e30 column into an aggregation-INPUT decimal cast, which
+    # intentionally keeps the loud ANSI throw on BOTH engines (Spark
+    # NUMERIC_VALUE_OUT_OF_RANGE, DuckDB Conversion Error). Every other
+    # query must round to NULL at its final try_cast site and AGREE with
+    # the oracle.
     # …plus fn_format: Java %f renders a >2^53 double via its shortest
     # decimal representation, C printf via the exact binary expansion —
     # engine-defined, documented at the fn_format QueryDef.
-    extremes) printf '%s\n' agg_skew agg_stats stream_tumbling \
-      ts_autocorr ts_impute_mean ts_seasonality_dow win_rolling_std \
-      fn_format ;;
-  esac
-}
-
-# Queries whose Verify-stage THROW is itself the expected behavior on a
-# set (subset of expected_for: those are compare-stage divergences, these
-# are execution-stage loud postures). Keep in sync with
-# DegenTables.extremesLoudQueries.
-expected_loud_for() {
-  case "$1" in
-    extremes) printf '%s\n' agg_skew agg_stats stream_tumbling \
-      ts_autocorr ts_impute_mean ts_seasonality_dow win_rolling_std ;;
-    *) : ;;
+    extremes) expected_loud_for extremes; printf '%s\n' fn_format ;;
   esac
 }
 
@@ -87,8 +90,9 @@ for s in tiny empty nulls unicode extremes skew ties; do
   # Verify exits nonzero on ANY failed query (round-12 hardening, ADVICE
   # r11 #3) unless the failure is declared expected — the extremes set's
   # seven loud-posture queries throw by design, so declare exactly those;
-  # an eighth failure (or one of the seven NOT failing downstream in the
-  # compare) still fails the set.
+  # an eighth failure still fails the set, and the manifest check below
+  # asserts each declared-loud query DID throw (ADVICE r12: declaring a
+  # name only forgives its failure; it does not prove the throw happened).
   loud=$(expected_loud_for "$s" | paste -sd, -)
   SPARK_GRAFT_VERIFY_EXPECT_FAIL="$loud" \
     sbt -batch "runMain graft.Verify $BASE/$s $BASE/out_$s" 2>&1 \
@@ -99,6 +103,18 @@ for s in tiny empty nulls unicode extremes skew ties; do
     rc=1
     continue
   fi
+  # Loud-posture enforcement (ADVICE r12): every declared-loud query must
+  # appear in verify_manifest.json's "failed" list — that list records the
+  # queries that actually THREW at the Verify stage. A loud query that
+  # stopped throwing on Spark would previously stay green here (its name
+  # was merely forgiven) even though the ANSI-overflow posture regressed.
+  manifest="$BASE/out_$s/verify_manifest.json"
+  for qn in $(expected_loud_for "$s"); do
+    if ! grep -q "\"$qn\"" "$manifest"; then
+      echo "set $s: declared-loud query $qn did NOT throw at Verify stage (absent from $manifest failed list)" | tee -a "$LOG"
+      rc=1
+    fi
+  done
   out=$(python3 tools/preflight.py "$BASE/$s" "$BASE/out_$s" 2>&1)
   py_rc=$?
   printf '%s\n' "$out" >> "$LOG"
