@@ -280,6 +280,59 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(allKey(1).endsWith("ON DUPLICATE KEY UPDATE code = s.`code`"))
   }
 
+  test("dialect invariants hold across column/key permutations") {
+    // The shape tests above pin ONE exact example per dialect; this drives
+    // both generators across varied frames (key positions, counts, single
+    // vs composite keys, all-key) and asserts the invariants that make an
+    // upsert correct regardless of shape: every column appears in the
+    // insert list exactly once and in frame order; no key ever appears on
+    // the left of an update assignment (that would rewrite the match key
+    // on conflict); every non-key appears there exactly once; staging-side
+    // references use the dialect's quoting everywhere.
+    val shapes = Seq(
+      (Seq("k", "v"), Seq("k")),
+      (Seq("v", "k"), Seq("k")),                         // key not first
+      (Seq("a", "b", "c", "d"), Seq("b", "d")),          // composite, interleaved
+      (Seq("x", "y", "z"), Seq("x", "y", "z")),          // all-key
+      (Seq("one_col"), Seq("one_col")))                  // single all-key
+    for ((cols, keys) <- shapes;
+         d <- Seq(graft.sources.AnsiMergeDialect, graft.sources.MySqlUpsertDialect)) {
+      val ctx = s"${d.name} cols=$cols keys=$keys"
+      val stmts = d.upsertStatements("t1", "t1_stg", "t1_stg_d", cols, keys)
+      val upsert = stmts.last
+      val insertList = upsert.split("\\(", 2)(1).split("\\)", 2)(0)
+        .split(",").map(_.trim).toSeq
+      assert(insertList === cols, s"$ctx: insert list must be the frame columns in order")
+      val updateClause = {
+        val parts = upsert.split("WHEN MATCHED THEN UPDATE SET|ON DUPLICATE KEY UPDATE")
+        if (parts.length > 1) parts(1).linesIterator.next() else ""
+      }
+      val assignedLhs = updateClause.split(",").map(_.split("=")(0).trim)
+        .filter(_.nonEmpty).toSeq
+      val nonKeys = cols.filterNot(keys.contains)
+      if (nonKeys.nonEmpty) {
+        assert(assignedLhs === nonKeys,
+          s"$ctx: update clause must assign exactly the non-keys, in order (got $assignedLhs)")
+      } else {
+        // All-key frames: ANSI omits the MATCHED clause entirely; MySQL
+        // emits the single no-op key self-assignment.
+        d match {
+          case graft.sources.AnsiMergeDialect =>
+            assert(!upsert.contains("WHEN MATCHED"), s"$ctx: all-key MERGE must be insert-only")
+          case graft.sources.MySqlUpsertDialect =>
+            assert(assignedLhs === Seq(keys.head), s"$ctx: all-key ODKU must be the no-op self-assignment")
+        }
+      }
+      // Staging-side references are quoted in the dialect's style.
+      val q = d.stagingRef("s", "probe")
+      assert(q == """s."probe"""" || q == "s.`probe`")
+      cols.foreach { c =>
+        assert(upsert.contains(d.stagingRef("s", c)),
+          s"$ctx: staging reference for $c missing or unquoted")
+      }
+    }
+  }
+
   test("off-spec negative batch counts abort the partition loudly") {
     // ADVICE r10: a driver returning EXECUTE_FAILED instead of throwing
     // BatchUpdateException must not be treated as a successful UPDATE.

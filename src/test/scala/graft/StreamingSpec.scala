@@ -75,6 +75,24 @@ class StreamingSpec extends SparkSpec {
     assert(sortedSeq(streaming) === sortedSeq(batch))
   }
 
+  test("ties fixture replays through streaming tumbling windows with batch parity") {
+    // Companion to the session-window ties replay: tumbling's hazard on
+    // this fixture is the cross-batch MERGE of one (window, event_type)
+    // group fed from both micro-batches at a single instant, with tied
+    // values inside the money-typed sum. (The interval join is NOT
+    // replayed on ties — the fixture has no signup events, so that
+    // parity would be vacuously empty.)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ties_tumb").toString
+    DegenTables.writeTies(spark, dir)
+    val tiesEvents = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+    val streaming = streamed(StreamingHarness.tumbling, "ties_tumbling_out", tiesEvents)
+    val batch = StreamingHarness.tumbling(tiesEvents).collect()
+    assert(batch.nonEmpty, "ties fixture produced no tumbling windows")
+    assert(sortedSeq(streaming) === sortedSeq(batch))
+  }
+
   test("stream-stream interval join equals its batch twin") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
