@@ -53,7 +53,13 @@ refuse() { # reason observed threshold
 import json, os, sys
 n, note, head, reason, observed, threshold = sys.argv[1:7]
 path = f"BENCH_SEQ_r{n}.json"
-doc = json.load(open(path)) if os.path.exists(path) else {"runs": []}
+doc = json.load(open(path)) if os.path.exists(path) else {
+    "_comment": "Gate-quote archive (round-10 convention): full "
+    "sequential-pass per-query maps of every gate-quote run, committed so "
+    "round-over-round per-query comparison does not depend on the "
+    "overwritable BENCH_DETAILS.json scratch. Compare seq<->seq only; "
+    "conc_queries include FAIR-scheduler contention. sf0.1, local[32].",
+    "runs": []}
 doc.setdefault("refusals", []).append({
     "head": head, "note": note, "reason": reason,
     "load_1m": float(observed), "threshold": float(threshold)})
