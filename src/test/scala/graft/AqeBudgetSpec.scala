@@ -96,9 +96,11 @@ class AqeBudgetSpec extends SparkSpec {
     // the golden files would be artifacts of the harness, not properties
     // of the queries. Rebuild the ten audited queries in a sibling
     // session at 64 partitions and require identical initial-plan
-    // exchange counts. (Initial plans, not AQE-final: at sf0.001 AQE
-    // legitimately coalesces differently per partition count; the static
-    // shape is the partition-independent observable.)
+    // exchange counts — for the ENTIRE registry, not just the audited
+    // ten: plan building is cheap and a partition-dependent shape
+    // anywhere is a harness artifact. (Initial plans, not AQE-final: at
+    // sf0.001 AQE legitimately coalesces differently per partition
+    // count; the static shape is the partition-independent observable.)
     val s64 = spark.newSession()
     s64.conf.set("spark.sql.shuffle.partitions", "64")
     def counts(s: org.apache.spark.sql.SparkSession, name: String): (Int, Int) = {
@@ -106,7 +108,7 @@ class AqeBudgetSpec extends SparkSpec {
       ("(?<![A-Za-z])Exchange ".r.findAllIn(p).size,
         "(?<![A-Za-z])BroadcastExchange".r.findAllIn(p).size)
     }
-    val drifted = audited.flatMap { n =>
+    val drifted = Registry.all.map(_.name).sorted.flatMap { n =>
       val at4 = counts(spark, n)
       val at64 = counts(s64, n)
       if (at4 != at64) Some(s"$n: partitions=4 -> $at4, partitions=64 -> $at64") else None
