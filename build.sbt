@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked main's stdout/stderr through verbatim instead of
+// relaying them via sbt's logger: the default LoggedOutput prefixes
+// every line with "[info] "/"[error] ", which made Bench's summary JSON
+// line unparseable to round-driver automation (BENCH_r12/13.json:
+// "parsed": null — VERDICT r13 #1). Tool scripts grep self-printed tags
+// ("[bench]", "[verify]", "[degen]"), not sbt's prefixes, so nothing
+// depends on the decoration.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
