@@ -19,17 +19,29 @@ import scala.jdk.CollectionConverters._
   * pinned is "shuffles/broadcasts that physically ran", which is the
   * 100 TB cost. Reuse markers (`ReusedExchange`/duplicate stage ids) are
   * pinned separately so a lost reuse is visible even when the stage
-  * count happens to stay equal. Stage ids never appear in the
-  * `== Initial Plan ==` section the adaptive plan string also renders,
-  * so the counts are immune to that duplication (unlike raw `Exchange`
-  * counting, which is why ExchangeBudgetSpec's counter cannot be reused
-  * here). Scalar-subquery subtrees carry their own adaptive plans and
-  * are out of scope — same fixed-methodology caveat as the initial-plan
-  * budget: this is a drift detector, not an absolute census.
+  * count happens to stay equal. ALL counting runs on the final-plan
+  * portion only — the text before the `== Initial Plan ==` section the
+  * adaptive plan string also renders (ADVICE r13: stage ids never appear
+  * in the initial section, but a `ReusedExchange` there would inflate
+  * reuse_markers for a non-runtime reason; truncating first makes every
+  * counter runtime-only by construction). Scalar-subquery subtrees carry
+  * their own adaptive plans and are out of scope — same
+  * fixed-methodology caveat as the initial-plan budget: this is a drift
+  * detector, not an absolute census.
   *
   * The audited set is VERDICT r12's five most expensive queries plus the
   * next five shuffle-heavy ones from the same ranking — the queries where
   * an AQE shape change costs the most at scale.
+  *
+  * TWO golden columns per counter (VERDICT r13 #2): the same ten queries
+  * are executed under `spark.sql.shuffle.partitions=4` (the test
+  * session) AND 64 — the setting a real cluster changes first. The
+  * initial-plan invariance test below proves the STATIC shape ignores
+  * the setting; AQE-final stage counts legitimately differ per setting
+  * (coalescing decisions see different maps), so the 64-partition
+  * numbers get their own pinned column rather than an equality
+  * assertion. Documented-legitimate diffs BETWEEN columns are expected;
+  * drift WITHIN a column follows the regenerate-and-justify protocol.
   *
   * Update workflow (same as every golden-file ratchet here): when a plan
   * change is INTENTIONAL, re-run with `SPARK_GRAFT_UPDATE_AQE_BUDGET=1`
@@ -50,21 +62,34 @@ class AqeBudgetSpec extends SparkSpec {
   /** (distinct shuffle stages, distinct broadcast stages, reuse markers)
     * from an EXECUTED plan string. Reuse = explicit Reused* nodes plus
     * stage ids appearing more than once (AQE prints a multi-parent stage
-    * under each parent with the same id).
+    * under each parent with the same id). Counts the final-plan portion
+    * only — everything before `== Initial Plan ==` (ADVICE r13: explicit
+    * Reused* markers CAN occur in the initial section, which would count
+    * a non-runtime artifact).
     */
   private def finalStageCounts(plan: String): (Int, Int, Int) = {
+    val finalPortion = plan.split("== Initial Plan ==")(0)
     val shuffleIds = "ShuffleQueryStage (\\d+)".r
-      .findAllMatchIn(plan).map(_.group(1)).toSeq
+      .findAllMatchIn(finalPortion).map(_.group(1)).toSeq
     val broadcastIds = "BroadcastQueryStage (\\d+)".r
-      .findAllMatchIn(plan).map(_.group(1)).toSeq
-    val explicitMarkers = "ReusedExchange|ReusedQueryStage".r.findAllIn(plan).size
+      .findAllMatchIn(finalPortion).map(_.group(1)).toSeq
+    val explicitMarkers = "ReusedExchange|ReusedQueryStage".r.findAllIn(finalPortion).size
     val idReuse = (shuffleIds.size - shuffleIds.distinct.size) +
       (broadcastIds.size - broadcastIds.distinct.size)
     (shuffleIds.distinct.size, broadcastIds.distinct.size, explicitMarkers + idReuse)
   }
 
-  private def measure(name: String): (Int, Int, Int) = {
-    val df = Registry.queries(name)(spark, sf0001)
+  /** Sibling session at shuffle.partitions=64 (shares the SparkContext;
+    * conf is session-scoped). Lazy: built once for the suite.
+    */
+  private lazy val spark64: org.apache.spark.sql.SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "64")
+    s
+  }
+
+  private def measure(s: org.apache.spark.sql.SparkSession, name: String): (Int, Int, Int) = {
+    val df = Registry.queries(name)(s, sf0001)
     df.collect()
     finalStageCounts(df.queryExecution.executedPlan.toString)
   }
@@ -73,17 +98,21 @@ class AqeBudgetSpec extends SparkSpec {
     // Teeth convention: prove the counter registers the regression class
     // it guards against, on the FINAL plan of a genuinely executed query
     // — not the initial plan ExchangeBudgetSpec's teeth already cover.
+    // Run under BOTH pinned settings (VERDICT r13 #2): the 64-partition
+    // golden column is only as good as the counter's vision there.
     import org.apache.spark.sql.functions._
     def shuffleStages(df: org.apache.spark.sql.DataFrame): Int = {
       df.collect()
       finalStageCounts(df.queryExecution.executedPlan.toString)._1
     }
-    val agg = spark.range(100).toDF("id").groupBy(col("id") % 7)
-      .count().withColumnRenamed("count", "n")
-    val base = shuffleStages(agg)
-    assert(base >= 1, "aggregation produced no materialized shuffle stage")
-    assert(shuffleStages(agg.repartition(8, col("n"))) === base + 1,
-      "counter blind to an injected repartition in the AQE-final plan")
+    for ((s, label) <- Seq((spark, "partitions=4"), (spark64, "partitions=64"))) {
+      val agg = s.range(100).toDF("id").groupBy(col("id") % 7)
+        .count().withColumnRenamed("count", "n")
+      val base = shuffleStages(agg)
+      assert(base >= 1, s"$label: aggregation produced no materialized shuffle stage")
+      assert(shuffleStages(agg.repartition(8, col("n"))) === base + 1,
+        s"$label: counter blind to an injected repartition in the AQE-final plan")
+    }
   }
 
   test("initial-plan exchange counts are invariant to shuffle-partition count") {
@@ -101,8 +130,7 @@ class AqeBudgetSpec extends SparkSpec {
     // anywhere is a harness artifact. (Initial plans, not AQE-final: at
     // sf0.001 AQE legitimately coalesces differently per partition
     // count; the static shape is the partition-independent observable.)
-    val s64 = spark.newSession()
-    s64.conf.set("spark.sql.shuffle.partitions", "64")
+    val s64 = spark64
     def counts(s: org.apache.spark.sql.SparkSession, name: String): (Int, Int) = {
       val p = Registry.queries(name)(s, sf0001).queryExecution.executedPlan.toString
       ("(?<![A-Za-z])Exchange ".r.findAllIn(p).size,
@@ -117,29 +145,38 @@ class AqeBudgetSpec extends SparkSpec {
       s"plan shape depends on shuffle-partition count:\n  ${drifted.mkString("\n  ")}")
   }
 
-  test("audited queries' AQE-final stage counts match the committed budget") {
-    val actual: Seq[(String, (Int, Int, Int))] =
-      audited.sorted.map(n => n -> measure(n))
+  test("audited queries' AQE-final stage counts match the committed budget at partitions=4 AND 64") {
+    val actual: Seq[(String, ((Int, Int, Int), (Int, Int, Int)))] =
+      audited.sorted.map(n => n -> ((measure(spark, n), measure(spark64, n))))
     if (sys.env.contains("SPARK_GRAFT_UPDATE_AQE_BUDGET")) {
-      val lines = ("# query\tshuffle_stages\tbroadcast_stages\treuse_markers — " +
-        "AQE-final distinct materialized stages; regenerate with " +
-        "SPARK_GRAFT_UPDATE_AQE_BUDGET=1 sbt 'testOnly graft.AqeBudgetSpec'") +:
-        actual.map { case (n, (s, b, r)) => s"$n\t$s\t$b\t$r" }
+      val lines = ("# query\tshuffle4\tbroadcast4\treuse4\tshuffle64\tbroadcast64\treuse64 — " +
+        "AQE-final distinct materialized stages at shuffle.partitions=4 and 64; " +
+        "columns may legitimately differ from EACH OTHER (AQE coalescing sees " +
+        "different maps per setting); drift WITHIN a column needs a justified " +
+        "regenerate: SPARK_GRAFT_UPDATE_AQE_BUDGET=1 sbt 'testOnly graft.AqeBudgetSpec'") +:
+        actual.map { case (n, ((s4, b4, r4), (s64, b64, r64))) =>
+          s"$n\t$s4\t$b4\t$r4\t$s64\t$b64\t$r64" }
       Files.createDirectories(budgetPath.getParent)
       Files.write(budgetPath, lines.asJava)
       info(s"rewrote $budgetPath with ${actual.size} entries")
     }
     assert(Files.exists(budgetPath),
       s"$budgetPath missing — run once with SPARK_GRAFT_UPDATE_AQE_BUDGET=1 to seed it")
-    val expected: Map[String, (Int, Int, Int)] = Files.readAllLines(budgetPath).asScala
-      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
-      .map { l => val f = l.split("\t"); f(0) -> ((f(1).toInt, f(2).toInt, f(3).toInt)) }.toMap
+    val expected: Map[String, ((Int, Int, Int), (Int, Int, Int))] =
+      Files.readAllLines(budgetPath).asScala
+        .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+        .map { l =>
+          val f = l.split("\t")
+          f(0) -> (((f(1).toInt, f(2).toInt, f(3).toInt),
+            (f(4).toInt, f(5).toInt, f(6).toInt)))
+        }.toMap
 
     val missing = actual.map(_._1).filterNot(expected.contains)
     val stale = expected.keys.toSeq.filterNot(actual.map(_._1).contains)
-    val drifted = actual.flatMap { case (n, got) =>
-      expected.get(n).collect { case want if want != got =>
-        s"$n: (shuffle, broadcast, reuse) $want -> $got"
+    val drifted = actual.flatMap { case (n, (got4, got64)) =>
+      expected.get(n).toSeq.flatMap { case (want4, want64) =>
+        (if (want4 != got4) Seq(s"$n @4: (shuffle, broadcast, reuse) $want4 -> $got4") else Nil) ++
+          (if (want64 != got64) Seq(s"$n @64: (shuffle, broadcast, reuse) $want64 -> $got64") else Nil)
       }
     }
     assert(missing.isEmpty && stale.isEmpty && drifted.isEmpty,
