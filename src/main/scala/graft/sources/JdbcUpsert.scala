@@ -87,10 +87,30 @@ case object AnsiMergeDialect extends UpsertDialect {
   * on ANY unique-key violation, not just `keys` — the target's
   * PRIMARY/UNIQUE key must be exactly `keys` for this arm to mean the
   * same thing as the MERGE arm. MySQL's `CREATE TABLE … AS SELECT` carries
-  * data, so the dedup is one statement, not two. STATEMENT-SHAPE-TESTED
-  * ONLY: no MySQL server exists in this container (zero egress, Derby is
-  * the only embeddable DB) — the text is pinned by unit test, never
-  * executed here.
+  * data, so the dedup is one statement, not two.
+  *
+  * CONFLICTING-KEY GUARD (ADVICE r13): unlike a MERGE — which raises a
+  * cardinality violation when its source matches one target row twice —
+  * `INSERT … SELECT … ON DUPLICATE KEY UPDATE` processes the two
+  * conflicting rows sequentially: silent last-writer-wins in whatever
+  * order the SELECT produced. So this dialect enforces the delta's
+  * key-uniqueness contract itself, as statement text: after the
+  * whole-row dedup, `ALTER TABLE deduped ADD CONSTRAINT … UNIQUE (keys)`
+  * fails in-database (ER_DUP_ENTRY) iff two surviving rows share `keys`
+  * with different non-key values — exactly the conflicting-delta class,
+  * caught BEFORE the upsert touches the target. One set-based DDL
+  * statement (and a free index for the upsert's key lookups), so the
+  * scale story is unchanged. Known nuance, same class as the unique-key
+  * caveat above: MySQL UNIQUE indexes admit repeated NULLs, so
+  * conflicting rows whose key columns are all NULL pass the guard —
+  * NULL-free keys remain the caller's contract, as on the MERGE arm
+  * (where a NULL key never matches and inserts both rows).
+  *
+  * The upsert text is STATEMENT-SHAPE-TESTED ONLY: no MySQL server
+  * exists in this container (zero egress, Derby is the only embeddable
+  * DB). The guard statement, being plain ANSI DDL, IS executed against
+  * Derby in JdbcUpsertSpec to prove it trips on precisely the
+  * conflicting-key class.
   */
 case object MySqlUpsertDialect extends UpsertDialect {
   val name = "mysql"
@@ -107,6 +127,7 @@ case object MySqlUpsertDialect extends UpsertDialect {
       else nonKeys.map(c => s"$c = ${sq(c)}").mkString(", ")
     Seq(
       s"CREATE TABLE $deduped AS SELECT DISTINCT * FROM $staging",
+      s"ALTER TABLE $deduped ADD CONSTRAINT ${deduped}_uk UNIQUE (${keys.mkString(", ")})",
       s"""INSERT INTO $table (${cols.mkString(", ")})
          |SELECT ${cols.map(sq).mkString(", ")} FROM $deduped s
          |ON DUPLICATE KEY UPDATE $updateClause""".stripMargin)
@@ -152,9 +173,12 @@ object JdbcUpsert {
     * (or nondeterministic, engine-dependent). Retry duplicates are always
     * WHOLE-row copies, so SELECT DISTINCT removes precisely that class,
     * while a delta that genuinely carries two CONFLICTING rows for one key
-    * still fails loudly rather than silently picking a winner —
-    * key-uniqueness of the delta stays the caller's contract, pinned in
-    * JdbcUpsertSpec. The dedup is MATERIALIZED (a real table) because
+    * still fails loudly rather than silently picking a winner — on the
+    * MERGE arm via the database's cardinality violation, on the MySQL arm
+    * via the dialect's staging-side UNIQUE guard (see
+    * [[MySqlUpsertDialect]]; NULL-valued keys escape that guard — MySQL
+    * UNIQUE indexes admit repeated NULLs). Key-uniqueness of the delta
+    * stays the caller's contract, pinned in JdbcUpsertSpec. The dedup is MATERIALIZED (a real table) because
     * Derby's MERGE source must be a base table — no views, no derived
     * tables; the copy is of the DELTA only (never the target), one
     * in-database bulk pass, so the scale story is unchanged.

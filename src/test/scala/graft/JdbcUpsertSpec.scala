@@ -261,23 +261,55 @@ class JdbcUpsertSpec extends SparkSpec {
     val stmts = graft.sources.MySqlUpsertDialect.upsertStatements(
       "bars", "bars_stg_abc", "bars_stg_abc_d",
       Seq("code", "trade_date", "close_px"), Seq("code", "trade_date"))
-    assert(stmts.size === 2, "MySQL CTAS carries data: dedup is one statement")
+    assert(stmts.size === 3, "CTAS dedup + UNIQUE guard + upsert")
     assert(stmts(0) === "CREATE TABLE bars_stg_abc_d AS SELECT DISTINCT * FROM bars_stg_abc")
+    // Conflicting-key guard (ADVICE r13): ODKU is last-writer-wins on a
+    // conflicting delta, so key-uniqueness must be enforced BEFORE the
+    // upsert — as DDL on the deduped staging copy, keyed on exactly
+    // `keys`. Ordering matters: guard strictly between dedup and upsert.
     assert(stmts(1) ===
+      "ALTER TABLE bars_stg_abc_d ADD CONSTRAINT bars_stg_abc_d_uk UNIQUE (code, trade_date)")
+    assert(stmts(2) ===
       """INSERT INTO bars (code, trade_date, close_px)
         |SELECT s.`code`, s.`trade_date`, s.`close_px` FROM bars_stg_abc_d s
         |ON DUPLICATE KEY UPDATE close_px = s.`close_px`""".stripMargin)
     // Non-deprecated form: select-alias references, never VALUES(col).
-    assert(!stmts(1).contains("VALUES("))
+    assert(!stmts(2).contains("VALUES("))
     // Keys never appear on the left of the update clause (that would
     // rewrite the match key itself on conflict).
-    val odku = stmts(1).split("ON DUPLICATE KEY UPDATE", 2)(1)
+    val odku = stmts(2).split("ON DUPLICATE KEY UPDATE", 2)(1)
     assert(!odku.contains("code =") && !odku.contains("trade_date ="))
     // All-key frame: MySQL rejects an empty ODKU clause — emit the no-op
     // key self-assignment instead.
     val allKey = graft.sources.MySqlUpsertDialect.upsertStatements(
       "seen", "s1", "s1_d", Seq("code", "trade_date"), Seq("code", "trade_date"))
-    assert(allKey(1).endsWith("ON DUPLICATE KEY UPDATE code = s.`code`"))
+    assert(allKey.last.endsWith("ON DUPLICATE KEY UPDATE code = s.`code`"))
+  }
+
+  test("MySQL conflicting-key guard trips on Derby for exactly the conflicting class") {
+    // The guard statement is plain ANSI DDL, so unlike the rest of the
+    // MySQL arm it CAN be executed here: run the dialect-generated ALTER
+    // verbatim against Derby tables shaped like the post-dedup staging
+    // copy. Conflicting keys (same key, different non-key) must throw;
+    // a conflict-free delta — including one that HAD whole-row retry
+    // duplicates before the dedup — must pass.
+    val guard = graft.sources.MySqlUpsertDialect.upsertStatements(
+      "bars", "g1_stg", "g1", Seq("code", "trade_date", "close_px"),
+      Seq("code", "trade_date"))(1)
+    assert(guard === "ALTER TABLE g1 ADD CONSTRAINT g1_uk UNIQUE (code, trade_date)")
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE g1 (code VARCHAR(16) NOT NULL, trade_date BIGINT NOT NULL, close_px DOUBLE)")
+      st.executeUpdate("INSERT INTO g1 VALUES ('AAA', 20240101, 2.0), ('AAA', 20240101, 3.0)")
+      val e = intercept[java.sql.SQLException](st.executeUpdate(guard))
+      assert(e.getSQLState.startsWith("23"), // integrity-constraint class
+        s"expected a duplicate-key violation from the guard, got ${e.getSQLState}: ${e.getMessage}")
+      st.executeUpdate("DELETE FROM g1 WHERE close_px = 3.0")
+      st.executeUpdate(guard) // conflict-free: guard must NOT trip
+      st.executeUpdate("DROP TABLE g1")
+    } finally c.close()
   }
 
   test("dialect invariants hold across column/key permutations") {
