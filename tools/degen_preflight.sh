@@ -27,10 +27,13 @@
 # OR any crashed/incomplete stage.
 set -u -o pipefail
 BASE="${1:-target/degen}"
-# Default log is date-stamped (ADVICE r12): a hardcoded round number here
-# silently overwrote the archived prior-round transcript when the script
-# ran without the log argument. Pass the r{N} name explicitly to archive.
-LOG="${2:-DEGENERATE_PREFLIGHT_$(date -u +%Y%m%d).log}"
+# Default log is date+time-stamped (ADVICE r12, tightened r13): a
+# hardcoded round number silently overwrote the archived prior-round
+# transcript, and a date-only default interleaved two unlabeled same-day
+# runs into one muddled transcript (tee -a). The seconds component gives
+# each defaulted run its own self-contained file. Pass the r{N} name
+# explicitly to archive.
+LOG="${2:-DEGENERATE_PREFLIGHT_$(date -u +%Y%m%dT%H%M%SZ).log}"
 TOOLS_DIR="$(dirname "$0")"
 
 # Queries whose Verify-stage THROW is itself the expected behavior on a
@@ -109,8 +112,12 @@ for s in tiny empty nulls unicode extremes skew ties; do
   # stopped throwing on Spark would previously stay green here (its name
   # was merely forgiven) even though the ANSI-overflow posture regressed.
   manifest="$BASE/out_$s/verify_manifest.json"
+  # Parse the manifest's "failed" ARRAY, not a whole-file grep (ADVICE
+  # r13): the grep was sound only while failed names were the manifest's
+  # sole quoted query names — a future names-bearing field (a written/
+  # passed list) would have made the check silently vacuous.
   for qn in $(expected_loud_for "$s"); do
-    if ! grep -q "\"$qn\"" "$manifest"; then
+    if ! python3 -c 'import json,sys; sys.exit(0 if sys.argv[2] in json.load(open(sys.argv[1]))["failed"] else 1)' "$manifest" "$qn"; then
       echo "set $s: declared-loud query $qn did NOT throw at Verify stage (absent from $manifest failed list)" | tee -a "$LOG"
       rc=1
     fi
