@@ -10,6 +10,14 @@ set -euo pipefail
 
 cd "$(dirname "$0")/.."
 
+# Self-stamped header (VERDICT r13 #6): the archived PREFLIGHT_r{N}.log
+# headers were hand-written, which let the stamped HEAD drift from the
+# HEAD the gate actually ran at. Emit it mechanically, including whether
+# the working tree was dirty — an archiver redirecting this script's
+# output gets a trustworthy provenance line for free.
+DIRTY=$(git status --porcelain | grep -vc '^?? \|^ M BENCH_DETAILS.json$' || true)
+echo "=== gate run $(date -u +%Y-%m-%dT%H:%MZ), HEAD $(git rev-parse --short HEAD)$([ "$DIRTY" -gt 0 ] && echo ' + UNCOMMITTED TRACKED CHANGES' || true), sweep_sf01=${GATE_SWEEP_SF01:-0} ==="
+
 echo "=== compile ==="
 sbt -batch compile
 
