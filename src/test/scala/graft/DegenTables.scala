@@ -487,6 +487,99 @@ object DegenTables {
       .write.parquet(s"$dir/embeddings.parquet")
   }
 
+  /** Eighth set (round 14): ZERO VARIANCE WITH n>1 — every value column
+    * constant while keys, timestamps, and group sizes stay non-trivial.
+    * The tiny set reaches zero variance only through n=1 groups, where
+    * sample statistics are NULL on both engines by arithmetic (the
+    * (n−1)=0 path); here n>1 makes variance EXACTLY 0.0, which is the
+    * other arm of every guard: corr/spearman/regression/autocorr zero
+    * both variance factors (Spark unguarded would emit IEEE NaN where
+    * DuckDB's /0 is NULL — the silent-at-100-TB divergence), z-score and
+    * skew divide by a 0.0 stddev, MAD is 0 with a real median, ranks are
+    * all-tied with n>1, the single event_type drives entropy to 0 and
+    * chi-square to a 1×k table, idf of a token present in EVERY doc is
+    * log(1)=0 so tf-idf vanishes, and an 8-deep bit-identical embedding
+    * cluster ties every cosine at exactly 1.0 (plus a flat vector whose
+    * min==max engages the quantizer's zero-dynamic-range guard with
+    * n_dims>1). A constant column is what a stuck sensor, a default-
+    * filled backfill, or a single-tenant shard looks like in production —
+    * the shape arrives at 100 TB whether or not a fixture rehearses it.
+    * No expected failures: constants must never cost parity.
+    */
+  def writeConstant(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    Seq((0, "ALL"), (1, "R1"))
+      .toDF("r_regionkey", "r_name").write.parquet(s"$dir/region.parquet")
+    Seq((0, "N0", 0), (1, "N1", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey").write.parquet(s"$dir/nation.parquet")
+    Seq((1L, "s1", 0, 42.0), (2L, "s2", 1, 42.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$dir/supplier.parquet")
+    // six customers, two nations, ONE balance, ONE segment (zero-entropy
+    // categorical): acctbal variance is 0.0 within and across nations
+    (1L to 6L).map(i => (i, s"c$i", (i % 2).toInt, 42.0, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, "p one", "Brand#C", "SMALL CASE", 7, 42.0),
+      (2L, "p two", "Brand#C", "SMALL CASE", 7, 42.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    // eight orders, four customers, ONE price, ONE status, ONE priority;
+    // dates span two months so calendar grains stay non-trivial
+    Seq((1L, 1L, ts("1996-03-01")), (2L, 1L, ts("1996-03-01")),
+      (3L, 2L, ts("1996-03-01")), (4L, 2L, ts("1996-03-01")),
+      (5L, 3L, ts("1996-03-15")), (6L, 3L, ts("1996-03-15")),
+      (7L, 4L, ts("1996-04-01")), (8L, 4L, ts("1996-04-01")))
+      .map { case (o, c, d) => (o, c, "F", 42.0, d, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    // ten lines, ONE (quantity, extendedprice, discount, tax, flag,
+    // status): corr(quantity, price) zeroes BOTH variance factors
+    ((1 to 3).map(i => (1L, (i % 2 + 1).toLong, (i % 2 + 1).toLong, i)) ++
+      (2L to 8L).map(o => (o, 1L, 1L, 1)))
+      .map { case (o, p, sp, ln) =>
+        (o, p, sp, ln, 5.0, 42.0, 0.1, 0.0, "N", "O",
+          ts(if (o <= 4) "1996-03-02" else "1996-03-16")) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    // 22 events, ONE type, ONE value, ONE props; timestamps vary (hourly
+    // u1, 6-hourly u2, daily u3) so sessions/streaks/interarrival still
+    // compute — over a series whose variance is exactly 0.0. BIGINT
+    // epoch-nanos like the sibling sets (loader LongType branch).
+    val t0 = 1704067200L * 1000000000L
+    val hour = 3600L * 1000000000L
+    val day = 24L * hour
+    ((0 until 12).map(i => (i.toLong, t0 + i * hour, 1L)) ++
+      (0 until 8).map(i => ((12 + i).toLong, t0 + i * 6 * hour, 2L)) ++
+      Seq((20L, t0, 3L), (21L, t0 + day, 3L)))
+      .map { case (id, t, u) => (id, t, u, "click", 7.5, """{"k": 1}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    // one (en, s0) block of SIX bit-identical 12-token docs (idf of every
+    // token is log(6/6)=0; dedup sees a 6-clique at sim 1.0) plus an
+    // identical (fr, s1) pair — 12 tokens clears the clean-pipeline
+    // quality cut, same sizing as the ties set
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "un texte constant répété deux fois pour le bloc français ici"
+    ((0L to 5L).map(i => (i, t1, "en", "s0", t1.length.toLong)) ++
+      Seq((6L, t2, "fr", "s1", t2.length.toLong),
+        (7L, t2, "fr", "s1", t2.length.toLong)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // eight bit-identical vectors under MIXED labels (every pairwise
+    // cosine exactly 1.0 — top-k is pure tie-break; knn votes split) plus
+    // a flat pair whose min==max engages the quantizer's zero-range
+    // guard at full dimensionality
+    val base = Seq.tabulate(64)(j => 0.1f + j * 0.01f)
+    ((0L to 7L).map(i => (i, base, (i % 2).toInt)) ++
+      Seq((8L, Seq.fill(64)(0.5f), 2), (9L, Seq.fill(64)(0.5f), 2)))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+  }
+
   /** The extremes set's documented expected failures: every query that
     * feeds a poisoned column (events.value or c_acctbal) into an
     * aggregation-INPUT decimal cast, which by the round-11 posture keeps
@@ -520,7 +613,8 @@ object DegenTables {
     "unicode" -> writeUnicode,
     "extremes" -> writeExtremes,
     "skew" -> writeSkew,
-    "ties" -> writeTies)
+    "ties" -> writeTies,
+    "constant" -> writeConstant)
 }
 
 /** `sbt "Test/runMain graft.DegenGen <baseDir>"` — materialize all three

@@ -205,6 +205,48 @@ class DegenerateSweepSpec extends SparkSpec {
       "no duplicate text across distinct (lang, source) blocks left")
   }
 
+  /** Eighth variant (round 14): zero variance with n>1. The tiny set's
+    * zero variances all arrive via n=1 groups (the (n−1)=0 arm); this one
+    * pins the OTHER arm — sample variance exactly 0.0 over real groups,
+    * where an unguarded ratio emits IEEE NaN on Spark but NULL on DuckDB.
+    * Survival here; value-level parity on the same set is the
+    * degen_preflight.sh oracle sweep. Teeth: the fixture must keep its
+    * zero-variance shapes, or an innocent edit turns it into an ordinary
+    * small fixture and the sweep stops proving the guards' 0.0 arm.
+    */
+  test("constant: queries survive zero-variance groups and the constants are real") {
+    val d = Files.createTempDirectory("graft-degen-constant-").toString
+    DegenTables.writeConstant(spark, d)
+    val failures = sweep(d)
+    assert(failures.isEmpty,
+      s"queries crashed on zero-variance input:\n${failures.mkString("\n")}")
+
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, d)
+    val evShape = ev.agg(countDistinct("event_type").as("nt"),
+      countDistinct("value").as("nv"), count(lit(1)).as("n")).head()
+    assert(evShape.getLong(0) == 1 && evShape.getLong(1) == 1 && evShape.getLong(2) >= 20,
+      s"events lost constancy: ${evShape} — need 1 type, 1 value, >=20 rows")
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .agg(countDistinct("l_quantity").as("nq"),
+        countDistinct("l_extendedprice").as("np"), count(lit(1)).as("n")).head()
+    assert(li.getLong(0) == 1 && li.getLong(1) == 1 && li.getLong(2) >= 10,
+      s"lineitem lost its constant (quantity, price) across >=10 rows: $li")
+    assert(spark.read.parquet(s"$d/customer.parquet")
+      .agg(countDistinct("c_acctbal")).head().getLong(0) == 1,
+      "customers no longer share one balance")
+    val textClique = spark.read.parquet(s"$d/documents.parquet")
+      .groupBy("text").count().agg(max("count")).head().getLong(0)
+    assert(textClique >= 6,
+      s"largest identical-text clique shrank to $textClique (< 6)")
+    val em = spark.read.parquet(s"$d/embeddings.parquet")
+    val vecClique = em.groupBy("embedding").count().agg(max("count")).head().getLong(0)
+    assert(vecClique >= 8,
+      s"largest bit-identical embedding cluster shrank to $vecClique (< 8)")
+    assert(em.filter(array_min(col("embedding")) === array_max(col("embedding")))
+      .count() > 0, "flat (min==max) vector gone — quantizer zero-range arm unexercised")
+  }
+
   test("the extremes loud-throw list has ONE source of truth: tools/degen_extremes_loud.txt") {
     // ADVICE r12: the old tests regex-scraped degen_preflight.sh's case
     // arms, which any inline comment or second command would break. Now
