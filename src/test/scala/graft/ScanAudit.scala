@@ -42,16 +42,22 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
   */
 object ScanAudit {
 
-  /** (table, scan signature) of every live scan subtree. The signature is
-    * what the scan actually READS — pruned columns plus pushed/partition
-    * filters — so two scans with equal signatures read the same bytes at
-    * 100 TB, and the pair is a scan-amortization candidate (the
-    * agg_chi_square class); different signatures mean the duplication is
-    * by construction (a self-join's two sides pruning different columns,
-    * a profile pass reading fewer columns than the probe pass).
+  /** One live scan subtree. `sig` is what the scan actually READS —
+    * pruned columns plus pushed/partition filters — so two scans with
+    * equal signatures read the same bytes at 100 TB, and the pair is a
+    * scan-amortization candidate (the agg_chi_square class); different
+    * signatures mean the duplication is by construction (a self-join's
+    * two sides pruning different columns, a profile pass reading fewer
+    * columns than the probe pass). `width` is the pruned data-column
+    * count (requiredSchema, partition columns excluded) — the
+    * column-pruning ratchet's unit: a projection refactor that silently
+    * widens a scan back to all columns reads every byte of a 100 TB
+    * table for a 2-column answer.
     */
+  private[graft] final case class LiveScan(table: String, sig: String, width: Int)
+
   private[graft] def liveScans(
-      p: SparkPlan, seen: mutable.Set[Int]): Seq[(String, String)] = p match {
+      p: SparkPlan, seen: mutable.Set[Int]): Seq[LiveScan] = p match {
     case a: AdaptiveSparkPlanExec => liveScans(a.executedPlan, seen)
     case s: QueryStageExec =>
       if (seen.add(s.id)) liveScans(s.plan, seen) else Nil
@@ -61,24 +67,34 @@ object ScanAudit {
         .mkString(",").stripSuffix(".parquet")
       val sig = Seq("ReadSchema", "PushedFilters", "PartitionFilters", "DataFilters")
         .flatMap(k => f.metadata.get(k)).mkString("|")
-      Seq(table -> sig)
+      Seq(LiveScan(table, sig, f.requiredSchema.length))
     case other =>
       (other.children ++ other.subqueries).flatMap(liveScans(_, seen))
   }
 
-  /** table → (live-scan count, distinct signature count) for one query,
-    * after running it to completion (collect drives AQE to its final
-    * plan; streaming-shaped queries in this registry are batch
-    * DataFrames, so collect is safe).
+  /** Every live scan of one query's FINAL adaptive plan, after running it
+    * to completion (collect drives AQE to its final plan; streaming-shaped
+    * queries in this registry are batch DataFrames, so collect is safe).
     */
-  private[graft] def scanCounts(
-      spark: SparkSession, name: String, sfDir: String): Map[String, (Int, Int)] = {
+  private[graft] def runLiveScans(
+      spark: SparkSession, name: String, sfDir: String): Seq[LiveScan] = {
     val df = Registry.queries(name)(spark, sfDir)
     df.collect()
     liveScans(df.queryExecution.executedPlan, mutable.Set.empty[Int])
-      .groupBy(_._1)
-      .map { case (t, xs) => t -> (xs.size, xs.map(_._2).distinct.size) }
   }
+
+  /** table → (live-scan count, distinct signature count). */
+  private[graft] def groupCounts(scans: Seq[LiveScan]): Map[String, (Int, Int)] =
+    scans.groupBy(_.table)
+      .map { case (t, xs) => t -> (xs.size, xs.map(_.sig).distinct.size) }
+
+  /** table → sorted read widths, one per live scan. */
+  private[graft] def groupWidths(scans: Seq[LiveScan]): Map[String, Seq[Int]] =
+    scans.groupBy(_.table).map { case (t, xs) => t -> xs.map(_.width).sorted }
+
+  private[graft] def scanCounts(
+      spark: SparkSession, name: String, sfDir: String): Map[String, (Int, Int)] =
+    groupCounts(runLiveScans(spark, name, sfDir))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -38,6 +38,7 @@ import scala.jdk.CollectionConverters._
 class ScanBudgetSpec extends SparkSpec {
 
   private val budgetPath = Paths.get("src/test/resources/scan-budget.tsv")
+  private val widthPath = Paths.get("src/test/resources/read-width.tsv")
 
   /** query -> tables allowed to repeat an identical scan signature, each
     * with a measured justification. Adding an entry requires showing the
@@ -69,20 +70,30 @@ class ScanBudgetSpec extends SparkSpec {
     // A self-union scans twice with one signature — the exact class the
     // identical-signature invariant rejects in registry queries.
     val twice = counts(one.unionAll(one))
-    assert(twice.size === 2 && twice.map(_._2).distinct.size === 1,
+    assert(twice.size === 2 && twice.map(_.sig).distinct.size === 1,
       "counter blind to a duplicated identical scan")
     // A pushed-down filter on one side ⇒ different signatures.
     val filtered = counts(one.select("r_regionkey")
       .unionAll(one.filter(col("r_regionkey") > 0).select("r_regionkey")))
-    assert(filtered.size === 2 && filtered.map(_._2).distinct.size === 2,
+    assert(filtered.size === 2 && filtered.map(_.sig).distinct.size === 2,
       "counter blind to pushed-filter differences between scans")
+    // Width teeth: a 1-column projection must report width 1, and losing
+    // the pruning (reading the full row for the same answer) must be a
+    // VISIBLE width change — the read-width golden file's failure mode.
+    val narrow = counts(one.select("r_regionkey"))
+    assert(narrow.map(_.width) === Seq(1), "width counter blind to pruning")
+    val wide = counts(one)
+    assert(wide.map(_.width) === Seq(2),
+      "width counter blind to a full-width scan")
   }
 
   test("every query's live scan counts match the budget; no identical-signature repeats") {
-    val actual: Seq[(String, Map[String, (Int, Int)])] =
+    val scans: Seq[(String, Seq[ScanAudit.LiveScan])] =
       Registry.all.map(_.name).sorted.map { n =>
-        n -> ScanAudit.scanCounts(spark, n, sf0001)
+        n -> ScanAudit.runLiveScans(spark, n, sf0001)
       }
+    val actual: Seq[(String, Map[String, (Int, Int)])] =
+      scans.map { case (n, xs) => n -> ScanAudit.groupCounts(xs) }
 
     def fmt(m: Map[String, (Int, Int)]): String =
       m.toSeq.sorted.map { case (t, (n, sigs)) => s"$t:$n:$sigs" }.mkString(",")
@@ -96,6 +107,45 @@ class ScanBudgetSpec extends SparkSpec {
       Files.write(budgetPath, lines.asJava)
       info(s"rewrote $budgetPath with ${actual.size} entries")
     }
+
+    // READ-WIDTH ratchet (round 14): pin each live scan's pruned
+    // data-column count. The count/signature budget above cannot see a
+    // scan silently WIDENING — a projection refactor that reads the full
+    // row for a 2-column answer keeps live_scans:distinct_signatures
+    // intact while multiplying bytes read at 100 TB. Width drift fails
+    // here with the same regenerate-and-justify protocol. Same execution
+    // pass as the scan budget — this pins the same final adaptive plans.
+    val widths: Seq[(String, Map[String, Seq[Int]])] =
+      scans.map { case (n, xs) => n -> ScanAudit.groupWidths(xs) }
+    def fmtW(m: Map[String, Seq[Int]]): String =
+      m.toSeq.sortBy(_._1).map { case (t, ws) => s"$t:${ws.mkString("+")}" }.mkString(",")
+    if (sys.env.contains("SPARK_GRAFT_UPDATE_READ_WIDTH")) {
+      val lines = ("# query\ttable:width[+width...],... — pruned data-column count of each" +
+        " live scan, final adaptive plan at sf0.001; regenerate with" +
+        " SPARK_GRAFT_UPDATE_READ_WIDTH=1 sbt 'Test/testOnly graft.ScanBudgetSpec'") +:
+        widths.map { case (n, m) => s"$n\t${fmtW(m)}" }
+      Files.createDirectories(widthPath.getParent)
+      Files.write(widthPath, lines.asJava)
+      info(s"rewrote $widthPath with ${widths.size} entries")
+    }
+    assert(Files.exists(widthPath),
+      s"$widthPath missing — run once with SPARK_GRAFT_UPDATE_READ_WIDTH=1 to seed it")
+    val expectedW: Map[String, String] = Files.readAllLines(widthPath).asScala
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .map { l => val f = l.split("\t", 2); f(0) -> (if (f.length > 1) f(1) else "") }.toMap
+    val missingW = widths.map(_._1).filterNot(expectedW.contains)
+    val staleW = expectedW.keys.toSeq.filterNot(widths.map(_._1).contains)
+    val driftedW = widths.flatMap { case (n, m) =>
+      expectedW.get(n).collect { case e if e != fmtW(m) => s"$n: '$e' -> '${fmtW(m)}'" }
+    }
+    assert(missingW.isEmpty && staleW.isEmpty && driftedW.isEmpty,
+      s"""Read-width drift — a scan's pruned column set changed (intentional? regenerate
+         |the golden file and justify in the commit; a WIDER scan multiplies bytes read
+         |at 100 TB):
+         |  unbudgeted queries: ${missingW.mkString(", ")}
+         |  stale budget rows:  ${staleW.mkString(", ")}
+         |  drifted widths:
+         |    ${driftedW.mkString("\n    ")}""".stripMargin)
 
     val repeats = actual.flatMap { case (n, m) =>
       m.collect {
