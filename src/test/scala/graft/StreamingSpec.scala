@@ -123,6 +123,31 @@ class StreamingSpec extends SparkSpec {
     assert(streaming.forall(_.getLong(2) === 1L))
   }
 
+  test("constant fixture replays through streaming dedup with batch parity") {
+    // Round-14 companion to the ties replays: the constant set is the
+    // adversarial input for DEDUP state — every event is bit-identical in
+    // every non-key column (one type, one value), so the only thing
+    // distinguishing rows is the dedup key itself, and the micro-batch
+    // split delivers the SAME (user_id, event_type) key from both batches
+    // with indistinguishable payloads. Cross-batch state must suppress
+    // the re-arrivals; with a single event_type the surviving set is
+    // exactly one row per user. events.ts is BIGINT epoch-nanos, so the
+    // replay also rides the loader's LongType branch.
+    val dir = java.nio.file.Files.createTempDirectory("graft_const_dedup").toString
+    DegenTables.writeConstant(spark, dir)
+    val constEvents = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+    val streaming = streamed(
+      df => StreamingHarness.dedup(df).groupBy("user_id", "event_type").count(),
+      "const_dedup_out", constEvents)
+    val users = constEvents.select("user_id").distinct().count()
+    assert(users >= 3, "constant fixture lost its multi-user shape")
+    assert(streaming.length.toLong === users,
+      "dedup must keep exactly one row per (user, the single type)")
+    assert(streaming.forall(_.getLong(2) === 1L))
+  }
+
   test("update output mode re-emits only changed aggregate keys per micro-batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
