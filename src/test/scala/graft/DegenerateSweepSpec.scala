@@ -221,6 +221,34 @@ class DegenerateSweepSpec extends SparkSpec {
     assert(failures.isEmpty,
       s"queries crashed on zero-variance input:\n${failures.mkString("\n")}")
 
+    // NaN/Infinity audit: the DuckDB parity sweep proved every guarded
+    // ratio yields NULL (not IEEE NaN/Inf) on this set — DuckDB's /0 is
+    // NULL, so a Spark-side NaN could only hash-match a DuckDB NaN,
+    // which the green sweep shows there isn't. Pin that Spark-side on
+    // every `sbt test`: the shell sweep runs once per round, but a
+    // dropped nullif would otherwise sit unnoticed between sweeps. Any
+    // non-finite float in any query's output on THIS fixture is a guard
+    // regression by construction.
+    def nonFinite(v: Any): Boolean = v match {
+      case null => false
+      case x: Double => x.isNaN || x.isInfinite
+      case x: Float => x.isNaN || x.isInfinite
+      case r: org.apache.spark.sql.Row => r.toSeq.exists(nonFinite)
+      case xs: scala.collection.Seq[_] => xs.exists(nonFinite)
+      case m: scala.collection.Map[_, _] => m.valuesIterator.exists(nonFinite)
+      case _ => false
+    }
+    val poisoned = Registry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val bad = q(spark, d).collect().iterator.flatMap { row =>
+        (0 until row.length).iterator.collect {
+          case i if nonFinite(row.get(i)) => row.schema.fields(i).name
+        }
+      }.toSet
+      if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(",")}")
+    }
+    assert(poisoned.isEmpty,
+      s"NaN/Infinity leaked through a zero-variance guard:\n${poisoned.mkString("\n")}")
+
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, d)
     val evShape = ev.agg(countDistinct("event_type").as("nt"),
