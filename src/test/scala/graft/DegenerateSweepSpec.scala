@@ -24,12 +24,45 @@ class DegenerateSweepSpec extends SparkSpec {
         Some(name -> e.toString.linesIterator.take(1).mkString) }
     }
 
+  /** NaN/Infinity audit for the zero-variance sets (tiny's n=1 arm,
+    * constant's 0.0 arm). The DuckDB parity sweep proved every guarded
+    * ratio yields NULL there — DuckDB's /0 is NULL, so a Spark NaN could
+    * only survive by hash-matching a DuckDB NaN, which the green sweep
+    * shows there isn't. Pinning it Spark-side on every `sbt test` means
+    * a dropped nullif can't sit unnoticed between the once-per-round
+    * shell sweeps. Deep-walks nested arrays/structs/maps. NOT applied to
+    * extremes (±1e30 double arithmetic can produce a legitimate Inf that
+    * both engines agree on — parity there does not imply finiteness).
+    */
+  private def assertNoNonFinite(dir: String): Unit = {
+    def nonFinite(v: Any): Boolean = v match {
+      case null => false
+      case x: Double => x.isNaN || x.isInfinite
+      case x: Float => x.isNaN || x.isInfinite
+      case r: org.apache.spark.sql.Row => r.toSeq.exists(nonFinite)
+      case xs: scala.collection.Seq[_] => xs.exists(nonFinite)
+      case m: scala.collection.Map[_, _] => m.valuesIterator.exists(nonFinite)
+      case _ => false
+    }
+    val poisoned = Registry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val bad = q(spark, dir).collect().iterator.flatMap { row =>
+        (0 until row.length).iterator.collect {
+          case i if nonFinite(row.get(i)) => row.schema.fields(i).name
+        }
+      }.toSet
+      if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(",")}")
+    }
+    assert(poisoned.isEmpty,
+      s"NaN/Infinity leaked through a zero-variance guard:\n${poisoned.mkString("\n")}")
+  }
+
   test("every registered query survives the tiny degenerate tables") {
     val d = Files.createTempDirectory("graft-degen-tiny-").toString
     DegenTables.writeTiny(spark, d)
     val failures = sweep(d)
     assert(failures.isEmpty,
       s"queries crashed on degenerate rows:\n${failures.mkString("\n")}")
+    assertNoNonFinite(d) // tiny = the n=1 zero-variance arm
   }
 
   test("every registered query survives completely empty tables") {
@@ -229,25 +262,7 @@ class DegenerateSweepSpec extends SparkSpec {
     // dropped nullif would otherwise sit unnoticed between sweeps. Any
     // non-finite float in any query's output on THIS fixture is a guard
     // regression by construction.
-    def nonFinite(v: Any): Boolean = v match {
-      case null => false
-      case x: Double => x.isNaN || x.isInfinite
-      case x: Float => x.isNaN || x.isInfinite
-      case r: org.apache.spark.sql.Row => r.toSeq.exists(nonFinite)
-      case xs: scala.collection.Seq[_] => xs.exists(nonFinite)
-      case m: scala.collection.Map[_, _] => m.valuesIterator.exists(nonFinite)
-      case _ => false
-    }
-    val poisoned = Registry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
-      val bad = q(spark, d).collect().iterator.flatMap { row =>
-        (0 until row.length).iterator.collect {
-          case i if nonFinite(row.get(i)) => row.schema.fields(i).name
-        }
-      }.toSet
-      if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(",")}")
-    }
-    assert(poisoned.isEmpty,
-      s"NaN/Infinity leaked through a zero-variance guard:\n${poisoned.mkString("\n")}")
+    assertNoNonFinite(d)
 
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, d)
