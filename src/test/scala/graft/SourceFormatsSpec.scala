@@ -78,6 +78,18 @@ class SourceFormatsSpec extends SparkSpec {
     val d = Files.createTempDirectory("graft_fix_extremes").toString
     DegenTables.writeExtremes(spark, d); d
   }
+  // Round 14: unicode is the strongest fixture for a text-format seam —
+  // non-BMP emoji (4-byte UTF-8), combining marks, RTL, final-sigma —
+  // and constant adds bit-identical repeated rows (the dedup shape) plus
+  // accented French; neither had seen the CSV/JSON surface.
+  private lazy val unicodeDir: String = {
+    val d = Files.createTempDirectory("graft_fix_unicode").toString
+    DegenTables.writeUnicode(spark, d); d
+  }
+  private lazy val constantDir: String = {
+    val d = Files.createTempDirectory("graft_fix_constant").toString
+    DegenTables.writeConstant(spark, d); d
+  }
 
   private val fixtureTables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -94,18 +106,19 @@ class SourceFormatsSpec extends SparkSpec {
       s"$fmt round-trip mismatch for $table")
   }
 
-  test("ties + extremes sets round-trip JSON lines for every table") {
-    for (d <- Seq(tiesDir, extremesDir); t <- fixtureTables)
+  test("ties + extremes + unicode + constant sets round-trip JSON lines for every table") {
+    for (d <- Seq(tiesDir, extremesDir, unicodeDir, constantDir); t <- fixtureTables)
       roundTripTable(d, t, "json")
   }
 
-  test("ties + extremes sets round-trip CSV for every scalar-typed table") {
+  test("ties + extremes + unicode + constant sets round-trip CSV for every scalar-typed table") {
     // embeddings is excluded BY FORMAT, not by choice: CSV has no array
     // type (Spark refuses to write ArrayType) — the JSON test above
     // covers it. Everything CSV can represent must survive, including
     // the ties events' embedded-JSON props strings (quote-escaping) and
     // the extremes ±1e30 doubles (scientific-notation rendering).
-    for (d <- Seq(tiesDir, extremesDir); t <- fixtureTables if t != "embeddings")
+    for (d <- Seq(tiesDir, extremesDir, unicodeDir, constantDir);
+         t <- fixtureTables if t != "embeddings")
       roundTripTable(d, t, "csv")
   }
 
