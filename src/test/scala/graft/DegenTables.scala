@@ -580,6 +580,85 @@ object DegenTables {
       .write.parquet(s"$dir/embeddings.parquet")
   }
 
+  /** Ninth set (round 14): LONG DOCUMENTS — the web-crawl shape. One
+    * ~30 KB / ~6,000-token document (ASCII, so the levenshtein byte-vs-
+    * codepoint seam stays out of scope — and fn_levenshtein reads part
+    * names, which stay short, since its cost is quadratic in length),
+    * its EXACT duplicate (content-hashing 30 KB cross-engine), and a
+    * NEAR-duplicate differing in exactly one mid-document token (minhash/
+    * simhash behavior at real document length: similarity must stay
+    * ≈1 but fingerprints must differ), plus short healthy docs in two
+    * blocks. Every text path that is linear in document length —
+    * tokenize/explode, shingles, rolling-hash fingerprint, char-gram
+    * langid, PII regexes, chunking, packing — must stay linear AND agree
+    * with DuckDB over the same 30 KB strings; a quadratic or
+    * length-capped implementation surfaces here first. events carries a
+    * ~2 KB deep-ish props JSON for the JSON-path family. No expected
+    * failures.
+    */
+  def writeLong(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    Seq((0, "ALL"), (1, "R1"))
+      .toDF("r_regionkey", "r_name").write.parquet(s"$dir/region.parquet")
+    Seq((0, "N0", 0), (1, "N1", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey").write.parquet(s"$dir/nation.parquet")
+    Seq((1L, "s1", 0, 10.0), (2L, "s2", 1, 20.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$dir/supplier.parquet")
+    Seq((1L, "c1", 0, 5.0, "SEG"), (2L, "c2", 1, 7.0, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    // one ~200-char part name: stretches the string family without
+    // making the quadratic levenshtein meaningful (200×12 ops)
+    val longName = Seq.tabulate(24)(i => s"gadget$i").mkString(" ")
+    Seq((1L, "small widget", "Brand#1", "SMALL", 5, 3.5),
+      (2L, longName, "Brand#2", "LARGE", 9, 7.25))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    Seq((1L, 1L, "F", 10.0, ts("1996-03-01"), "1-URGENT"),
+      (2L, 2L, "O", 4.5, ts("1996-04-01"), "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L, 1L, 1, 2.0, 10.0, 0.1, 0.0, "N", "O", ts("1996-03-02")),
+      (2L, 2L, 2L, 1, 1.0, 4.5, 0.0, 0.05, "R", "F", ts("1996-04-02")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    // ~2 KB valid JSON props on one event: 80 keys plus a nested object —
+    // the JSON-path family must parse production-sized payloads
+    val bigProps = "{" + (0 until 80).map(i => s""""k$i": $i""").mkString(", ") +
+      """, "nested": {"a": [1, 2, 3], "b": "x"}}"""
+    val t0 = 1704067200L * 1000000000L
+    val hour = 3600L * 1000000000L
+    Seq((0L, t0, 1L, "click", 1.0, bigProps),
+      (1L, t0 + hour, 1L, "view", 2.0, """{"k": 1}"""),
+      (2L, t0 + 2 * hour, 2L, "purchase", 3.0, """{"k": 2}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    // ~6,000 tokens over a 503-word vocabulary, a period every 13th token
+    // for the sentence/punctuation paths; doc 1 is byte-identical, doc 2
+    // flips exactly ONE mid-document token (near-dup at full length)
+    def tok(i: Int): String = if (i % 13 == 12) s"w${i % 503}." else s"w${i % 503}"
+    val longText = (0 until 6000).map(tok).mkString(" ")
+    val nearText = (0 until 6000)
+      .map(i => if (i == 3000) "changed" else tok(i)).mkString(" ")
+    val docs = Seq(
+      (0L, longText, "en", "s0", longText.length.toLong),
+      (1L, longText, "en", "s0", longText.length.toLong), // exact 30 KB dup
+      (2L, nearText, "en", "s0", nearText.length.toLong), // 1-token near-dup
+      (3L, "a short healthy document here", "en", "s0", 29L),
+      (4L, "petit document sain ici", "fr", "s1", 23L),
+      (5L, "autre document court", "fr", "s1", 20L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    ((0 until 8).map(i => (i.toLong, Seq.tabulate(64)(j =>
+      math.sin(i * 64 + j).toFloat), i % 3)))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+  }
+
   /** The extremes set's documented expected failures: every query that
     * feeds a poisoned column (events.value or c_acctbal) into an
     * aggregation-INPUT decimal cast, which by the round-11 posture keeps
@@ -614,7 +693,8 @@ object DegenTables {
     "extremes" -> writeExtremes,
     "skew" -> writeSkew,
     "ties" -> writeTies,
-    "constant" -> writeConstant)
+    "constant" -> writeConstant,
+    "long" -> writeLong)
 }
 
 /** `sbt "Test/runMain graft.DegenGen <baseDir>"` — materialize all three

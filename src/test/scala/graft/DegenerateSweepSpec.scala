@@ -290,6 +290,41 @@ class DegenerateSweepSpec extends SparkSpec {
       .count() > 0, "flat (min==max) vector gone — quantizer zero-range arm unexercised")
   }
 
+  /** Ninth variant (round 14): long documents — the web-crawl shape. A
+    * ~30 KB / ~6,000-token doc, its exact duplicate, and a one-token
+    * near-duplicate must flow through every text path (tokenize,
+    * shingles, rolling-hash fingerprint, char-gram langid, PII regexes,
+    * chunking, packing) without a quadratic blowup or a silent length
+    * cap. Cross-engine value parity over the same 30 KB strings is the
+    * degen_preflight.sh oracle sweep. Teeth: the fixture must keep its
+    * long-doc shapes.
+    */
+  test("long: queries survive 30KB documents and the long shapes are real") {
+    val d = Files.createTempDirectory("graft-degen-long-").toString
+    DegenTables.writeLong(spark, d)
+    val failures = sweep(d)
+    assert(failures.isEmpty,
+      s"queries crashed on long documents:\n${failures.mkString("\n")}")
+
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val maxChars = docs.agg(max(length(col("text")))).head().getInt(0)
+    assert(maxChars >= 25000, s"fixture lost its long document ($maxChars chars)")
+    val dupLong = docs.filter(length(col("text")) >= 25000)
+      .groupBy("text").count().filter(col("count") > 1).count()
+    assert(dupLong > 0, "fixture lost its exact long-duplicate pair")
+    // the near-dup: same token count as the long doc, differing tokens ≤ 2
+    val texts = docs.filter(length(col("text")) >= 25000)
+      .select("text").distinct().collect().map(_.getString(0))
+    assert(texts.length == 2, s"expected exactly 2 distinct long texts, got ${texts.length}")
+    val Array(a, b) = texts.map(_.split(" "))
+    assert(a.length == b.length && a.zip(b).count { case (x, y) => x != y } <= 2,
+      "near-duplicate drifted: long texts must differ in at most 2 tokens")
+    val propsLen = spark.read.parquet(s"$d/events.parquet")
+      .agg(max(length(col("props")))).head().getInt(0)
+    assert(propsLen >= 800, s"fixture lost its long props JSON ($propsLen chars)")
+  }
+
   test("the extremes loud-throw list has ONE source of truth: tools/degen_extremes_loud.txt") {
     // ADVICE r12: the old tests regex-scraped degen_preflight.sh's case
     // arms, which any inline comment or second command would break. Now
