@@ -659,6 +659,129 @@ object DegenTables {
       .write.parquet(s"$dir/embeddings.parquet")
   }
 
+  /** Tenth set (round 14): CALENDAR BOUNDARIES — the instants where date
+    * arithmetic conventions diverge between engines or break under naive
+    * implementations, planted so every calendar-reading family crosses
+    * one. Orders stay inside 1995-12-31..1996-04-30 (the month-spine
+    * queries iterate min..max months — sub_recursive_cte's recursion is
+    * bounded at 91, so the ORDER span must stay narrow; the wide span
+    * lives in events) and hit: the 1995/1996 New Year pair (Sunday
+    * ISO-week-52 vs Monday week-1 — date_trunc('week'), weekly KPIs, and
+    * the dayofweek mapping all flip here), the 1996-02-29 LEAP DAY with
+    * orders on 02-28/02-29/03-01 for one customer (a RANGE frame over
+    * epoch days must treat them as consecutive; 365-day epoch math breaks
+    * exactly here), and the 31/30-day month ends (monthly resample and
+    * spine reindex must not skip or double a period). Events carry the
+    * epoch seam: a PRE-1970 run (negative epoch, including one instant
+    * that is NOT hour-aligned — Spark's window() bucketing is modular
+    * arithmetic, which truncates toward zero unless floor-corrected;
+    * DuckDB's date_trunc always floors), the exact epoch zero, exact
+    * hour/half-hour window boundaries (half-open membership: an event AT
+    * a window end belongs to the NEXT window on both engines), a
+    * 23:59:59→00:00:00 adjacent-second pair that rolls a session across
+    * the leap-day month boundary, and four session gaps of EXACTLY 1800 s
+    * (the sessionize predicate is gap > 1800: equality stays in-session —
+    * a >= flip surfaces here, on both engines, as a different session
+    * count). All instants are second-aligned on purpose: Spark's `div`
+    * (truncate toward zero) and DuckDB's `//` (floor) only diverge on
+    * NON-divisible negative nanos, which D4's trunc-to-second contract
+    * keeps out of scope — the fixture must not reintroduce them. A crawl
+    * corpus carries corrupt pre-1970 dates and every long-lived dataset
+    * crosses leap days and year ends; none of the driver fixtures reach
+    * any of these instants. No expected failures: calendar edges must
+    * never cost parity.
+    */
+  def writeCalendar(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    Seq((0, "ALL"), (1, "R1"))
+      .toDF("r_regionkey", "r_name").write.parquet(s"$dir/region.parquet")
+    Seq((0, "N0", 0), (1, "N1", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey").write.parquet(s"$dir/nation.parquet")
+    Seq((1L, "s1", 0, 10.0), (2L, "s2", 1, 20.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$dir/supplier.parquet")
+    Seq((1L, "c1", 0, 5.0, "SEG"), (2L, "c2", 0, 7.0, "SEG"),
+      (3L, "c3", 1, 9.0, "OTH"), (4L, "c4", 1, 11.0, "OTH"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, "widget alpha", "Brand#1", "SMALL", 5, 3.5),
+      (2L, "widget beta", "Brand#2", "LARGE", 9, 7.25))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    // c1: the New Year adjacency (Sun 12-31 / Mon 01-01, different ISO
+    // weeks) plus a far 03-01; c2: 01-31 month end, then 02-28/02-29 —
+    // the leap-day adjacency, so c2's rolling-7d RANGE frame at 02-29
+    // must contain exactly {02-28, 02-29}; c3/c4: 31- and 30-day month
+    // ends and interior sanity rows. Prices distinct (the ties set owns
+    // tie shapes).
+    Seq((1L, 1L, "F", 10.0, ts("1995-12-31"), "1-URGENT"),
+      (2L, 1L, "O", 20.0, ts("1996-01-01"), "2-HIGH"),
+      (3L, 2L, "F", 30.0, ts("1996-01-31"), "1-URGENT"),
+      (4L, 2L, "O", 40.0, ts("1996-02-28"), "2-HIGH"),
+      (5L, 2L, "F", 50.0, ts("1996-02-29"), "1-URGENT"),
+      (6L, 1L, "O", 60.0, ts("1996-03-01"), "2-HIGH"),
+      (7L, 3L, "F", 70.0, ts("1996-03-31"), "3-MEDIUM"),
+      (8L, 3L, "O", 80.0, ts("1996-04-30"), "3-MEDIUM"),
+      (9L, 4L, "F", 90.0, ts("1996-02-15"), "4-NOT SPECIFIED"),
+      (10L, 4L, "O", 100.0, ts("1996-04-01"), "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    // shipdates cross the same edges: a leap-day shipment, the New Year
+    // eve, and both month-end flavors; quantities/prices distinct
+    Seq((1L, 1L, 1L, 1, 1.0, 10.0, 0.1, 0.0, "N", "O", ts("1996-01-01")),
+      (2L, 2L, 2L, 1, 2.0, 20.0, 0.0, 0.05, "R", "F", ts("1996-01-31")),
+      (3L, 1L, 1L, 2, 3.0, 30.0, 0.1, 0.0, "N", "O", ts("1996-02-28")),
+      (4L, 2L, 2L, 2, 4.0, 40.0, 0.2, 0.1, "R", "F", ts("1996-02-29")),
+      (5L, 1L, 2L, 3, 5.0, 50.0, 0.0, 0.0, "N", "O", ts("1996-03-01")),
+      (6L, 2L, 1L, 3, 6.0, 60.0, 0.1, 0.05, "R", "F", ts("1996-03-31")),
+      (7L, 3L, 1L, 1, 7.0, 70.0, 0.0, 0.0, "N", "O", ts("1996-04-30")),
+      (8L, 3L, 2L, 2, 8.0, 80.0, 0.1, 0.0, "R", "F", ts("1995-12-31")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    // BIGINT epoch-nanos (loader LongType branch), all second-aligned.
+    // u1 walks the epoch itself: a pre-1970 session whose middle instant
+    // 22:30 is NOT hour-aligned (the window()-modular-arithmetic probe),
+    // 23:59:59 (the last pre-epoch second), 0 (epoch zero), and exact
+    // half-hour/hour window boundaries — with gaps of EXACTLY 1800 s in
+    // four places and one session spanning the epoch. u2 walks the leap
+    // day: 02-28 → 02-29 → the 23:59:59/00:00:00 midnight rollover into
+    // March → 03-02, a 4-day streak across leap day AND month end. u3
+    // straddles the New Year at noon (2-day streak; different ISO weeks).
+    val sec = 1000000000L
+    val y96 = 820454400L // 1996-01-01 00:00:00 UTC (9496 days post-epoch)
+    val feb28 = y96 + 58L * 86400L // 1996-02-28 00:00:00 UTC
+    val types = Seq("click", "view", "purchase")
+    val u1 = Seq(-7200L, -5400L, -3600L, -1L, 0L, 1800L, 3600L)
+    val u2 = Seq(feb28 + 23L * 3600L, // 1996-02-28 23:00:00
+      feb28 + 86400L + 23L * 3600L, // 1996-02-29 23:00:00 (leap day)
+      feb28 + 2L * 86400L - 1L, // 1996-02-29 23:59:59
+      feb28 + 2L * 86400L, // 1996-03-01 00:00:00 (midnight rollover)
+      feb28 + 3L * 86400L) // 1996-03-02 00:00:00
+    val u3 = Seq(y96 - 43200L, y96 + 43200L) // noon on both New Year sides
+    (u1.zipWithIndex.map { case (t, i) => (i.toLong, t * sec, 1L, types(i % 3), 1.0 + i * 0.5, s"""{"k": $i}""") } ++
+      u2.zipWithIndex.map { case (t, i) => ((7 + i).toLong, t * sec, 2L, types(i % 3), 5.0 + i * 0.5, s"""{"k": ${7 + i}}""") } ++
+      u3.zipWithIndex.map { case (t, i) => ((12 + i).toLong, t * sec, 3L, types(i % 3), 8.0 + i * 0.5, s"""{"k": ${12 + i}}""") })
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    // healthy short docs (calendar stresses time, not text): one exact
+    // dup pair so the dedup family still emits, two (lang, source) blocks
+    val dup = "a small calendar test document"
+    Seq((0L, dup, "en", "s0", dup.length.toLong),
+      (1L, dup, "en", "s0", dup.length.toLong),
+      (2L, "another english document here", "en", "s0", 29L),
+      (3L, "petit document de calendrier", "fr", "s1", 28L),
+      (4L, "encore un document court", "fr", "s1", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    ((0 until 8).map(i => (i.toLong, Seq.tabulate(64)(j =>
+      math.sin(i * 64 + j).toFloat), i % 3)))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+  }
+
   /** The extremes set's documented expected failures: every query that
     * feeds a poisoned column (events.value or c_acctbal) into an
     * aggregation-INPUT decimal cast, which by the round-11 posture keeps
@@ -694,7 +817,8 @@ object DegenTables {
     "skew" -> writeSkew,
     "ties" -> writeTies,
     "constant" -> writeConstant,
-    "long" -> writeLong)
+    "long" -> writeLong,
+    "calendar" -> writeCalendar)
 }
 
 /** `sbt "Test/runMain graft.DegenGen <baseDir>"` — materialize all three

@@ -325,6 +325,57 @@ class DegenerateSweepSpec extends SparkSpec {
     assert(propsLen >= 800, s"fixture lost its long props JSON ($propsLen chars)")
   }
 
+  /** Tenth variant (round 14): calendar boundaries. Survival plus teeth:
+    * the fixture must keep the instants the set exists for — the leap-day
+    * order adjacency, the New Year ISO-week flip pair, a pre-1970 event
+    * run including one NON-hour-aligned negative instant (the
+    * window()-modular-arithmetic probe), the exact epoch zero, the
+    * 23:59:59→00:00:00 adjacent-second midnight rollover, and session
+    * gaps of EXACTLY the 1800 s sessionize threshold (gap > 1800 starts a
+    * session; equality must stay inside — a >= flip changes the session
+    * count on this fixture). Cross-engine value parity over the same
+    * instants is the degen_preflight.sh oracle sweep.
+    */
+  test("calendar: queries survive calendar boundaries and the edges are real") {
+    val d = Files.createTempDirectory("graft-degen-calendar-").toString
+    DegenTables.writeCalendar(spark, d)
+    val failures = sweep(d)
+    assert(failures.isEmpty,
+      s"queries crashed on calendar boundaries:\n${failures.mkString("\n")}")
+
+    import org.apache.spark.sql.functions._
+    val orderDates = spark.read.parquet(s"$d/orders.parquet")
+      .select(col("o_custkey"), col("o_orderdate").cast("date").cast("string").as("day"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(orderDates.exists(_._2 == "1996-02-29"),
+      "fixture lost its leap-day order")
+    assert(orderDates.exists(_._2 == "1995-12-31") &&
+      orderDates.exists(_._2 == "1996-01-01"),
+      "fixture lost the New Year ISO-week-flip order pair")
+    val leapCust = orderDates.filter(_._2 == "1996-02-29").map(_._1).toSet
+    assert(leapCust.exists(c => orderDates.contains((c, "1996-02-28"))),
+      "no customer holds the 02-28/02-29 leap-day adjacency — the " +
+        "rolling RANGE frame never crosses the leap boundary")
+
+    // event teeth read through Tables.events (the loader the queries use)
+    val secs = Tables.events(spark, d)
+      .select(col("user_id"), col("ts").cast("long").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(secs.exists(_._2 < 0), "fixture lost its pre-1970 events")
+    assert(secs.exists(_._2 == 0L), "fixture lost the exact epoch-zero event")
+    assert(secs.exists(p => p._2 < 0 && p._2 % 3600 != 0),
+      "fixture lost its non-hour-aligned negative instant — the " +
+        "window() modular-arithmetic probe is gone")
+    val feb28 = 820454400L + 58L * 86400L
+    assert(secs.exists(_._2 == feb28 + 2 * 86400 - 1) &&
+      secs.exists(_._2 == feb28 + 2 * 86400),
+      "fixture lost the 23:59:59/00:00:00 midnight-rollover pair")
+    val exactGaps = secs.groupBy(_._1).values.map(_.map(_._2).sorted).flatMap(ts =>
+      ts.zip(ts.drop(1)).map { case (a, b) => b - a }).count(_ == 1800L)
+    assert(exactGaps >= 4,
+      s"fixture lost its exactly-at-threshold session gaps ($exactGaps < 4)")
+  }
+
   test("the extremes loud-throw list has ONE source of truth: tools/degen_extremes_loud.txt") {
     // ADVICE r12: the old tests regex-scraped degen_preflight.sh's case
     // arms, which any inline comment or second command would break. Now

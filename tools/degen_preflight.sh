@@ -82,7 +82,7 @@ if [ "$gen_rc" -ne 0 ]; then
   exit 1
 fi
 
-for s in tiny empty nulls unicode extremes skew ties constant long; do
+for s in tiny empty nulls unicode extremes skew ties constant long calendar; do
   {
     echo
     echo "== set: $s =="
