@@ -29,14 +29,32 @@ object StreamingHarness {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
-  /** Per-user session windows with a 30-minute gap. */
-  def sessions(events: DataFrame): DataFrame =
+  /** Per-user session windows with a 30-minute gap. `delay` is the
+    * allowed out-of-orderness, like [[purchaseSignupJoin]]'s: sessions
+    * ending more than `delay` behind the stream's max event time are
+    * evicted from state, so a chunked replay over a fixture spanning
+    * more than `delay` must pass a delay spanning it to match the
+    * watermark-free batch twin.
+    *
+    * PRE-1970 LIMIT (round-14 calendar replay, pinned by StreamingSpec):
+    * the streaming runtime's watermark starts at EPOCH ZERO (0 ms) and
+    * never goes negative, and the session-window plan filters input rows
+    * whose session would close at-or-before the watermark — so a session
+    * that CLOSES before 1970-01-01 is structurally unreachable in
+    * streaming mode, with any delay. (Tumbling aggregation in complete
+    * mode has no such input filter and handles pre-1970 windows fine.)
+    * Pre-epoch history — corrupt crawl dates included — is batch
+    * backfill's job; the streaming path owns the live, post-epoch edge.
+    * `session_end` is emitted so callers can state that boundary
+    * exactly.
+    */
+  def sessions(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", delay)
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),
-        col("n_events"))
+        col("w.end").as("session_end"), col("n_events"))
 
   /** Streaming dedup on (user_id, event_type) — keeps the first arrival. */
   def dedup(events: DataFrame): DataFrame =

@@ -49,7 +49,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming session windows equal their batch twin") {
-    val streaming = streamed(StreamingHarness.sessions, "sessions_out")
+    val streaming = streamed(df => StreamingHarness.sessions(df), "sessions_out")
     val batch = StreamingHarness.sessions(batchEvents).collect()
     assert(sortedSeq(streaming) === sortedSeq(batch))
   }
@@ -69,7 +69,7 @@ class StreamingSpec extends SparkSpec {
     val tiesEvents = Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .orderBy("event_id")
-    val streaming = streamed(StreamingHarness.sessions, "ties_sessions_out", tiesEvents)
+    val streaming = streamed(df => StreamingHarness.sessions(df), "ties_sessions_out", tiesEvents)
     val batch = StreamingHarness.sessions(tiesEvents).collect()
     assert(batch.length >= 3, "ties fixture lost its multi-user session shape")
     assert(sortedSeq(streaming) === sortedSeq(batch))
@@ -146,6 +146,71 @@ class StreamingSpec extends SparkSpec {
     assert(streaming.length.toLong === users,
       "dedup must keep exactly one row per (user, the single type)")
     assert(streaming.forall(_.getLong(2) === 1L))
+  }
+
+  test("calendar fixture replays through streaming tumbling windows with batch parity") {
+    // Round-14 companion to the ties/constant replays: the calendar set
+    // is the adversarial input for WINDOW STATE KEYS — its events sit at
+    // pre-1970 instants (negative epoch micros, including one NOT
+    // hour-aligned: the window()-modular-arithmetic probe), the exact
+    // epoch zero, and a 23:59:59/00:00:00 rollover across the 1996
+    // leap-day month end. The streaming runtime keys its state store on
+    // the window struct, so negative window starts must hash, merge
+    // across micro-batches, and emit identically to the batch plan.
+    // events.ts is BIGINT epoch-nanos, riding the loader's LongType
+    // branch at negative values.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cal_tumb").toString
+    DegenTables.writeCalendar(spark, dir)
+    val calEvents = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+    val streaming = streamed(StreamingHarness.tumbling, "cal_tumbling_out", calEvents)
+    val batch = StreamingHarness.tumbling(calEvents).collect()
+    assert(batch.exists(_.getAs[Timestamp]("window_start").getTime < 0L),
+      "calendar fixture lost its pre-1970 window — negative state keys unexercised")
+    assert(sortedSeq(streaming) === sortedSeq(batch))
+  }
+
+  test("calendar fixture replays through streaming session windows with batch parity") {
+    // Session-window companion: the calendar set's u1 run carries gaps of
+    // EXACTLY the 30-minute session gap at negative event times — the
+    // merge-boundary case (windows [t, t+gap) that touch without
+    // overlapping) — plus a session crossing the epoch itself and the
+    // adjacent-second midnight rollover into March 1996. The stateful
+    // cross-batch merge must resolve every touch/overlap decision the
+    // same way the batch plan does, at instants a naive modular or
+    // truncating implementation mishandles.
+    //
+    // FOUND ON FIRST RUN, now pinned as the documented divergence: the
+    // streaming runtime's watermark starts at EPOCH ZERO and never goes
+    // negative, and the session-window plan filters input rows whose
+    // session would close at-or-before the watermark — so u1's
+    // [22:00, 23:30) session, which CLOSES pre-epoch, is structurally
+    // absent from streaming output under ANY delay (verified: identical
+    // loss at 10 minutes and at 12000 days), while the watermark-free
+    // batch twin keeps it. A session merely STARTING pre-epoch but
+    // closing after (u1's 23:59:59 → 01:30 run) survives, so negative
+    // session state keys are still exercised. The spanning delay below
+    // removes the one OTHER dropper (chunked-replay eviction), making
+    // the epoch floor the single expected difference.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cal_sess").toString
+    DegenTables.writeCalendar(spark, dir)
+    val calEvents = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+    val streaming = streamed(df => StreamingHarness.sessions(df, "12000 days"),
+      "cal_sessions_out", calEvents)
+    val batch = StreamingHarness.sessions(calEvents, "12000 days").collect()
+    val (preEpochClosed, streamReachable) = batch.partition(
+      _.getAs[Timestamp]("session_end").getTime <= 0L)
+    assert(preEpochClosed.nonEmpty,
+      "calendar fixture lost its pre-epoch-closing session — the " +
+        "watermark-floor divergence is unexercised")
+    assert(streamReachable.exists(_.getAs[Timestamp]("session_start").getTime < 0L),
+      "calendar fixture lost its epoch-crossing session — negative " +
+        "session state keys unexercised")
+    assert(sortedSeq(streaming) === sortedSeq(streamReachable),
+      "streaming must equal batch minus exactly the pre-epoch-closing sessions")
   }
 
   test("update output mode re-emits only changed aggregate keys per micro-batch") {
