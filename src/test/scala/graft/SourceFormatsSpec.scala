@@ -90,6 +90,15 @@ class SourceFormatsSpec extends SparkSpec {
     val d = Files.createTempDirectory("graft_fix_constant").toString
     DegenTables.writeConstant(spark, d); d
   }
+  // Round 14, calendar: timestamps leave parquet's binary encoding and
+  // become STRINGS here — the leap-day 1996-02-29 order/shipment must
+  // re-parse (a non-leap-aware parser rejects it or rolls it to 03-01),
+  // and the events column's negative epoch-nanos BIGINTs must survive
+  // text rendering sign-exact.
+  private lazy val calendarDir: String = {
+    val d = Files.createTempDirectory("graft_fix_calendar").toString
+    DegenTables.writeCalendar(spark, d); d
+  }
 
   private val fixtureTables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -106,18 +115,19 @@ class SourceFormatsSpec extends SparkSpec {
       s"$fmt round-trip mismatch for $table")
   }
 
-  test("ties + extremes + unicode + constant sets round-trip JSON lines for every table") {
-    for (d <- Seq(tiesDir, extremesDir, unicodeDir, constantDir); t <- fixtureTables)
+  test("ties + extremes + unicode + constant + calendar sets round-trip JSON lines for every table") {
+    for (d <- Seq(tiesDir, extremesDir, unicodeDir, constantDir, calendarDir);
+         t <- fixtureTables)
       roundTripTable(d, t, "json")
   }
 
-  test("ties + extremes + unicode + constant sets round-trip CSV for every scalar-typed table") {
+  test("ties + extremes + unicode + constant + calendar sets round-trip CSV for every scalar-typed table") {
     // embeddings is excluded BY FORMAT, not by choice: CSV has no array
     // type (Spark refuses to write ArrayType) — the JSON test above
     // covers it. Everything CSV can represent must survive, including
     // the ties events' embedded-JSON props strings (quote-escaping) and
     // the extremes ±1e30 doubles (scientific-notation rendering).
-    for (d <- Seq(tiesDir, extremesDir, unicodeDir, constantDir);
+    for (d <- Seq(tiesDir, extremesDir, unicodeDir, constantDir, calendarDir);
          t <- fixtureTables if t != "embeddings")
       roundTripTable(d, t, "csv")
   }
