@@ -33,15 +33,31 @@ class AsofFuzzSpec extends SparkSpec {
   /** (event_id, ts nanos, user_id, event_type) */
   private type Ev = (Long, Long, Long, String)
 
-  private def sec(e: Ev): Long = e._2 / 1000000000L
+  /** The reference second is the ENGINE's composite, written out: the
+    * loader truncates nanos→µs with `div 1000` (toward zero — Spark
+    * IntegralDivide), then date_trunc('second') FLOORS µs→s. For
+    * positive instants this equals plain ns/1e9; for pre-1970 instants
+    * the two stages genuinely differ from a single floor-or-truncate by
+    * 1e9 (a ns in (-(k)s − 1µs, −(k)s) truncates UP onto the −k second),
+    * so the ref must mirror the composite, not idealize it.
+    */
+  private def sec(e: Ev): Long = Math.floorDiv(e._2 / 1000L, 1000000L)
 
-  /** Deterministic adversarial corpus. Epoch base 2024-01-01 00:00:00 UTC
-    * is an exact multiple of 86400, so "day boundary" below means "bucket
-    * boundary" in the queries' floor(sec/86400) bucketing.
+  /** Deterministic adversarial corpus. Both epoch bases are exact
+    * multiples of 86400, so "day boundary" below means "bucket boundary"
+    * in the queries' floor(sec/86400) bucketing: 2024-01-01 00:00:00 UTC
+    * for two thirds of the corpus, and 1968-01-01 00:00:00 UTC
+    * (−731 days) for the other third — the pre-1970 era where truncating
+    * division buckets a negative second into the WRONG day (round-14
+    * calendar-set seam, here fuzzed at volume: floor(sec/86400) must
+    * carry −1s-before-a-negative-boundary into the EARLIER bucket, and
+    * the cross-era lookback means a 2024 purchase with no modern signup
+    * must still find its 1968 one).
     */
   private def genEvents(seed: Long): Seq[Ev] = {
     val rnd = new scala.util.Random(seed)
-    val base = 1704067200L
+    val base = 1704067200L     // 2024-01-01 00:00:00 UTC
+    val preBase = -63158400L   // 1968-01-01 00:00:00 UTC = -731 * 86400
     (0 until 600).map { i =>
       val user: Long = if (i % 5 == 0) 5L else rnd.nextInt(5).toLong
       val kind = user match {
@@ -55,7 +71,10 @@ class AsofFuzzSpec extends SparkSpec {
                             (if (rnd.nextBoolean()) 1L else -1L)     // ±1 s around one
         case _         => rnd.nextInt(60) * 4507L                    // 60-second pool ⇒ many ties
       }
-      val ns = (base + off) * 1000000000L + rnd.nextInt(1000000000)
+      // era picked by index, not rnd: the draw sequence stays identical,
+      // a third of the same structural cases simply relocate to pre-1970
+      val b = if (i % 3 == 2) preBase else base
+      val ns = (b + off) * 1000000000L + rnd.nextInt(1000000000)
       (i.toLong, ns, user, kind)
     }
   }
@@ -132,10 +151,26 @@ class AsofFuzzSpec extends SparkSpec {
       val psTies = byUserSec.values.count(g =>
         g.exists(_._4 == "purchase") && g.exists(_._4 == "signup"))
       assert(psTies >= 5, s"only $psTies same-user same-second purchase/signup ties")
-      val onBoundary = events.count(e => sec(e) % 86400L == 0L)
+      // floorMod, not %: Scala's remainder carries the dividend's sign, so
+      // a pre-1970 boundary event (sec < 0, exact multiple) still lands on
+      // 0 but boundary±1s events land on ±86399 — floorMod counts both
+      // eras uniformly.
+      val onBoundary = events.count(e => Math.floorMod(sec(e), 86400L) == 0L)
       assert(onBoundary >= 50, s"only $onBoundary events on an epoch-day bucket boundary")
-      val adjacent = events.count(e => (sec(e) + 1) % 86400L == 0L || sec(e) % 86400L == 1L)
+      val adjacent = events.count(e => Math.floorMod(sec(e) + 1, 86400L) == 0L ||
+        Math.floorMod(sec(e), 86400L) == 1L)
       assert(adjacent >= 20, s"only $adjacent events within 1 s of a boundary")
+      // round 14: the pre-1970 era must stay populated, with boundary
+      // events and at least one same-second purchase/signup tie of its
+      // own — an innocent generator edit must not silently re-merge the
+      // corpus into the modern era.
+      val preEra = events.filter(e => sec(e) < 0L)
+      assert(preEra.size >= 150, s"pre-1970 era shrank to ${preEra.size} events")
+      assert(preEra.count(e => Math.floorMod(sec(e), 86400L) == 0L) >= 10,
+        "no pre-1970 bucket-boundary events left")
+      val preTies = preEra.groupBy(e => (e._3, sec(e))).values.count(g =>
+        g.exists(_._4 == "purchase") && g.exists(_._4 == "signup"))
+      assert(preTies >= 1, "no same-second purchase/signup tie in the pre-1970 era")
       val hot = events.count(_._3 == 5L)
       assert(hot >= 100, s"hot user has only $hot events")
       assert(events.exists(_._4 == "click"), "no noise rows to filter out")
