@@ -3,11 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types._
 
-/** The three adversarial table sets used by DegenerateSweepSpec, factored
-  * out so the round-9 oracle parity sweep (tools/degen_preflight.sh) can
-  * materialize the SAME fixtures on disk and run the full DuckDB compare
-  * over them — converting round 8's "no input shaped like this kills the
-  * job" into "and the guarded NULL paths AGREE with the oracle".
+/** The adversarial table sets used by DegenerateSweepSpec (one writer
+  * per set below; `sets` is the registry), factored out so the round-9
+  * oracle parity sweep (tools/degen_preflight.sh) can materialize the
+  * SAME fixtures on disk and run the full DuckDB compare over them —
+  * converting round 8's "no input shaped like this kills the job" into
+  * "and the guarded NULL paths AGREE with the oracle". The founding
+  * three:
   *
   *  - "tiny": schema-complete single-row / zero-value / empty-text /
   *    zero-vector / short-vector rows — single-row groups, zero sums,
@@ -16,6 +18,9 @@ import org.apache.spark.sql.types._
   *  - "nulls": one row per table with NULL in every non-key column plus
   *    one healthy row, so NULL flows through split/explode/percentile/
   *    window paths while joins still resolve.
+  *
+  * Later rounds added unicode, extremes, skew, ties, constant, long,
+  * and calendar — each documented at its writer.
   */
 object DegenTables {
 
@@ -821,10 +826,10 @@ object DegenTables {
     "calendar" -> writeCalendar)
 }
 
-/** `sbt "Test/runMain graft.DegenGen <baseDir>"` — materialize all three
-  * adversarial sets under `<baseDir>/{tiny,empty,nulls}` for the oracle
-  * parity sweep (tools/degen_preflight.sh drives Verify + preflight.py
-  * over each).
+/** `sbt "Test/runMain graft.DegenGen <baseDir>"` — materialize every
+  * adversarial set in [[DegenTables.sets]] under `<baseDir>/<name>` for
+  * the oracle parity sweep (tools/degen_preflight.sh drives Verify +
+  * preflight.py over each).
   */
 object DegenGen {
   def main(args: Array[String]): Unit = {

@@ -3,8 +3,8 @@ package graft
 import java.nio.file.Files
 
 /** Whole-surface degenerate sweep (round-8 hardening): run EVERY
-  * registered query against the three adversarial table sets in
-  * [[DegenTables]] (tiny / empty / NULL-laden) and assert none throws.
+  * registered query against every adversarial table set in
+  * [[DegenTables]] (one test per set below) and assert none throws.
   * This is the shotgun that would have caught all four of round 8's
   * crash classes (ANSI divide-by-zero in ten closed forms, the
   * quantizer's zero dynamic range, out-of-bounds element_at on short

@@ -2,8 +2,8 @@
 # Degenerate-fixture ORACLE parity sweep (VERDICT r08 item 1; hardened
 # round 10 per ADVICE r09).
 #
-# DegenerateSweepSpec proves every query SURVIVES the three adversarial
-# table sets (tiny / empty / NULL-laden); this script proves the survivors
+# DegenerateSweepSpec proves every query SURVIVES the adversarial table
+# sets in DegenTables.sets; this script proves the survivors
 # AGREE with the DuckDB oracle there — the guard paths (try_element_at,
 # nullif-div, zero-range quantizer, ...) actually fire on these inputs,
 # so this is the first time the cross-engine compare executes them.
