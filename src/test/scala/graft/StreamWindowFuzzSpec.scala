@@ -19,7 +19,11 @@ import scala.math.BigDecimal.RoundingMode
   *     with sub-second parts of exactly 0 and .999999999;
   *   - same-user consecutive gaps of exactly 1800 s (the session
   *     merge-vs-split boundary);
-  *   - cent-exact `value`s so the money-sum compare is bit-exact.
+  *   - cent-exact `value`s so the money-sum compare is bit-exact;
+  *   - (round 14) a PRE-1970 era: a third of each corpus on a 1968 base,
+  *     so every boundary/gap case also runs at negative epoch seconds,
+  *     with the references computing the engine's exact
+  *     truncate-ns→µs-then-floor-µs→s composite (see [[secOf]]).
   *
   * Covered: stream_tumbling, stream_sliding, stream_session,
   * stream_interval_join, stream_watermark_filter. (stream_dedup shares
@@ -31,12 +35,29 @@ class StreamWindowFuzzSpec extends SparkSpec {
   /** (event_id, ts nanos, user_id, event_type, value) */
   private type Ev = (Long, Long, Long, String, Double)
 
+  /** ns→µs the way the loader does it: `div 1000` truncates toward zero
+    * (Spark IntegralDivide) — on a pre-1970 ns within 999 ns above a µs
+    * boundary this lands one µs HIGHER than a floor would, which is the
+    * engine's actual value and therefore the reference's.
+    */
   private def usOf(e: Ev): Long = e._2 / 1000L
-  private def secOf(e: Ev): Long = e._2 / 1000000000L
+
+  /** The engine composite (round-14, like AsofFuzzSpec): truncate ns→µs,
+    * then date_trunc FLOORS µs→s. Differs from a single ns/1e9 only on
+    * pre-1970 sub-second instants — e.g. 1 ns before a negative second
+    * boundary truncates UP onto the boundary µs and so lands in the
+    * LATER second; the reference must reproduce that, not idealize it.
+    */
+  private def secOf(e: Ev): Long = Math.floorDiv(usOf(e), 1000000L)
 
   private def genEvents(seed: Long): Seq[Ev] = {
     val rnd = new scala.util.Random(seed)
     val base = 1704067200L // 2024-01-01 UTC — a multiple of 86400 (and 1800)
+    // 1968-01-01 UTC = -731 days: also a multiple of 86400 and 1800, so
+    // the quarter-hour grid and boundary offsets mean the same thing in
+    // the pre-1970 era (round 14: window/session/interval bucketing must
+    // hold where naive modular or truncating arithmetic breaks).
+    val preBase = -63158400L
     (0 until 600).map { i =>
       val user = rnd.nextInt(6).toLong
       val kind = Seq("purchase", "signup", "click", "view", "error")(rnd.nextInt(5))
@@ -52,7 +73,10 @@ class StreamWindowFuzzSpec extends SparkSpec {
         case _ => rnd.nextInt(1000000000).toLong
       }
       val value = rnd.nextInt(100000) / 100.0 // cent-exact money
-      (i.toLong, (base + off) * 1000000000L + nanos, user, kind, value)
+      // era by index (rnd stream untouched): a third of every structural
+      // case relocates to pre-1970
+      val b = if (i % 3 == 2) preBase else base
+      (i.toLong, (b + off) * 1000000000L + nanos, user, kind, value)
     } ++ Seq(
       // Planted AFTER the random block (ids 600+, rnd stream untouched):
       // one signup exactly 7200 s before a purchase (the interval join's
@@ -122,21 +146,39 @@ class StreamWindowFuzzSpec extends SparkSpec {
 
     test(s"stream-window fuzz corpus hits the seams (seed $seed)") {
       val events = genEvents(seed)
-      val onBoundary = events.count(e => usOf(e) % 1800000000L == 0L)
+      // floorMod, not %: remainder carries the dividend's sign, so
+      // pre-1970 boundary-adjacent events would land on ±1799 under %
+      // and the counts would silently exclude the negative era.
+      val onBoundary = events.count(e => Math.floorMod(usOf(e), 1800000000L) == 0L)
       assert(onBoundary >= 5, s"only $onBoundary events exactly on a 30-min boundary (µs-exact)")
-      val nearBoundary = events.count(e => secOf(e) % 1800L == 1L || secOf(e) % 1800L == 1799L)
+      val nearBoundary = events.count(e => Math.floorMod(secOf(e), 1800L) == 1L ||
+        Math.floorMod(secOf(e), 1800L) == 1799L)
       assert(nearBoundary >= 10, s"only $nearBoundary events within 1 s of a boundary")
       val gap1800 = events.groupBy(_._3).values.map { g =>
         val s = g.map(secOf).distinct.sorted
         s.zip(s.drop(1)).count { case (a, b) => b - a == 1800L }
       }.sum
       assert(gap1800 >= 3, s"only $gap1800 same-user consecutive gaps of exactly 1800 s")
+      // round 14: the pre-1970 era must stay populated and adversarial in
+      // its own right — boundary events and exact-1800 gaps at negative
+      // epoch seconds, where truncating window math breaks first.
+      val preEra = events.filter(e => secOf(e) < 0L)
+      assert(preEra.size >= 150, s"pre-1970 era shrank to ${preEra.size} events")
+      assert(preEra.count(e => Math.floorMod(usOf(e), 1800000000L) == 0L) >= 2,
+        "no µs-exact 30-min boundary events left in the pre-1970 era")
+      val preGap1800 = preEra.groupBy(_._3).values.map { g =>
+        val s = g.map(secOf).distinct.sorted
+        s.zip(s.drop(1)).count { case (a, b) => b - a == 1800L }
+      }.sum
+      assert(preGap1800 >= 1,
+        "no exact-1800 s same-user gap left in the pre-1970 era")
     }
 
     test(s"stream_tumbling matches brute force (seed $seed)") {
       val events = genEvents(seed)
       val dir = writeFixture(events)
-      val expected = events.groupBy(e => (usOf(e) / 3600000000L * 3600L, e._4)).toSeq
+      val expected = events.groupBy(e =>
+        (Math.floorDiv(usOf(e), 3600000000L) * 3600L, e._4)).toSeq
         .map { case ((w, t), g) => (w, t, g.size.toLong, money2(g.map(_._5))) }
         .sortBy(x => (x._1, x._2))
       val got = Registry.queries("stream_tumbling")(spark, dir).collect().map { r =>
@@ -149,7 +191,7 @@ class StreamWindowFuzzSpec extends SparkSpec {
       val events = genEvents(seed)
       val dir = writeFixture(events)
       val expected = events.flatMap { e =>
-        val w = usOf(e) / 1800000000L * 1800L
+        val w = Math.floorDiv(usOf(e), 1800000000L) * 1800L
         Seq(w - 1800L, w) // every event lands in exactly two sliding windows
       }.groupBy(identity).toSeq.map { case (w, g) => (w, g.size.toLong) }.sortBy(_._1)
       val got = Registry.queries("stream_sliding")(spark, dir).collect().map { r =>
