@@ -62,4 +62,60 @@ class IncrementalPipelineSpec extends SparkSpec {
     assert(r4.deltaRows === 1)
     assert(tableRows().contains(("AAA", 20240103L, 24.0)))
   }
+
+  /** Round 14 (calendar-era companion): the watermark domain includes
+    * NEGATIVE values — an epoch-day watermark is negative for any
+    * pre-1970 date, and an id-typed one can be signed. The first-run
+    * "no prior state" case is `None`, not 0 (maxWatermark returns
+    * Option; run() `fold`s it): a `coalesce(max, 0)` shortcut would make
+    * the first load of an all-negative source skip EVERY row — full
+    * history silently never ingested, the worst failure mode a scheduled
+    * pipeline has. This pins that the full load, the no-op re-run, and a
+    * delta that crosses zero all work on a signed domain.
+    */
+  test("negative watermark domain: first load is full, delta crosses zero") {
+    import spark.implicits._
+    val url2 = "jdbc:derby:memory:graftpipeneg;create=true"
+    val src2 = Files.createTempDirectory("graft_incr_neg").toString
+    graft.sources.JdbcUpsert.ensureTable(url2,
+      """CREATE TABLE bars (
+        |  code VARCHAR(16) NOT NULL,
+        |  epoch_day BIGINT NOT NULL,
+        |  close_px DOUBLE,
+        |  PRIMARY KEY (code, epoch_day))""".stripMargin)
+
+    def runOnce() = IncrementalPipeline.run(spark, src2, url2, "bars",
+      keys = Seq("code", "epoch_day"), watermarkCol = "epoch_day",
+      stagingColumnTypes = Some("code VARCHAR(16)"))
+    def tableRows() = spark.read.format("jdbc").option("url", url2)
+      .option("dbtable", "bars").load().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+
+    // day 1: ALL-negative history (1968-era epoch days). A zero-defaulted
+    // watermark would filter epoch_day > 0 and load nothing.
+    Seq(("AAA", -731L, 10.0), ("AAA", -730L, 11.0), ("BBB", -731L, 20.0))
+      .toDF("code", "epoch_day", "close_px")
+      .write.mode("overwrite").parquet(src2)
+    val r1 = runOnce()
+    assert(r1.watermark === None && r1.deltaRows === 3,
+      s"first load of an all-negative domain must be FULL, got $r1")
+    assert(tableRows().length === 3)
+
+    // re-run: the stored high-water mark is NEGATIVE (-730) and must be
+    // used as-is — a no-op, not a re-load
+    val r2 = runOnce()
+    assert(r2.watermark === Some(-730L) && r2.deltaRows === 0)
+
+    // delta crossing zero: one pre-epoch row newer than the mark, one
+    // post-epoch row; both load, older rows don't
+    Seq(("AAA", -731L, 10.0), ("AAA", -730L, 11.0), ("BBB", -731L, 20.0),
+        ("BBB", -1L, 21.0), ("AAA", 5L, 12.0))
+      .toDF("code", "epoch_day", "close_px")
+      .write.mode("overwrite").parquet(src2)
+    val r3 = runOnce()
+    assert(r3.watermark === Some(-730L) && r3.deltaRows === 2)
+    assert(tableRows().toSeq === Seq(
+      ("AAA", -731L, 10.0), ("AAA", -730L, 11.0), ("AAA", 5L, 12.0),
+      ("BBB", -731L, 20.0), ("BBB", -1L, 21.0)))
+  }
 }
