@@ -787,6 +787,89 @@ object DegenTables {
       .write.parquet(s"$dir/embeddings.parquet")
   }
 
+  /** Eleventh set (round 14): CONTROL CHARACTERS AND EXOTIC WHITESPACE —
+    * the crawl artifacts ASCII-space fixtures never carry. Documents
+    * embed LF, CRLF, and TAB inside text (the house tokenizer splits on
+    * the literal space character on BOTH engines, so a token containing
+    * a line break must stay ONE token and hash/dedup/fingerprint
+    * identically), plus the invisible separators that make two visually
+    * identical strings different bytes: NBSP (U+00A0), zero-width space
+    * (U+200B) inside a token, and a BOM (U+FEFF) prefixing a document —
+    * each of which must flow through langid, quality, chunking, and the
+    * dedup family without being silently normalized away on one engine
+    * only. events.props carries escaped \n and \t INSIDE a JSON string
+    * value (string-escape parsing, not raw bytes). One part name ends in
+    * a LINE FEED — the canonical Java-vs-RE2 anchor seam: Java's `$`
+    * (Spark) matches before a final line terminator, RE2's (DuckDB)
+    * matches only at end-of-text — probed empirically before this set
+    * was written ('control widget\n' rlike 'widget$': Spark true, DuckDB
+    * false), so `fn_regexp` is this set's ONE documented expected
+    * divergence (declared in tools/degen_preflight.sh expected_for, and
+    * at the fn_regexp QueryDef). Everything else must agree.
+    */
+  def writeControl(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    Seq((0, "ALL"), (1, "R1"))
+      .toDF("r_regionkey", "r_name").write.parquet(s"$dir/region.parquet")
+    Seq((0, "N0", 0), (1, "N1", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey").write.parquet(s"$dir/nation.parquet")
+    Seq((1L, "s1", 0, 10.0), (2L, "s2", 1, 20.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$dir/supplier.parquet")
+    Seq((1L, "c1", 0, 5.0, "SEG"), (2L, "c2", 1, 7.0, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    // part 2's name ends in LF: the $-anchor seam (is_widget: Spark true,
+    // DuckDB false). ASCII + LF only, so fn_levenshtein's byte-vs-
+    // codepoint seam stays out of scope (LF is one byte).
+    Seq((1L, "small widget", "Brand#1", "SMALL", 5, 3.5),
+      (2L, "control widget\n", "Brand#2", "LARGE", 9, 7.25))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    Seq((1L, 1L, "F", 10.0, ts("1996-03-01"), "1-URGENT"),
+      (2L, 2L, "O", 4.5, ts("1996-04-01"), "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L, 1L, 1, 2.0, 10.0, 0.1, 0.0, "N", "O", ts("1996-03-02")),
+      (2L, 2L, 2L, 1, 1.0, 4.5, 0.0, 0.05, "R", "F", ts("1996-04-02")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    // escaped \n and \t INSIDE a JSON string value — the JSON-path family
+    // must unescape them identically; plus a healthy numeric-props row
+    val t0 = 1704067200L * 1000000000L
+    val hour = 3600L * 1000000000L
+    Seq((0L, t0, 1L, "click", 1.0, """{"k": 1, "s": "a\nb\tc"}"""),
+      (1L, t0 + hour, 1L, "view", 2.0, """{"k": 2}"""),
+      (2L, t0 + 2 * hour, 2L, "purchase", 3.0, """{"k": 3}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    // n_chars carries CODE-POINT counts (house rule, unicode set):
+    // NBSP/ZWSP/BOM are one code point each, multibyte in UTF-8.
+    val lf = "line one\nline two\nline one again"
+    val tab = "tab\tseparated\tdata plus more plain words"
+    val crlf = "crlf ends\r\nnext line begins here"
+    val nbsp = "nbsp\u00A0joined words stay one token"
+    val zwsp = "zero\u200Bwidth space inside a token"
+    val bom = "\uFEFFbom prefixed document first token"
+    val fr = "petit document de contrôle ici"
+    val docs = Seq(
+      (0L, lf, "en", "s0"), (1L, lf, "en", "s0"), // exact dup across \n
+      (2L, tab, "en", "s0"), (3L, crlf, "en", "s0"),
+      (4L, nbsp, "en", "s1"), (5L, zwsp, "en", "s1"), (6L, bom, "en", "s1"),
+      (7L, fr, "fr", "s1"), (8L, fr, "fr", "s1")) // fr dup pair
+    docs.map { case (id, t, l, src) => (id, t, l, src,
+      t.codePointCount(0, t.length).toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    ((0 until 8).map(i => (i.toLong, Seq.tabulate(64)(j =>
+      math.sin(i * 64 + j).toFloat), i % 3)))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+  }
+
   /** The extremes set's documented expected failures: every query that
     * feeds a poisoned column (events.value or c_acctbal) into an
     * aggregation-INPUT decimal cast, which by the round-11 posture keeps
@@ -823,7 +906,8 @@ object DegenTables {
     "ties" -> writeTies,
     "constant" -> writeConstant,
     "long" -> writeLong,
-    "calendar" -> writeCalendar)
+    "calendar" -> writeCalendar,
+    "control" -> writeControl)
 }
 
 /** `sbt "Test/runMain graft.DegenGen <baseDir>"` — materialize every

@@ -376,6 +376,45 @@ class DegenerateSweepSpec extends SparkSpec {
       s"fixture lost its exactly-at-threshold session gaps ($exactGaps < 4)")
   }
 
+  /** Eleventh variant (round 14): control characters and exotic
+    * whitespace. Survival plus teeth: the fixture must keep embedded LF
+    * and CRLF and TAB inside document text (with an exact duplicate
+    * across the line breaks, so dedup hashes control bytes), the NBSP /
+    * zero-width-space / BOM invisibles, the escaped \n inside a JSON
+    * string value, and the trailing-LF part name — the Java-vs-RE2
+    * `$`-anchor seam that makes fn_regexp this set's one declared
+    * divergence in the oracle sweep (tools/degen_preflight.sh).
+    */
+  test("control: queries survive control characters and the invisibles are real") {
+    val d = Files.createTempDirectory("graft-degen-control-").toString
+    DegenTables.writeControl(spark, d)
+    val failures = sweep(d)
+    assert(failures.isEmpty,
+      s"queries crashed on control characters:\n${failures.mkString("\n")}")
+
+    import org.apache.spark.sql.functions._
+    val texts = spark.read.parquet(s"$d/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    assert(texts.exists(t => t.contains('\n') && !t.contains('\r')),
+      "fixture lost its bare-LF document")
+    assert(texts.exists(_.contains("\r\n")), "fixture lost its CRLF document")
+    assert(texts.exists(_.contains('\t')), "fixture lost its TAB document")
+    assert(texts.exists(_.contains('\u00A0')), "fixture lost its NBSP token")
+    assert(texts.exists(_.contains('\u200B')),
+      "fixture lost its zero-width-space token")
+    assert(texts.exists(_.startsWith("\uFEFF")), "fixture lost its BOM prefix")
+    assert(texts.filter(_.contains('\n')).groupBy(identity).exists(_._2.length > 1),
+      "fixture lost the exact duplicate across line breaks")
+    val names = spark.read.parquet(s"$d/part.parquet")
+      .select("p_name").collect().map(_.getString(0))
+    assert(names.exists(_.endsWith("widget\n")),
+      "fixture lost the trailing-LF part name — the $-anchor seam is gone")
+    val props = spark.read.parquet(s"$d/events.parquet")
+      .select("props").collect().map(_.getString(0))
+    assert(props.exists(p => p.contains("\\n") && p.contains("\\t")),
+      "fixture lost the escaped-\\n JSON string value")
+  }
+
   test("the extremes loud-throw list has ONE source of truth: tools/degen_extremes_loud.txt") {
     // ADVICE r12: the old tests regex-scraped degen_preflight.sh's case
     // arms, which any inline comment or second command would break. Now

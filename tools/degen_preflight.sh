@@ -66,6 +66,11 @@ expected_for() {
     # decimal representation, C printf via the exact binary expansion —
     # engine-defined, documented at the fn_format QueryDef.
     extremes) expected_loud_for extremes; printf '%s\n' fn_format ;;
+    # Java's `$` (Spark) matches before a FINAL LINE TERMINATOR, RE2's
+    # (DuckDB) only at end-of-text — the control set's trailing-LF part
+    # name flips is_widget between engines (probed empirically, round 14;
+    # documented at the fn_regexp QueryDef). Engine-defined.
+    control) printf '%s\n' fn_regexp ;;
   esac
 }
 
@@ -82,7 +87,7 @@ if [ "$gen_rc" -ne 0 ]; then
   exit 1
 fi
 
-for s in tiny empty nulls unicode extremes skew ties constant long calendar; do
+for s in tiny empty nulls unicode extremes skew ties constant long calendar control; do
   {
     echo
     echo "== set: $s =="
