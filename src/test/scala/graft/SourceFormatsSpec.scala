@@ -99,6 +99,16 @@ class SourceFormatsSpec extends SparkSpec {
     val d = Files.createTempDirectory("graft_fix_calendar").toString
     DegenTables.writeCalendar(spark, d); d
   }
+  // Round 14, control: embedded LF/CRLF inside document text is the ONE
+  // fixture shape that makes a CSV record span physical lines — the
+  // writer quotes it, but reading it back REQUIRES multiLine=true (the
+  // default line-splitting reader shreds the quoted record). The
+  // invisibles (NBSP/ZWSP/BOM) and the trailing-LF part name must also
+  // survive both text formats byte-exact.
+  private lazy val controlDir: String = {
+    val d = Files.createTempDirectory("graft_fix_control").toString
+    DegenTables.writeControl(spark, d); d
+  }
 
   private val fixtureTables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -108,27 +118,50 @@ class SourceFormatsSpec extends SparkSpec {
     val key = orig.columns.map(col).toIndexedSeq
     val want = orig.orderBy(key: _*).collect().map(_.toSeq).toSeq
     val out = Files.createTempDirectory(s"graft_rt_$fmt").toString
-    orig.write.format(fmt).option("header", "true").mode("overwrite").save(out)
-    val back = spark.read.format(fmt)
-      .option("header", "true").schema(orig.schema).load(out)
+    // ignoreLeading/TrailingWhiteSpace, CSV WRITE side: Spark's CSV
+    // writer TRIMS leading/trailing whitespace from values by default
+    // (both options default true on write) — the control set's
+    // trailing-LF part name came back shortened, found by this
+    // round-trip on first contact. Byte-exact re-ingest needs both
+    // false at write time; mid-field line breaks were never trimmed.
+    val writer = orig.write.format(fmt).option("header", "true")
+    (if (fmt == "csv")
+       writer.option("ignoreLeadingWhiteSpace", "false")
+         .option("ignoreTrailingWhiteSpace", "false")
+     else writer).mode("overwrite").save(out)
+    // multiLine, CSV ONLY: the control set embeds LF/CRLF inside
+    // document text — the writer quotes the field, but the DEFAULT
+    // reader splits records on physical lines first and shreds the
+    // quoted record (found by this round-trip failing on first contact
+    // with that set). multiLine parses quoted line breaks correctly at
+    // the cost of per-file (not per-line) split parallelism — the right
+    // trade for re-ingesting text CSV; large-scale pipelines should
+    // prefer parquet/JSON-lines for multi-line text anyway. JSON must
+    // NOT set it: there multiLine means "one whole-file JSON document"
+    // and breaks JSON-lines reading; the JSON writer escapes \n inside
+    // strings, so JSON-lines needs nothing.
+    val reader = spark.read.format(fmt).option("header", "true")
+      .schema(orig.schema)
+    val back = (if (fmt == "csv") reader.option("multiLine", "true") else reader)
+      .load(out)
     assert(back.orderBy(key: _*).collect().map(_.toSeq).toSeq === want,
       s"$fmt round-trip mismatch for $table")
   }
 
-  test("ties + extremes + unicode + constant + calendar sets round-trip JSON lines for every table") {
-    for (d <- Seq(tiesDir, extremesDir, unicodeDir, constantDir, calendarDir);
-         t <- fixtureTables)
+  test("ties + extremes + unicode + constant + calendar + control sets round-trip JSON lines for every table") {
+    for (d <- Seq(tiesDir, extremesDir, unicodeDir, constantDir, calendarDir,
+         controlDir); t <- fixtureTables)
       roundTripTable(d, t, "json")
   }
 
-  test("ties + extremes + unicode + constant + calendar sets round-trip CSV for every scalar-typed table") {
+  test("ties + extremes + unicode + constant + calendar + control sets round-trip CSV for every scalar-typed table") {
     // embeddings is excluded BY FORMAT, not by choice: CSV has no array
     // type (Spark refuses to write ArrayType) — the JSON test above
     // covers it. Everything CSV can represent must survive, including
     // the ties events' embedded-JSON props strings (quote-escaping) and
     // the extremes ±1e30 doubles (scientific-notation rendering).
-    for (d <- Seq(tiesDir, extremesDir, unicodeDir, constantDir, calendarDir);
-         t <- fixtureTables if t != "embeddings")
+    for (d <- Seq(tiesDir, extremesDir, unicodeDir, constantDir, calendarDir,
+         controlDir); t <- fixtureTables if t != "embeddings")
       roundTripTable(d, t, "csv")
   }
 
