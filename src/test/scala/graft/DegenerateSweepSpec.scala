@@ -409,6 +409,18 @@ class DegenerateSweepSpec extends SparkSpec {
       .select("p_name").collect().map(_.getString(0))
     assert(names.exists(_.endsWith("widget\n")),
       "fixture lost the trailing-LF part name — the $-anchor seam is gone")
+    // Positive pin of the divergence's Spark half (same philosophy as
+    // the extremes loud-throw enforcement): expected_for(control) only
+    // FORGIVES fn_regexp's parity failure — if a future Spark aligned
+    // its `$` with RE2, the sweep would quietly pass and the declared
+    // divergence would go stale. Assert Java semantics still hold so
+    // that change surfaces here and prompts de-listing.
+    import spark.implicits._
+    assert(Seq("control widget\n").toDF("p")
+      .select(col("p").rlike("widget$")).head().getBoolean(0),
+      "Spark's $ no longer matches before a final line terminator — " +
+        "de-list fn_regexp from degen_preflight.sh expected_for(control) " +
+        "and update the fn_regexp QueryDef divergence note")
     val props = spark.read.parquet(s"$d/events.parquet")
       .select("props").collect().map(_.getString(0))
     assert(props.exists(p => p.contains("\\n") && p.contains("\\t")),
