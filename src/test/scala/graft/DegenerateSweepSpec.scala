@@ -71,6 +71,19 @@ class DegenerateSweepSpec extends SparkSpec {
     val failures = sweep(d)
     assert(failures.isEmpty,
       s"queries crashed on empty tables:\n${failures.mkString("\n")}")
+
+    // Positive pin of the Spark half of this set's three declared
+    // divergences (round 14, same philosophy as the extremes loud-throw
+    // enforcement): the SQL standard emits the () grand-total row over
+    // an empty relation (DuckDB does), Spark's Expand+Aggregate emits
+    // ZERO rows. expected_for(empty) only forgives the mismatch — if a
+    // future Spark adopted the standard row, the sweep would quietly
+    // pass and the declared list would go stale; this surfaces it.
+    for (q <- Seq("agg_rollup", "agg_cube", "agg_grouping_sets"))
+      assert(Registry.queries(q)(spark, d).count() === 0L,
+        s"$q now emits rows over an empty relation (the SQL-standard " +
+          "grand-total row?) — de-list it from degen_preflight.sh " +
+          "expected_for(empty) and update its QueryDef divergence note")
   }
 
   /** Third variant: one row per table with NULL in every non-key column
@@ -119,6 +132,20 @@ class DegenerateSweepSpec extends SparkSpec {
       "fixture lost the exact-duplicate unicode pair")
     assert(texts.exists(t => t.getBytes("UTF-8").length > t.codePointCount(0, t.length)),
       "fixture lost multibyte text entirely (bytes == code points everywhere)")
+
+    // Positive pin of the Spark half of this set's declared divergence
+    // (round 14): Spark's levenshtein counts CODE POINTS (café→cafe is
+    // one edit), DuckDB's counts UTF-8 bytes (two). expected_for(unicode)
+    // only forgives fn_levenshtein's parity failure — if a future Spark
+    // switched to byte counting the sweep would quietly pass and the
+    // declared divergence would go stale; this surfaces it.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, levenshtein}
+    assert(Seq(("café", "cafe")).toDF("a", "b")
+      .select(levenshtein(col("a"), col("b"))).head().getInt(0) === 1,
+      "Spark's levenshtein no longer counts code points — de-list " +
+        "fn_levenshtein from degen_preflight.sh expected_for(unicode) " +
+        "and update its QueryDef divergence note")
   }
 
   /** Fifth variant (round 11): ±1e30-class doubles — the decimal-overflow
