@@ -168,7 +168,17 @@ object Scalars {
       // oracle extracts the "k" field specifically and NULLIF-guards the
       // cast: a digit-free or k-less props row must yield NULL (matching
       // try_element_at), not a CAST('') error or a stray digit from
-      // another field (round-9 ADVICE fix)
+      // another field (round-9 ADVICE fix).
+      // EQUIVALENCE DOMAIN (round-14 control set): the regex oracle and
+      // the Spark JSON parser agree on props that are well-formed OR
+      // malformed-without-a-'"k": <digits>' substring (parser NULL,
+      // regex no-match — both NULL; the control set plants two such
+      // rows). A malformed row that still CONTAINS the k pattern
+      // diverges by construction — the parser's NULL is the safe side
+      // at 100 TB (no value invented from broken bytes); DuckDB's own
+      // json_extract THROWS on malformed input, so a parser-faithful
+      // oracle needs a json_valid() CASE guard if that shape ever needs
+      // oracle coverage.
       Some("""SELECT event_id,
              |  CAST(NULLIF(regexp_extract(props, '"k"\s*:\s*(-?[0-9]+)', 1), '') AS BIGINT) AS k
              |FROM events ORDER BY event_id""".stripMargin)),

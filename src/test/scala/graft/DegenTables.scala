@@ -838,12 +838,22 @@ object DegenTables {
         "l_shipdate")
       .write.parquet(s"$dir/lineitem.parquet")
     // escaped \n and \t INSIDE a JSON string value — the JSON-path family
-    // must unescape them identically; plus a healthy numeric-props row
+    // must unescape them identically — plus MALFORMED props rows, both
+    // k-pattern-free BY DESIGN: Spark's JSON parsers (from_json /
+    // get_json_object) yield NULL on malformed input, and the oracles'
+    // '"k"\s*:\s*(-?[0-9]+)' regex also finds nothing in these strings,
+    // so both engines agree on NULL. A malformed row that still CONTAINS
+    // a plausible '"k": <digits>' substring would diverge by
+    // construction (regex vs parser) — that boundary of the declared
+    // equivalence is documented at the fn_json/fn_map QueryDefs, and
+    // this fixture deliberately stays inside it.
     val t0 = 1704067200L * 1000000000L
     val hour = 3600L * 1000000000L
     Seq((0L, t0, 1L, "click", 1.0, """{"k": 1, "s": "a\nb\tc"}"""),
       (1L, t0 + hour, 1L, "view", 2.0, """{"k": 2}"""),
-      (2L, t0 + 2 * hour, 2L, "purchase", 3.0, """{"k": 3}"""))
+      (2L, t0 + 2 * hour, 2L, "purchase", 3.0, """{"k": 3}"""),
+      (3L, t0 + 3 * hour, 2L, "view", 4.0, """{"k": [truncated"""),
+      (4L, t0 + 4 * hour, 1L, "click", 5.0, "not json at all"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$dir/events.parquet")
     // n_chars carries CODE-POINT counts (house rule, unicode set):

@@ -452,6 +452,24 @@ class DegenerateSweepSpec extends SparkSpec {
       .select("props").collect().map(_.getString(0))
     assert(props.exists(p => p.contains("\\n") && p.contains("\\t")),
       "fixture lost the escaped-\\n JSON string value")
+    // malformed-props teeth: at least two rows Spark's JSON parser NULLs
+    // out entirely (from_json to a permissive string map), each
+    // k-pattern-free so the regex oracles agree on NULL (the declared
+    // equivalence domain — see the fn_json QueryDef note)
+    val malformed = spark.read.parquet(s"$d/events.parquet")
+      .select(col("props"),
+        org.apache.spark.sql.functions.from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)).isNull.as("bad"))
+      .where(col("bad")).collect().map(_.getString(0))
+    assert(malformed.length >= 2,
+      s"fixture lost its malformed-props rows (${malformed.length} < 2)")
+    val kPattern = """"k"\s*:\s*(-?[0-9]+)""".r
+    assert(malformed.forall(p => kPattern.findFirstIn(p).isEmpty),
+      "a malformed props row matches the k-regex — that shape diverges " +
+        "by construction (parser NULL vs regex match); keep malformed " +
+        "rows k-pattern-free per the fn_json QueryDef equivalence note")
   }
 
   test("the extremes loud-throw list has ONE source of truth: tools/degen_extremes_loud.txt") {
