@@ -191,6 +191,24 @@ class DegenerateSweepSpec extends SparkSpec {
       .select("l_extendedprice").collect().map(_.getDouble(0))
     assert(money.forall(m => math.abs(m) < 1e13),
       "lineitem money columns must stay within decimal(18,4) range")
+
+    // Positive pin of the Spark half of this set's one declared VALUE
+    // divergence (round 14, completing the pin program: empty, unicode
+    // and control got theirs earlier this round): past 2^53, Java's
+    // Formatter %f renders the SHORTEST decimal for a double while C
+    // printf (DuckDB) renders the exact binary expansion.
+    // expected_for(extremes) only forgives fn_format's parity failure —
+    // if a future JDK/Spark switched to the exact expansion the sweep
+    // would quietly pass and the declared list would go stale.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{format_string, lit}
+    assert(Seq(1).toDF("x")
+      .select(format_string("%08.2f", lit(1e30)).as("f"))
+      .head().getString(0) === "1000000000000000000000000000000.00",
+      "Java %f no longer shortest-rounds a >2^53 double — de-list " +
+        "fn_format from DegenTables.extremesExpectedDivergences / " +
+        "degen_preflight.sh expected_for(extremes) and update its " +
+        "QueryDef divergence note")
   }
 
   /** Sixth variant (round 11): hot-key skew. Survival plus the teeth the

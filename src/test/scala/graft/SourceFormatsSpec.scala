@@ -109,6 +109,16 @@ class SourceFormatsSpec extends SparkSpec {
     val d = Files.createTempDirectory("graft_fix_control").toString
     DegenTables.writeControl(spark, d); d
   }
+  // Round 14, long: a ~30 KB document text and a ~2 KB JSON props string
+  // are the size stressors none of the other sets carry — one CSV field
+  // spanning tens of KB probes the parser's per-column char budget
+  // (univocity maxCharsPerColumn) and the quoting of a production-sized
+  // embedded-JSON payload; JSON-lines must escape-and-restore the same
+  // payload byte-exact.
+  private lazy val longDir: String = {
+    val d = Files.createTempDirectory("graft_fix_long").toString
+    DegenTables.writeLong(spark, d); d
+  }
 
   private val fixtureTables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -148,20 +158,21 @@ class SourceFormatsSpec extends SparkSpec {
       s"$fmt round-trip mismatch for $table")
   }
 
-  test("ties + extremes + unicode + constant + calendar + control sets round-trip JSON lines for every table") {
+  test("ties + extremes + unicode + constant + calendar + control + long sets round-trip JSON lines for every table") {
     for (d <- Seq(tiesDir, extremesDir, unicodeDir, constantDir, calendarDir,
-         controlDir); t <- fixtureTables)
+         controlDir, longDir); t <- fixtureTables)
       roundTripTable(d, t, "json")
   }
 
-  test("ties + extremes + unicode + constant + calendar + control sets round-trip CSV for every scalar-typed table") {
+  test("ties + extremes + unicode + constant + calendar + control + long sets round-trip CSV for every scalar-typed table") {
     // embeddings is excluded BY FORMAT, not by choice: CSV has no array
     // type (Spark refuses to write ArrayType) — the JSON test above
     // covers it. Everything CSV can represent must survive, including
-    // the ties events' embedded-JSON props strings (quote-escaping) and
-    // the extremes ±1e30 doubles (scientific-notation rendering).
+    // the ties events' embedded-JSON props strings (quote-escaping), the
+    // extremes ±1e30 doubles (scientific-notation rendering), and the
+    // long set's ~30 KB single-field document text.
     for (d <- Seq(tiesDir, extremesDir, unicodeDir, constantDir, calendarDir,
-         controlDir); t <- fixtureTables if t != "embeddings")
+         controlDir, longDir); t <- fixtureTables if t != "embeddings")
       roundTripTable(d, t, "csv")
   }
 
