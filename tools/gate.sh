@@ -15,6 +15,12 @@ cd "$(dirname "$0")/.."
 # HEAD the gate actually ran at. Emit it mechanically, including whether
 # the working tree was dirty — an archiver redirecting this script's
 # output gets a trustworthy provenance line for free.
+#
+# Archiving convention (round 14): redirect to a TEMP path and `mv` over
+# PREFLIGHT_r{N}.log afterwards. Redirecting straight into the tracked
+# log truncates it at launch, so the dirty-detector below sees the
+# archive file itself as an uncommitted tracked change and stamps a
+# false '+ UNCOMMITTED TRACKED CHANGES' marker into the header.
 DIRTY=$(git status --porcelain | grep -vc '^?? \|^ M BENCH_DETAILS.json$' || true)
 echo "=== gate run $(date -u +%Y-%m-%dT%H:%MZ), HEAD $(git rev-parse --short HEAD)$([ "$DIRTY" -gt 0 ] && echo ' + UNCOMMITTED TRACKED CHANGES' || true), sweep_sf01=${GATE_SWEEP_SF01:-0} ==="
 
