@@ -179,6 +179,18 @@ object Scalars {
       // json_extract THROWS on malformed input, so a parser-faithful
       // oracle needs a json_valid() CASE guard if that shape ever needs
       // oracle coverage.
+      // DUPLICATE KEYS (round-14 probe): on {"k": 1, "k": 2} every LIVE
+      // reader agrees on the FIRST occurrence — from_json yields a map
+      // that physically RETAINS both entries (map_keys = [k,k]) and
+      // try_element_at scans to the first; get_json_object (fn_json),
+      // DuckDB's json_extract, and this regex oracle are first-wins too
+      // (the control set plants differing-value dups to prove the chain
+      // end-to-end). Two caveats for new code: json_tuple is LAST-wins —
+      // don't introduce it on dup-capable data — and the retained-dup
+      // map is poison downstream (map_concat throws DUPLICATED_MAP_KEY;
+      // set ops reject map columns outright), so at 100 TB normalize dup
+      // keys at INGEST rather than letting such maps flow past the
+      // extraction site.
       Some("""SELECT event_id,
              |  CAST(NULLIF(regexp_extract(props, '"k"\s*:\s*(-?[0-9]+)', 1), '') AS BIGINT) AS k
              |FROM events ORDER BY event_id""".stripMargin)),

@@ -847,13 +847,26 @@ object DegenTables {
     // construction (regex vs parser) — that boundary of the declared
     // equivalence is documented at the fn_json/fn_map QueryDefs, and
     // this fixture deliberately stays inside it.
+    //
+    // DUPLICATE JSON keys (round-14 probe): real scraped data carries
+    // them, and every LIVE reader takes the FIRST occurrence in
+    // agreement — from_json yields a map that physically RETAINS both
+    // entries (map_keys = [k,k]) and element_at/apply scans to the
+    // first; get_json_object, DuckDB's json_extract, and the oracles'
+    // k-regex are first-wins too. The one last-wins reader in Spark is
+    // json_tuple, which no query uses (fn_map QueryDef note). Plant the
+    // strong shape — a DIFFERING-value dup on the extracted key — plus a
+    // differing dup on a key no query extracts; parity across the whole
+    // registry proves the first-wins chain end-to-end.
     val t0 = 1704067200L * 1000000000L
     val hour = 3600L * 1000000000L
     Seq((0L, t0, 1L, "click", 1.0, """{"k": 1, "s": "a\nb\tc"}"""),
       (1L, t0 + hour, 1L, "view", 2.0, """{"k": 2}"""),
       (2L, t0 + 2 * hour, 2L, "purchase", 3.0, """{"k": 3}"""),
       (3L, t0 + 3 * hour, 2L, "view", 4.0, """{"k": [truncated"""),
-      (4L, t0 + 4 * hour, 1L, "click", 5.0, "not json at all"))
+      (4L, t0 + 4 * hour, 1L, "click", 5.0, "not json at all"),
+      (5L, t0 + 5 * hour, 2L, "view", 6.0, """{"k": 7, "k": 8}"""),
+      (6L, t0 + 6 * hour, 1L, "purchase", 7.0, """{"q": 1, "q": 2, "k": 9}"""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$dir/events.parquet")
     // n_chars carries CODE-POINT counts (house rule, unicode set):

@@ -488,6 +488,42 @@ class DegenerateSweepSpec extends SparkSpec {
       "a malformed props row matches the k-regex — that shape diverges " +
         "by construction (parser NULL vs regex match); keep malformed " +
         "rows k-pattern-free per the fn_json QueryDef equivalence note")
+    // duplicate-key teeth (round-14 probe): the fixture must keep the
+    // strong shapes — a DIFFERING-value dup on the extracted key (all
+    // live readers are first-wins, so parity across the registry proves
+    // the chain) and a differing dup on a key no query extracts.
+    assert(props.exists(p =>
+      kPattern.findAllMatchIn(p).map(_.group(1)).toSeq.distinct.size >= 2),
+      "fixture lost its differing-value duplicate-k props row")
+    assert(props.exists(p =>
+      """"q"\s*:\s*(-?[0-9]+)""".r.findAllMatchIn(p)
+        .map(_.group(1)).toSeq.distinct.size >= 2),
+      "fixture lost its differing-value dup on the non-extracted q key")
+    // Positive pin of the Spark behaviors the planted shapes rely on
+    // (same philosophy as the other divergence pins): from_json RETAINS
+    // both dup entries and element_at scans to the FIRST;
+    // get_json_object is first-wins; json_tuple is the documented
+    // LAST-wins outlier no query may use on dup-capable data. If a
+    // Spark upgrade changes any half, the fn_map QueryDef dup-key note
+    // and this fixture's design assumptions need re-deriving.
+    import org.apache.spark.sql.functions.{from_json, get_json_object, json_tuple, map_keys, element_at, lit}
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val dup = Seq("""{"k": 1, "k": 2}""").toDF("j")
+      .withColumn("m", from_json(col("j"), MapType(StringType, StringType)))
+    assert(dup.select(map_keys(col("m"))).head().getSeq[String](0) === Seq("k", "k"),
+      "from_json no longer retains duplicate map entries — re-derive " +
+        "the fn_map QueryDef dup-key note")
+    assert(dup.select(element_at(col("m"), lit("k"))).head().getString(0) === "1",
+      "element_at over a dup-key map no longer scans to the FIRST " +
+        "entry — fn_map's dup-key agreement with the regex oracle is " +
+        "broken; re-derive the fn_map QueryDef dup-key note")
+    assert(dup.select(get_json_object(col("j"), "$.k")).head().getString(0) === "1",
+      "get_json_object no longer keeps the FIRST duplicate key — " +
+        "re-derive the fn_map QueryDef dup-key note (fn_json side)")
+    assert(dup.select(json_tuple(col("j"), "k")).head().getString(0) === "2",
+      "json_tuple no longer keeps the LAST duplicate key — soften the " +
+        "fn_map QueryDef's json_tuple caveat if Spark unified it with " +
+        "the first-wins readers")
   }
 
   test("the extremes loud-throw list has ONE source of truth: tools/degen_extremes_loud.txt") {
