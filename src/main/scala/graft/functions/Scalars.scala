@@ -190,7 +190,9 @@ object Scalars {
       // map is poison downstream (map_concat throws DUPLICATED_MAP_KEY;
       // set ops reject map columns outright), so at 100 TB normalize dup
       // keys at INGEST rather than letting such maps flow past the
-      // extraction site.
+      // extraction site — [[graft.functions.JsonNormalize.fromJsonFirstWins]]
+      // is the shipped normalizer (round 15), proven map_concat-safe with
+      // chain-matching first-wins values in DegenerateSweepSpec.
       Some("""SELECT event_id,
              |  CAST(NULLIF(regexp_extract(props, '"k"\s*:\s*(-?[0-9]+)', 1), '') AS BIGINT) AS k
              |FROM events ORDER BY event_id""".stripMargin)),

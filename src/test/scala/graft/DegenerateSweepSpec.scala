@@ -526,6 +526,72 @@ class DegenerateSweepSpec extends SparkSpec {
         "the first-wins readers")
   }
 
+  /** Round-15: the duplicate-key hazard pinned above is now a shipped
+    * fix, not prose. [[graft.functions.JsonNormalize]] dedups map keys
+    * first-wins at ingest; this test drives the control set's planted
+    * dup rows ({"k": 7, "k": 8} and {"q": 1, "q": 2, "k": 9}) through
+    * the normalizer and proves (a) the raw from_json map really is
+    * poison (map_concat throws DUPLICATED_MAP_KEY — the hazard stays
+    * real), (b) the normalized map SURVIVES map_concat, and (c)
+    * first-wins values match the pinned reader chain exactly
+    * (element_at, get_json_object, the oracle k-regex).
+    */
+  test("control: JsonNormalize.fromJsonFirstWins makes the dup-key rows map_concat-safe, first-wins") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-degen-dupkey-").toString
+    DegenTables.writeControl(spark, d)
+    val ev = spark.read.parquet(s"$d/events.parquet")
+
+    // (a) the hazard is real: the retained-dup map kills map_concat
+    val raw = ev.withColumn("m", from_json(col("props"),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType)))
+    val boom = intercept[Exception] {
+      raw.select(map_concat(col("m"), map(lit("tag"), lit("x")))).collect()
+    }
+    assert(boom.toString.contains("DUPLICATED_MAP_KEY"),
+      s"raw dup-key map no longer trips map_concat — if Spark's default " +
+        s"mapKeyDedupPolicy changed, re-derive the fn_map dup-key note: $boom")
+
+    // (b) normalized maps flow through map_concat on every row
+    val norm = ev.withColumn("m",
+      graft.functions.JsonNormalize.fromJsonFirstWins(col("props")))
+    val merged = norm
+      .select(col("event_id"), col("m"),
+        when(col("m").isNotNull,
+          map_concat(col("m"), map(lit("tag"), lit("x"))))
+          .otherwise(map(lit("tag"), lit("x"))).as("mm"))
+      .orderBy("event_id").collect()
+    assert(merged.length == 7, "control events fixture changed row count")
+    assert(merged.forall(r => r.getMap[String, String](2).get("tag").contains("x")),
+      "map_concat result lost the tag entry on some row")
+
+    // (c) first-wins parity with the pinned chain, per planted row:
+    //     event 5 {"k": 7, "k": 8} -> k=7; event 6 {"q": 1, "q": 2,
+    //     "k": 9} -> q=1, k=9; and the dedup'd map has unique keys.
+    val byId = merged.map(r => r.getLong(0) -> r.getMap[String, String](1)).toMap
+    assert(byId(5L)("k") == "7",
+      s"first-wins violated on the extracted key: ${byId(5L)}")
+    assert(byId(6L)("q") == "1" && byId(6L)("k") == "9",
+      s"first-wins violated on the non-extracted key: ${byId(6L)}")
+    merged.foreach { r =>
+      val m = r.getMap[String, String](1)
+      if (m != null) {
+        val ks = m.keys.toSeq
+        assert(ks.distinct.size == ks.size,
+          s"normalized map still has duplicate keys on event ${r.getLong(0)}: $ks")
+      }
+    }
+    // NULL transparency: the two malformed rows stay NULL maps
+    assert(byId(3L) == null && byId(4L) == null,
+      "malformed props no longer NULL through the normalizer")
+    // no-dup rows are value-identical to the raw parse
+    assert(byId(0L)("k") == "1" && byId(0L)("s") == "a\nb\tc",
+      s"no-dup row changed under normalization: ${byId(0L)}")
+  }
+
   test("the extremes loud-throw list has ONE source of truth: tools/degen_extremes_loud.txt") {
     // ADVICE r12: the old tests regex-scraped degen_preflight.sh's case
     // arms, which any inline comment or second command would break. Now
