@@ -80,4 +80,73 @@ class BenchEmitSpec extends AnyFunSuite {
   test("resultPath is the documented driver-facing location") {
     assert(Bench.resultPath === "target/bench_result.json")
   }
+
+  test("build.sbt keeps the forked-run stdout routing that makes the summary line bare") {
+    // VERDICT r14 #5, sbt half: the driver's `parsed` block went null for
+    // two rounds because sbt's default LoggedOutput prefixed the summary
+    // with "[info] ". The fix is configuration, so only a text pin can
+    // hold it — an sbt logging change (dropping outputStrategy, or
+    // un-forking run) must show up as a red test, not as a silently
+    // unparseable BENCH_r{N}.json.
+    val sbtText = Files.readString(Path.of("build.sbt"))
+    assert(sbtText.contains("run / fork := true"),
+      "run must stay forked — in-process run would re-route stdout through sbt")
+    assert(sbtText.contains("run / outputStrategy := Some(OutputStrategy.StdoutOutput)"),
+      "the StdoutOutput routing is the driver-parse contract — " +
+        "restore it or re-derive the BENCH parsed pipeline")
+  }
+
+  test("end-to-end: a forked Bench run's FINAL stdout line is the bare summary, byte-identical to bench_result.json") {
+    // VERDICT r14 #5, process half: pins the chain the unit tests can't —
+    // that the summary really is the LAST stdout line of a real Bench
+    // process (after Spark shutdown chatter, which goes to stderr) and
+    // that target/bench_result.json lands the identical bytes. Forks
+    // `java graft.Bench` directly with this test JVM's classpath and
+    // add-opens (bypassing sbt — the sbt prefix seam is the text pin
+    // above), cwd'd to a temp dir so the run's BENCH_DETAILS.json and
+    // target/bench_result.json never touch the repo's real artifacts.
+    // Two cheap queries at sf0.001 keep it ~30 s.
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("bench-e2e")
+    val javaBin = Path.of(sys.props("java.home"), "bin", "java").toString
+    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala
+      .filter(a => a == "--add-opens" || a.endsWith("=ALL-UNNAMED")).toSeq
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx4g", "-Dspark.ui.enabled=false",
+      "-cp", sys.props("java.class.path"), "graft.Bench")
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.directory(tmp.toFile)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    pb.environment().put("SPARK_GRAFT_CPUS", "4")
+    pb.environment().put("SPARK_GRAFT_BENCH_THREADS", "1") // sequential pass only
+    pb.environment().put("SPARK_GRAFT_BENCH_ONLY", "scan_full,fn_string")
+    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    val proc = pb.start()
+    val stdout = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      "forked Bench did not finish in 180s")
+    assert(proc.exitValue() === 0, s"forked Bench exited ${proc.exitValue()}:\n$stdout")
+
+    val lines = stdout.linesIterator.toSeq
+    assert(lines.nonEmpty, "forked Bench printed nothing to stdout")
+    val last = lines.last
+    assert(last.startsWith("{") && last.endsWith("}"),
+      s"final stdout line is not the bare summary JSON: <$last>")
+    val fileBytes = Files.readString(tmp.resolve("target").resolve("bench_result.json"))
+    assert(fileBytes === last + "\n",
+      "bench_result.json drifted from the final stdout line — the two sinks share one renderer; re-sync")
+    val node = mapper.readTree(last)
+    assert(node.fieldNames().asScala.toSet === Set("metric", "value", "unit",
+      "n", "threads", "seq_wall", "queries", "failed", "sf"),
+      "driver-facing key set changed — extend BOTH schema pins together")
+    assert(node.get("n").asInt() === 2, "SPARK_GRAFT_BENCH_ONLY restriction not honored")
+    assert(node.get("value").isNumber && node.get("value").asDouble() > 0.0)
+    assert(node.get("seq_wall").isNumber && node.get("seq_wall").asDouble() > 0.0)
+    assert(node.get("queries").isObject &&
+      node.get("queries").fieldNames().asScala.toSet === Set("scan_full", "fn_string"))
+    assert(node.get("failed").isArray && node.get("failed").size() === 0,
+      s"mini-run had failed queries: $last")
+    assert(node.get("sf").asText() === "/root/testdata/sf0.001")
+  }
 }
