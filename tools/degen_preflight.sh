@@ -76,6 +76,22 @@ expected_for() {
 
 rc=0
 
+# Per-set runtime budget, seconds (VERDICT r14 #6): the sweep grew from 7
+# to 11 sets in round 14 and gate wall-time grew with it. Each set costs
+# one sbt Verify pass (~90 s incl. sbt startup) plus the DuckDB compare
+# (~20-40 s); 240 s is ~1.7x that ceiling. Exceeding prints a loud
+# OVER-BUDGET line (a growth notice for the next round, NOT a failure —
+# box load legitimately stretches sbt). The sweep-total line at the
+# bottom is the number README's Artifacts table quotes.
+SET_BUDGET=240
+sweep_t0=$(date +%s)
+set_runtime_line() { # $1 = set name, $2 = set start epoch-seconds
+  local dt=$(( $(date +%s) - $2 ))
+  local over=""
+  [ "$dt" -gt "$SET_BUDGET" ] && over=" OVER BUDGET — investigate before adding sets"
+  echo "set $1: runtime ${dt}s (budget ${SET_BUDGET}s)$over" | tee -a "$LOG"
+}
+
 {
   echo "== degenerate oracle parity sweep, $(date -u +%Y-%m-%dT%H:%M:%SZ), HEAD $(git rev-parse --short HEAD) =="
   sbt -batch "Test/runMain graft.DegenGen $BASE" 2>&1 | grep "\[degen\]"
@@ -92,6 +108,7 @@ for s in tiny empty nulls unicode extremes skew ties constant long calendar cont
     echo
     echo "== set: $s =="
   } | tee -a "$LOG"
+  set_t0=$(date +%s)
   # sbt runs are sequential on purpose — the build lock serializes them.
   # A failed Verify over a STALE out_$s dir from a prior run would let
   # preflight.py green-light old results, so the exit status gates the set.
@@ -109,6 +126,7 @@ for s in tiny empty nulls unicode extremes skew ties constant long calendar cont
   if [ "$verify_rc" -ne 0 ]; then
     echo "set $s: Verify FAILED (pipeline rc=$verify_rc) — set NOT compared" | tee -a "$LOG"
     rc=1
+    set_runtime_line "$s" "$set_t0"
     continue
   fi
   # Loud-posture enforcement (ADVICE r12): every declared-loud query must
@@ -137,6 +155,7 @@ for s in tiny empty nulls unicode extremes skew ties constant long calendar cont
   if [ -z "$tally" ] || [ "$py_rc" -gt 1 ]; then
     echo "set $s: preflight.py did not complete (rc=$py_rc, no tally) — set NOT compared" | tee -a "$LOG"
     rc=1
+    set_runtime_line "$s" "$set_t0"
     continue
   fi
   n_pass=$(echo "$tally" | awk '{print $1}')
@@ -145,6 +164,7 @@ for s in tiny empty nulls unicode extremes skew ties constant long calendar cont
   if [ "$n_pass" -eq 0 ] || [ $((n_pass + n_fail)) -ne "$n_decl" ]; then
     echo "set $s: incomplete compare ($n_pass pass + $n_fail fail != $n_decl declared, or zero passes)" | tee -a "$LOG"
     rc=1
+    set_runtime_line "$s" "$set_t0"
     continue
   fi
   unexpected=$(printf '%s\n' "$out" | grep "^FAIL" | cut -d: -f1 | cut -d' ' -f2 \
@@ -155,8 +175,10 @@ for s in tiny empty nulls unicode extremes skew ties constant long calendar cont
   else
     echo "set $s: $n_pass/$n_decl pass, all $n_fail failures expected (documented divergences)" | tee -a "$LOG"
   fi
+  set_runtime_line "$s" "$set_t0"
 done
 
 echo | tee -a "$LOG"
+echo "== sweep wall $(( $(date +%s) - sweep_t0 ))s over 11 sets (per-set budget ${SET_BUDGET}s) ==" | tee -a "$LOG"
 echo "== sweep done, rc=$rc (log: $LOG) ==" | tee -a "$LOG"
 exit $rc

@@ -16,11 +16,24 @@ cd "$(dirname "$0")/.."
 # the working tree was dirty — an archiver redirecting this script's
 # output gets a trustworthy provenance line for free.
 #
-# Archiving convention (round 14): redirect to a TEMP path and `mv` over
-# PREFLIGHT_r{N}.log afterwards. Redirecting straight into the tracked
-# log truncates it at launch, so the dirty-detector below sees the
-# archive file itself as an uncommitted tracked change and stamps a
-# false '+ UNCOMMITTED TRACKED CHANGES' marker into the header.
+# Mechanical archiving (ADVICE r14): the round-14 convention — redirect
+# to a temp path, mv over PREFLIGHT_r{N}.log afterwards — lived only in a
+# comment, so a direct redirect into the tracked log could still truncate
+# it at launch and trip the dirty-detector into a false 'UNCOMMITTED
+# TRACKED CHANGES' header. Now the script enforces it: pass
+# GATE_LOG=PREFLIGHT_r{N}.log and the run tees itself to a mktemp, moving
+# it into place only at exit (any exit — success or failure — so a red
+# gate still archives its transcript).
+if [[ -n "${GATE_LOG:-}" && -z "${GATE_LOG_ACTIVE:-}" ]]; then
+  tmplog=$(mktemp /tmp/gate_log.XXXXXX)
+  set +e
+  GATE_LOG_ACTIVE=1 "$0" "$@" 2>&1 | tee "$tmplog"
+  gate_rc=${PIPESTATUS[0]}
+  set -e
+  mv "$tmplog" "$GATE_LOG"
+  echo "gate transcript archived to $GATE_LOG (rc=$gate_rc)"
+  exit "$gate_rc"
+fi
 DIRTY=$(git status --porcelain | grep -vc '^?? \|^ M BENCH_DETAILS.json$' || true)
 echo "=== gate run $(date -u +%Y-%m-%dT%H:%MZ), HEAD $(git rev-parse --short HEAD)$([ "$DIRTY" -gt 0 ] && echo ' + UNCOMMITTED TRACKED CHANGES' || true), sweep_sf01=${GATE_SWEEP_SF01:-0} ==="
 
