@@ -47,6 +47,14 @@ object StreamingHarness {
     * backfill's job; the streaming path owns the live, post-epoch edge.
     * `session_end` is emitted so callers can state that boundary
     * exactly.
+    *
+    * COMPATIBILITY (round 14 → 15, ADVICE r14): round 14 widened this
+    * surface — the output gained a fourth column (`session_end`, after
+    * `session_start`) and the signature gained the `delay` parameter
+    * (defaulted, so source-compatible). Only in-repo callers exist
+    * today, but an external consumer selecting by POSITION or asserting
+    * the old 3-column shape breaks silently; select by name. Any future
+    * column addition must append (never reorder) and be noted here.
     */
   def sessions(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events
