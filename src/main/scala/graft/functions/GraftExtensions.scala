@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_cosine"),
       GraftExtensions.cosineInfo,
       GraftExtensions.cosineBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dedup_map_keys"),
+      GraftExtensions.dedupMapKeysInfo,
+      GraftExtensions.dedupMapKeysBuilder))
     ext.injectOptimizerRule(_ => graft.plans.CollapseRedundantRound)
   }
 }
@@ -32,11 +36,22 @@ object GraftExtensions {
     CosineSimilarity(children.head, children(1))
   }
 
+  private[graft] val dedupMapKeysInfo =
+    new ExpressionInfo(classOf[MapDedupKeysFirstWins].getName, "graft_dedup_map_keys")
+
+  private[graft] val dedupMapKeysBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 1, "graft_dedup_map_keys(map) takes 1 argument")
+    MapDedupKeysFirstWins(children.head)
+  }
+
   /** Register graft functions into an already-built session (idempotent) —
-    * lets a declared query use `graft_cosine` from plain `spark.sql`
-    * without controlling session construction.
+    * lets a declared query use `graft_cosine`/`graft_dedup_map_keys` from
+    * plain `spark.sql` without controlling session construction.
     */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftbridge.Bridge.registerFunction(
       spark, "graft_cosine", cosineInfo, cosineBuilder)
+    org.apache.spark.sql.graftbridge.Bridge.registerFunction(
+      spark, "graft_dedup_map_keys", dedupMapKeysInfo, dedupMapKeysBuilder)
+  }
 }

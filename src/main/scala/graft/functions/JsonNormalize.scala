@@ -22,20 +22,33 @@ import org.apache.spark.sql.types.{DataType, MapType, StringType}
   * and the oracles' k-regex are first-wins). `json_tuple` is the
   * documented LAST-wins outlier no query may use on dup-capable data.
   *
-  * Implementation is pure built-in higher-order functions
-  * (`map_entries` → indexed `filter` with an `exists` scan over the
-  * entry's prefix → `map_from_entries`): O(k²) in the number of map
-  * entries, which is O(1) per row for real-world props maps (tens of
-  * keys), fully distributed, no UDF, NULL-transparent (a malformed-JSON
-  * NULL map stays NULL through every step).
+  * Two implementations share one contract, differentially tested in
+  * JsonNormalizeSpec: the native Catalyst expression
+  * [[MapDedupKeysFirstWins]] (a single O(k) hash pass with a zero-copy
+  * fast path for clean maps — the public entry point) and a pure
+  * built-in higher-order-function twin (`map_entries` → indexed `filter`
+  * with an `exists` scan over the entry's prefix → `map_from_entries`,
+  * O(k²) interpreted — kept as the portable cross-check). Both are fully
+  * distributed, UDF-free, and NULL-transparent (a malformed-JSON NULL
+  * map stays NULL through every step).
   */
 object JsonNormalize {
 
   /** Return `m` with duplicate keys removed, keeping the FIRST entry for
     * each key. NULL maps pass through as NULL; a map with no duplicates
-    * is rebuilt value-identical.
+    * passes through untouched (zero-copy). Requires an atomic key type
+    * (JSON maps are string-keyed) — see [[MapDedupKeysFirstWins]].
     */
-  def dedupMapKeysFirstWins(m: Column): Column = {
+  def dedupMapKeysFirstWins(m: Column): Column =
+    MapExpressions.dedupMapKeys(m)
+
+  /** The higher-order-function twin of [[dedupMapKeysFirstWins]] — same
+    * first-wins semantics from Spark built-ins only, O(k²) per row with
+    * interpreted lambdas. Kept (not exported) as the differential oracle
+    * for the native expression: two independent formulations of one
+    * contract, compared on every shape in JsonNormalizeSpec.
+    */
+  private[graft] def dedupMapKeysHof(m: Column): Column = {
     val entries = map_entries(m)
     // keep entry i iff no earlier entry shares its key: slice(_, 1, i)
     // is the 0-based-index-i entry's prefix (1-based slice start, length
