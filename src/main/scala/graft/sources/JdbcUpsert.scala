@@ -134,6 +134,17 @@ case object MySqlUpsertDialect extends UpsertDialect {
   }
 }
 
+/** The upsert COMMITTED but the post-commit `DROP TABLE <staging>` failed
+  * — the named staging table is leaked in the database and needs operator
+  * cleanup. Typed so [[JdbcUpsert.upsertViaStagingRetry]] can tell this
+  * apart from a merge race: retrying would double-apply work that already
+  * landed and stage a second leak under a fresh name (review r15).
+  */
+class StagingCleanupException(val stagingTable: String, cause: java.sql.SQLException)
+  extends RuntimeException(
+    s"upsert committed but dropping staging table $stagingTable failed — " +
+      s"table leaked, drop it manually", cause)
+
 object JdbcUpsert {
 
   private def withConnection[A](url: String)(f: Connection => A): A = {
@@ -197,11 +208,25 @@ object JdbcUpsert {
     val stmts = dialect.upsertStatements(
       table, staging, deduped, df.columns.toSeq, keys)
     withConnection(url) { c =>
+      var failure: Throwable = null
       try stmts.foreach(s => c.createStatement().executeUpdate(s))
+      catch { case t: Throwable => failure = t; throw t }
       finally {
         try c.createStatement().executeUpdate(s"DROP TABLE $deduped")
         catch { case _: java.sql.SQLException => () } // may not exist yet
-        c.createStatement().executeUpdate(s"DROP TABLE $staging")
+        try c.createStatement().executeUpdate(s"DROP TABLE $staging")
+        catch { case e: java.sql.SQLException =>
+          // A cleanup failure must never MASK the real merge failure
+          // (review r15: the bare finally replaced it) and must never
+          // look like a merge race to the retry wrapper — the upsert
+          // itself already committed, so re-running it would be double
+          // work and would leak THIS staging table unreferenced (each
+          // retry stages under a fresh name). Suppress onto the original
+          // failure if there is one; otherwise raise the typed wrapper
+          // naming the leaked table for operator cleanup.
+          if (failure != null) failure.addSuppressed(e)
+          else throw new StagingCleanupException(staging, e)
+        }
       }
     }
   }
@@ -217,25 +242,37 @@ object JdbcUpsert {
     */
   private val transientRaceStates = Set("40001", "40XL1", "23505")
 
-  private def isTransientRace(t: Throwable): Boolean =
-    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).exists {
+  private def isTransientRace(t: Throwable): Boolean = {
+    // take(20): a cycle in the cause chain (possible via initCause across
+    // wrapping layers) must not spin this walk forever (review r15)
+    val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(20).toSeq
+    // A post-commit cleanup failure is NOT a race even when its underlying
+    // SQLState is in the transient set — the upsert already committed
+    // (see StagingCleanupException at upsertViaStaging's finally).
+    !chain.exists(_.isInstanceOf[StagingCleanupException]) &&
+    chain.exists {
       case e: java.sql.SQLException =>
         e.getSQLState != null && transientRaceStates.contains(e.getSQLState)
       case _ => false
     }
+  }
 
   /** Concurrent-writer wrapper around [[upsertViaStaging]]: bounded retry of
     * the WHOLE stage-and-merge on the transient race states above. Safe
     * because the staging upsert is idempotent on the key by construction —
     * the loser's MERGE rolled back atomically, and on re-run the racing key
     * now exists, so the insert race resolves to an UPDATE. Anything else
-    * (NULL keys, conflicting deltas, schema errors) is NOT in the transient
-    * set and still fails loudly on first contact; a persistently-violated
-    * foreign UNIQUE constraint exhausts `maxRetries` and rethrows. Returns
-    * the number of retries consumed (0 = clean first pass) so callers can
-    * meter contention. Derby seam, observed: the UPDATE halves of
-    * overlapping MERGEs serialize on row locks (last-committer-wins for all
-    * its keys, atomically); only the insert half races.
+    * (NULL keys, conflicting deltas, schema errors, post-commit cleanup
+    * failures) is NOT in the transient set and still fails loudly on first
+    * contact; a persistently-violated foreign UNIQUE constraint exhausts
+    * `maxRetries` and rethrows. Each retry backs off exponentially with
+    * jitter (50·2^attempt ms + 0-50 ms) so colliding writers don't re-run
+    * the full distributed staging write in lockstep until the budget is
+    * gone. Returns the number of retries consumed (0 = clean first pass)
+    * so callers can meter contention. Derby seam, observed: the UPDATE
+    * halves of overlapping MERGEs serialize on row locks
+    * (last-committer-wins for all its keys, atomically); only the insert
+    * half races.
     */
   def upsertViaStagingRetry(df: DataFrame, url: String, table: String,
       keys: Seq[String], stagingColumnTypes: Option[String] = None,
@@ -249,6 +286,8 @@ object JdbcUpsert {
       } catch {
         case e: Throwable if attempt < maxRetries && isTransientRace(e) =>
           attempt += 1
+          Thread.sleep((50L << attempt) +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(50))
       }
     }
     attempt

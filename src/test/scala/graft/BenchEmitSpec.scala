@@ -122,10 +122,18 @@ class BenchEmitSpec extends AnyFunSuite {
     pb.environment().put("SPARK_GRAFT_BENCH_THREADS", "1") // sequential pass only
     pb.environment().put("SPARK_GRAFT_BENCH_ONLY", "scan_full,fn_string")
     pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    // stdout via a FILE, never a pipe read-before-waitFor: readAllBytes on
+    // the pipe would block past the advertised timeout if the child wedges
+    // before closing stdout, hanging the whole suite with the child alive
+    // (review r15); with a file redirect the timeout actually fires and
+    // the child is killed.
+    val stdoutFile = tmp.resolve("stdout.txt").toFile
+    pb.redirectOutput(stdoutFile)
     val proc = pb.start()
-    val stdout = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-    assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
-      "forked Bench did not finish in 180s")
+    val finished = proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) proc.destroyForcibly().waitFor()
+    val stdout = Files.readString(stdoutFile.toPath)
+    assert(finished, s"forked Bench did not finish in 180s; killed. stdout so far:\n$stdout")
     assert(proc.exitValue() === 0, s"forked Bench exited ${proc.exitValue()}:\n$stdout")
 
     val lines = stdout.linesIterator.toSeq

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, MapType, StringType}
 
 /** Differential coverage for the duplicate-key map normalizer: the native
   * Catalyst expression ([[graft.functions.MapDedupKeysFirstWins]], the
@@ -102,8 +102,44 @@ class JsonNormalizeSpec extends SparkSpec {
     val e = intercept[Exception] {
       structKeyed.select(MapExpressions.dedupMapKeys(col("m"))).collect()
     }
-    assert(e.getMessage.contains("atomic key type"),
+    assert(e.getMessage.contains("atomic non-binary key type"),
       s"expected the atomic-key type check to fire, got: $e")
+  }
+
+  test("Java-vs-SQL key equality seams: binary keys rejected, -0.0/0.0 double keys are ONE key") {
+    import spark.implicits._
+    // BinaryType keys: Array[Byte] equals is identity-based, so a hash-set
+    // dedup would be silently vacuous — must be rejected at analysis time
+    // like the struct-key case (review r15).
+    val binKeyed = Seq(1).toDF("x").select(
+      map(lit(Array[Byte](1, 2)), lit("v")).as("m"))
+    val e = intercept[Exception] {
+      binKeyed.select(MapExpressions.dedupMapKeys(col("m"))).collect()
+    }
+    assert(e.getMessage.contains("non-binary"),
+      s"expected the binary-key rejection to fire, got: $e")
+
+    // Floating-point negative zero: ONE key under SQL map semantics
+    // (Spark's own map builder normalizes -0.0), but distinct under boxed
+    // Java equals — the canonKey seam. Build the retained-dup shape via
+    // from_json + cast, prove Spark agrees it's a dup (raw map_concat
+    // throws), then dedup and prove first-wins + map_concat survival.
+    val dz = Seq("""{"0.0": "pos", "-0.0": "neg"}""").toDF("j")
+      .select(from_json(col("j"), MapType(StringType, StringType))
+        .cast(MapType(DoubleType, StringType)).as("m"))
+    assert(dz.select(size(map_keys(col("m")))).head().getInt(0) == 2,
+      "cast no longer retains the -0.0/0.0 pair — rebuild this fixture")
+    val raw = intercept[Exception] {
+      dz.select(map_concat(col("m"), map(lit(9.9), lit("x")))).collect()
+    }
+    assert(raw.toString.contains("DUPLICATED_MAP_KEY"),
+      s"Spark no longer treats -0.0/0.0 as one map key — drop canonKey: $raw")
+    val got = dz.select(map_entries(MapExpressions.dedupMapKeys(col("m"))))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getDouble(0) -> r.getString(1))
+    assert(got == Seq(0.0 -> "pos"), s"-0.0/0.0 first-wins violated: $got")
+    assert(dz.select(map_concat(MapExpressions.dedupMapKeys(col("m")),
+      map(lit(9.9), lit("x")))).head().getMap[Double, String](0).size == 2)
   }
 
   test("clean maps pass through the native fast path value-identical at fixture scale") {

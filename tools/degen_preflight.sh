@@ -103,7 +103,11 @@ if [ "$gen_rc" -ne 0 ]; then
   exit 1
 fi
 
-for s in tiny empty nulls unicode extremes skew ties constant long calendar control; do
+# ONE list drives both the loop and the sweep-total line (review r15: a
+# hardcoded "11 sets" in the summary would silently falsify when a set is
+# added). Must match DegenTables.sets' keys.
+SETS="tiny empty nulls unicode extremes skew ties constant long calendar control"
+for s in $SETS; do
   {
     echo
     echo "== set: $s =="
@@ -179,6 +183,6 @@ for s in tiny empty nulls unicode extremes skew ties constant long calendar cont
 done
 
 echo | tee -a "$LOG"
-echo "== sweep wall $(( $(date +%s) - sweep_t0 ))s over 11 sets (per-set budget ${SET_BUDGET}s) ==" | tee -a "$LOG"
+echo "== sweep wall $(( $(date +%s) - sweep_t0 ))s over $(echo $SETS | wc -w) sets (per-set budget ${SET_BUDGET}s) ==" | tee -a "$LOG"
 echo "== sweep done, rc=$rc (log: $LOG) ==" | tee -a "$LOG"
 exit $rc

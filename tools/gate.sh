@@ -26,12 +26,17 @@ cd "$(dirname "$0")/.."
 # gate still archives its transcript).
 if [[ -n "${GATE_LOG:-}" && -z "${GATE_LOG_ACTIVE:-}" ]]; then
   tmplog=$(mktemp /tmp/gate_log.XXXXXX)
+  # trap, not a straight-line mv: 'any exit' must include signal exits
+  # (Ctrl-C on a wedged sbt, TERM from a supervisor) or the transcript
+  # strands in /tmp and the tracked log goes stale (review r15). The -f
+  # guard makes EXIT-after-INT idempotent.
+  finish() { [ -f "$tmplog" ] && mv "$tmplog" "$GATE_LOG" && \
+    echo "gate transcript archived to $GATE_LOG"; }
+  trap finish EXIT INT TERM
   set +e
   GATE_LOG_ACTIVE=1 "$0" "$@" 2>&1 | tee "$tmplog"
   gate_rc=${PIPESTATUS[0]}
   set -e
-  mv "$tmplog" "$GATE_LOG"
-  echo "gate transcript archived to $GATE_LOG (rc=$gate_rc)"
   exit "$gate_rc"
 fi
 DIRTY=$(git status --porcelain | grep -vc '^?? \|^ M BENCH_DETAILS.json$' || true)
