@@ -455,27 +455,107 @@ class JdbcUpsertSpec extends SparkSpec {
     // The partition transaction never committed: target unchanged.
     assert(readTable("bars_offspec") === Seq(("AAA", 20240101L, 1.0)))
   }
+
+  test("deterministic insert race: retry wrapper recovers in exactly one retry") {
+    // The concurrent test above proves convergence but can't guarantee the
+    // 23505 race actually FIRES on any given run (Derby may serialize the
+    // window away). This twin forces it: the shim throws the loser's
+    // duplicate-key SQLState on the first MERGE, then passes through —
+    // the wrapper must report exactly one retry, the failed attempt's
+    // staging tables must be gone (the finally ran), and the end state
+    // must be the delta, applied once.
+    import spark.implicits._
+    ShimJdbc.ensureRegistered()
+    JdbcUpsert.ensureTable(url, ddl.replace("CREATE TABLE bars", "CREATE TABLE bars_race"))
+    val keys = Seq("code", "trade_date")
+    val seed = Seq(("AAA", 20240101L, 1.0)).toDF("code", "trade_date", "close_px")
+    JdbcUpsert.upsertViaStaging(seed, url, "bars_race", keys, Some("code VARCHAR(16)"))
+
+    val delta = Seq(("AAA", 20240101L, 2.0), ("BBB", 20240102L, 3.0))
+      .toDF("code", "trade_date", "close_px")
+    ShimJdbc.armStatementFault()
+    val retries = JdbcUpsert.upsertViaStagingRetry(delta,
+      "jdbc:graftshim:mergerace:memory:graftdb;create=true", "bars_race", keys,
+      Some("code VARCHAR(16)"), maxRetries = 3)
+    assert(retries === 1, s"expected exactly one retry, got $retries")
+    assert(readTable("bars_race") ===
+      Seq(("AAA", 20240101L, 2.0), ("BBB", 20240102L, 3.0)))
+    // no staging debris from the failed attempt (Derby folds unquoted
+    // names to upper case; staging names are <table>_stg_<hex12>)
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLENAME LIKE 'BARS_RACE_STG%'")
+      assert(!rs.next(), "failed attempt leaked a staging table")
+    } finally c.close()
+  }
+
+  test("deterministic cleanup failure: committed work is NOT retried, leak is named") {
+    // The other half of the retry classifier: a post-commit staging DROP
+    // failing with a transient-looking SQLState (40XL1) must surface as
+    // StagingCleanupException — never a retry (the merge committed;
+    // re-running would double work and stage a second leak) — with the
+    // leaked table's name aboard for operator cleanup, and the target
+    // must carry the delta.
+    import spark.implicits._
+    ShimJdbc.ensureRegistered()
+    JdbcUpsert.ensureTable(url, ddl.replace("CREATE TABLE bars", "CREATE TABLE bars_drop"))
+    val keys = Seq("code", "trade_date")
+    val delta = Seq(("AAA", 20240101L, 5.0)).toDF("code", "trade_date", "close_px")
+    ShimJdbc.armStatementFault()
+    val e = intercept[graft.sources.StagingCleanupException] {
+      JdbcUpsert.upsertViaStagingRetry(delta,
+        "jdbc:graftshim:dropfail:memory:graftdb;create=true", "bars_drop", keys,
+        Some("code VARCHAR(16)"), maxRetries = 3)
+    }
+    assert(e.stagingTable.startsWith("bars_drop_stg_"),
+      s"exception must name the leaked staging table, got ${e.stagingTable}")
+    assert(e.getCause.isInstanceOf[java.sql.SQLException] &&
+      e.getCause.asInstanceOf[java.sql.SQLException].getSQLState == "40XL1")
+    // the merge COMMITTED despite the cleanup failure
+    assert(readTable("bars_drop") === Seq(("AAA", 20240101L, 5.0)))
+    // the leaked table really exists (the shim swallowed the real drop) —
+    // clean it up by the name the exception carries, proving the name is
+    // actionable
+    val c = java.sql.DriverManager.getConnection(url)
+    try c.createStatement().executeUpdate(s"DROP TABLE ${e.stagingTable}")
+    finally c.close()
+  }
 }
 
-/** Test-only JDBC driver: wraps embedded Derby and rewrites every
-  * `executeBatch` count array — `noinfo` mode to `SUCCESS_NO_INFO` (the
-  * JDBC-legal "statement succeeded, count unknown" many drivers emit for
-  * large batches), `fail` mode to an off-spec `-3` (a driver signaling
-  * failure through the count array instead of `BatchUpdateException`).
-  * URL shape: `jdbc:graftshim:<mode>:<derby-suffix>`. Single-statement
-  * `executeUpdate` passes through untouched, which is exactly what the
-  * degraded per-row probe relies on.
+/** Test-only JDBC driver: wraps embedded Derby and injects faults.
+  * Batch modes rewrite every `executeBatch` count array — `noinfo` mode to
+  * `SUCCESS_NO_INFO` (the JDBC-legal "statement succeeded, count unknown"
+  * many drivers emit for large batches), `fail` mode to an off-spec `-3`
+  * (a driver signaling failure through the count array instead of
+  * `BatchUpdateException`). Statement modes (round 15 — deterministic
+  * twins of the nondeterministic concurrent-writer race) arm a ONE-SHOT
+  * fault on plain `executeUpdate`: `mergerace` throws SQLState 23505 on
+  * the first MERGE (the both-NOT-MATCHED insert race, exactly as the
+  * loser sees it), `dropfail` throws 40XL1 on the first staging-table
+  * DROP (the post-commit cleanup failure). Arm via [[armStatementFault]]
+  * before the call under test; everything else passes through, so Spark's
+  * distributed staging write works against the shim URL unchanged.
+  * URL shape: `jdbc:graftshim:<mode>:<derby-suffix>`.
   */
 object ShimJdbc {
   import java.lang.reflect.{InvocationHandler, InvocationTargetException, Method, Proxy}
-  import java.sql.{Connection, DriverManager, PreparedStatement}
+  import java.sql.{Connection, DriverManager, PreparedStatement, SQLException, Statement}
 
   val batchRewrites = new java.util.concurrent.atomic.AtomicInteger(0)
   private val registered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val statementFaultArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   def ensureRegistered(): Unit =
     if (registered.compareAndSet(false, true))
       DriverManager.registerDriver(new ShimDriver)
+
+  /** One-shot arm for the `mergerace`/`dropfail` statement faults: the
+    * NEXT matching executeUpdate through a statement-mode connection
+    * throws, then the mode passes everything through — so a retry of the
+    * same logical operation succeeds, like a real transient race.
+    */
+  def armStatementFault(): Unit = statementFaultArmed.set(true)
 
   private def rewrite(mode: String, counts: Array[Int]): Array[Int] = {
     batchRewrites.incrementAndGet()
@@ -492,37 +572,77 @@ object ShimJdbc {
       try wrap(m, if (args == null) m.invoke(target) else m.invoke(target, args: _*))
       catch { case e: InvocationTargetException => throw e.getCause }
 
+  /** Like [[handler]] but runs a check BEFORE invoking the target — the
+    * injected fault must fire instead of the real statement, not after it.
+    */
+  private def preHandler(target: AnyRef, before: (Method, Array[AnyRef]) => Unit): InvocationHandler =
+    (_, m: Method, args: Array[AnyRef]) => {
+      before(m, args)
+      try { if (args == null) m.invoke(target) else m.invoke(target, args: _*) }
+      catch { case e: InvocationTargetException => throw e.getCause }
+    }
+
   private def proxyStatement(real: PreparedStatement, mode: String): PreparedStatement =
     Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[PreparedStatement]),
       handler(real, (m, r) =>
         if (m.getName == "executeBatch") rewrite(mode, r.asInstanceOf[Array[Int]])
         else r)).asInstanceOf[PreparedStatement]
 
-  private def proxyConnection(real: Connection, mode: String): Connection =
+  private def proxyPlainStatement(real: Statement, mode: String): Statement =
+    Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[Statement]),
+      preHandler(real, (m, args) =>
+        if (m.getName == "executeUpdate" && args != null && args.nonEmpty) {
+          val sql = args(0).asInstanceOf[String]
+          mode match {
+            case "mergerace" if sql.startsWith("MERGE") &&
+                statementFaultArmed.compareAndSet(true, false) =>
+              throw new SQLException(
+                "simulated concurrent-writer insert race (both NOT MATCHED)", "23505")
+            case "dropfail" if sql.startsWith("DROP TABLE") && !sql.endsWith("_d") &&
+                statementFaultArmed.compareAndSet(true, false) =>
+              throw new SQLException(
+                "simulated lock timeout on the post-commit staging drop", "40XL1")
+            case _ => ()
+          }
+        })).asInstanceOf[Statement]
+
+  private[graft] def proxyConnection(real: Connection, mode: String): Connection =
     Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[Connection]),
       handler(real, (m, r) =>
-        if (m.getName == "prepareStatement")
+        if (m.getName == "prepareStatement" && (mode == "noinfo" || mode == "fail"))
           proxyStatement(r.asInstanceOf[PreparedStatement], mode)
+        else if (m.getName == "createStatement" &&
+            (mode == "mergerace" || mode == "dropfail"))
+          proxyPlainStatement(r.asInstanceOf[Statement], mode)
         else r)).asInstanceOf[Connection]
 
-  class ShimDriver extends java.sql.Driver {
-    private val prefix = "jdbc:graftshim:"
-    override def acceptsURL(url: String): Boolean =
-      url != null && url.startsWith(prefix)
-    override def connect(url: String, info: java.util.Properties): Connection = {
-      if (!acceptsURL(url)) return null // JDBC contract: null, not throw
-      val rest = url.stripPrefix(prefix)
-      val mode = rest.takeWhile(_ != ':')
-      val real = DriverManager.getConnection(
-        "jdbc:derby:" + rest.dropWhile(_ != ':').drop(1), info)
-      proxyConnection(real, mode)
-    }
-    override def getMajorVersion: Int = 1
-    override def getMinorVersion: Int = 0
-    override def getPropertyInfo(u: String, i: java.util.Properties) =
-      Array.empty[java.sql.DriverPropertyInfo]
-    override def jdbcCompliant(): Boolean = false
-    override def getParentLogger: java.util.logging.Logger =
-      throw new java.sql.SQLFeatureNotSupportedException()
+}
+
+/** TOP-LEVEL (not nested in [[ShimJdbc]]) because Spark's JDBC writer
+  * re-resolves the matched driver by `getClass.getCanonicalName` and
+  * `Class.forName`s it on executors — a nested class's canonical name
+  * (`graft.ShimJdbc.ShimDriver`) is not its binary name and fails to load,
+  * so the statement-fault modes (which go through Spark's distributed
+  * staging write) need a plainly-loadable class with a no-arg constructor.
+  */
+class ShimDriver extends java.sql.Driver {
+  import java.sql.{Connection, DriverManager}
+  private val prefix = "jdbc:graftshim:"
+  override def acceptsURL(url: String): Boolean =
+    url != null && url.startsWith(prefix)
+  override def connect(url: String, info: java.util.Properties): Connection = {
+    if (!acceptsURL(url)) return null // JDBC contract: null, not throw
+    val rest = url.stripPrefix(prefix)
+    val mode = rest.takeWhile(_ != ':')
+    val real = DriverManager.getConnection(
+      "jdbc:derby:" + rest.dropWhile(_ != ':').drop(1), info)
+    ShimJdbc.proxyConnection(real, mode)
   }
+  override def getMajorVersion: Int = 1
+  override def getMinorVersion: Int = 0
+  override def getPropertyInfo(u: String, i: java.util.Properties) =
+    Array.empty[java.sql.DriverPropertyInfo]
+  override def jdbcCompliant(): Boolean = false
+  override def getParentLogger: java.util.logging.Logger =
+    throw new java.sql.SQLFeatureNotSupportedException()
 }
