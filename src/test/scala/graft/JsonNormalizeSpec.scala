@@ -106,6 +106,48 @@ class JsonNormalizeSpec extends SparkSpec {
       s"expected the atomic-key type check to fire, got: $e")
   }
 
+  test("seeded-random maps: native, HOF, and a driver-side reference agree three ways") {
+    // Third independent formulation (house fuzz style, cf. MinhashFuzzSpec):
+    // a sequential Scala first-wins walk over the generated entry list.
+    // 200 seeded-random maps, keys drawn from a 6-letter alphabet so
+    // duplicates are dense (P(dup) ≈ 1 for len ≥ 8), lengths 0..12 so the
+    // empty map and the n=1 short-circuit both occur, run through ONE
+    // Spark pass.
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242L)
+    val cases: Seq[(Int, Seq[(String, String)])] = (0 until 200).map { i =>
+      val len = rnd.nextInt(13)
+      i -> Seq.fill(len)(
+        (s"k${('a' + rnd.nextInt(6)).toChar}", s"v${rnd.nextInt(1000)}"))
+    }
+    def refFirstWins(es: Seq[(String, String)]): Seq[(String, String)] = {
+      val out = scala.collection.mutable.LinkedHashMap[String, String]()
+      es.foreach { case (k, v) => if (!out.contains(k)) out(k) = v }
+      out.toSeq
+    }
+    val jsons = cases.map { case (i, es) =>
+      (i, es.map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}"))
+    }
+    val got = jsons.toDF("i", "json")
+      .withColumn("native",
+        map_entries(JsonNormalize.fromJsonFirstWins(col("json"))))
+      .withColumn("hof", map_entries(JsonNormalize.dedupMapKeysHof(
+        from_json(col("json"), MapType(StringType, StringType)))))
+      .select("i", "native", "hof").collect()
+      .map(r => r.getInt(0) ->
+        (r.getSeq[org.apache.spark.sql.Row](1).map(e => e.getString(0) -> e.getString(1)),
+          r.getSeq[org.apache.spark.sql.Row](2).map(e => e.getString(0) -> e.getString(1))))
+      .toMap
+    cases.foreach { case (i, es) =>
+      val want = refFirstWins(es)
+      val (native, hof) = got(i)
+      assert(native == want,
+        s"case $i: native diverged from the driver reference — entries=$es, got=$native, want=$want")
+      assert(hof == want,
+        s"case $i: HOF diverged from the driver reference — entries=$es, got=$hof, want=$want")
+    }
+  }
+
   test("Java-vs-SQL key equality seams: binary keys rejected, -0.0/0.0 double keys are ONE key") {
     import spark.implicits._
     // BinaryType keys: Array[Byte] equals is identity-based, so a hash-set
