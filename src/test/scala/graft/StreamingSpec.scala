@@ -283,4 +283,40 @@ class StreamingSpec extends SparkSpec {
     assert(out.length === rows.length, "re-delivered rows were not suppressed")
     assert(out.map(_.getLong(0)).toSet === rows.map(_.event_id).toSet)
   }
+
+  test("dup-key JSON normalization works at the stream edge (native expression in a streaming plan)") {
+    // Ingest normalization happens where data ARRIVES — a live stream.
+    // The native MapDedupKeysFirstWins is row-local so Structured
+    // Streaming should accept it in a streaming projection (no
+    // unsupported-operation check applies), but only a pin proves a
+    // custom expression never trips the streaming analyzer; and the
+    // dup-key rows must be map_concat-safe downstream IN the stream,
+    // first-wins intact (round 15, closing the JsonNormalize loop at the
+    // edge the fn_map QueryDef note points to).
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("id", "props")
+      .withColumn("m", graft.functions.JsonNormalize.fromJsonFirstWins(col("props")))
+      .withColumn("mm", when(col("m").isNotNull,
+        map_concat(col("m"), map(lit("src"), lit("stream"))))
+        .otherwise(map(lit("src"), lit("stream"))))
+      .select(col("id"), expr("try_element_at(mm, 'k')").as("k"),
+        expr("try_element_at(mm, 'src')").as("src"))
+      .writeStream.format("memory").queryName("dupkey_stream").outputMode("append").start()
+    stream.addData(Seq(
+      (0L, """{"k": 1}"""),
+      (1L, """{"k": 7, "k": 8}"""),
+      (2L, "not json at all")))
+    q.processAllAvailable()
+    stream.addData(Seq((3L, """{"q": 1, "q": 2, "k": 9}""")))
+    q.processAllAvailable()
+    val out = spark.table("dupkey_stream").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    q.stop()
+    assert(out(0L) === (("1", "stream")))
+    assert(out(1L) === (("7", "stream")), "first-wins violated in the stream")
+    assert(out(2L) === ((null, "stream")), "malformed row must NULL-normalize, not kill the query")
+    assert(out(3L) === (("9", "stream")))
+  }
 }
