@@ -208,6 +208,27 @@ class SourceFormatsSpec extends SparkSpec {
       roundTripTable(tiesDir, t, "csv", csvMultiLine = false)
   }
 
+  test("ORC reads push predicates and prune columns like parquet") {
+    // Round-trip parity (above) proves ORC carries the BYTES; this proves
+    // it carries the SCALE properties — at 100 TB an ORC source whose
+    // filters evaluate post-scan or whose scan reads all columns for a
+    // 2-column projection would be a silent 10-100x regression invisible
+    // to every value-level test. Same assertions PlanSpec pins for the
+    // parquet path.
+    val dir = Files.createTempDirectory("graft_orc_push").toString
+    Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .write.format("orc").mode("overwrite").save(dir)
+    val p = spark.read.format("orc").load(dir)
+      .filter(col("l_quantity") > 45.0)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"predicate not pushed into the ORC scan:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"ORC scan not pruned to the referenced columns:\n$p")
+  }
+
   test("ties documents via CSV: corrupt row isolated, duplicate text rows intact") {
     // The seam the sweep never hit: PERMISSIVE isolation running on rows
     // where legitimate near-identical duplicates exist. The reader must
