@@ -223,8 +223,13 @@ object JdbcUpsert {
           // work and would leak THIS staging table unreferenced (each
           // retry stages under a fresh name). Suppress onto the original
           // failure if there is one; otherwise raise the typed wrapper
-          // naming the leaked table for operator cleanup.
-          if (failure != null) failure.addSuppressed(e)
+          // naming the leaked table for operator cleanup. The suppressed
+          // form is ALSO the typed wrapper, not the raw SQLException
+          // (ADVICE r15): the staging name is a local here, so unless it
+          // travels aboard the exception, a retry wrapper that swallows
+          // this failure (transient race + successful re-run) erases the
+          // only record of which table leaked.
+          if (failure != null) failure.addSuppressed(new StagingCleanupException(staging, e))
           else throw new StagingCleanupException(staging, e)
         }
       }
@@ -269,14 +274,28 @@ object JdbcUpsert {
     * jitter (50·2^attempt ms + 0-50 ms) so colliding writers don't re-run
     * the full distributed staging write in lockstep until the budget is
     * gone. Returns the number of retries consumed (0 = clean first pass)
-    * so callers can meter contention. Derby seam, observed: the UPDATE
+    * so callers can meter contention.
+    *
+    * Leak evidence is never erased by a successful retry (ADVICE r15):
+    * when a transient race and a failed staging DROP coincide, the DROP
+    * failure rides the retried exception only as a suppressed
+    * [[StagingCleanupException]] — if the retry then succeeds, that
+    * exception is swallowed here. Before each retry the caught chain is
+    * walked for suppressed cleanup failures and every leaked staging
+    * table name is reported through `onLeak` (default: a WARN log line
+    * naming the table), so the leak survives the swallow. On the
+    * exhausted/non-transient rethrow path the evidence needs no report —
+    * it propagates to the caller aboard the exception itself.
+    *
+    * Derby seam, observed: the UPDATE
     * halves of overlapping MERGEs serialize on row locks
     * (last-committer-wins for all its keys, atomically); only the insert
     * half races.
     */
   def upsertViaStagingRetry(df: DataFrame, url: String, table: String,
       keys: Seq[String], stagingColumnTypes: Option[String] = None,
-      dialect: UpsertDialect = AnsiMergeDialect, maxRetries: Int = 3): Int = {
+      dialect: UpsertDialect = AnsiMergeDialect, maxRetries: Int = 3,
+      onLeak: String => Unit = logLeakedStaging): Int = {
     var attempt = 0
     var done = false
     while (!done) {
@@ -285,12 +304,34 @@ object JdbcUpsert {
         done = true
       } catch {
         case e: Throwable if attempt < maxRetries && isTransientRace(e) =>
+          // About to swallow `e` (if the retry succeeds) — surface any
+          // leaked staging tables riding it as suppressed cleanup
+          // failures first (ADVICE r15).
+          leakedStagingTables(e).foreach(onLeak)
           attempt += 1
           Thread.sleep((50L << attempt) +
             java.util.concurrent.ThreadLocalRandom.current().nextLong(50))
       }
     }
     attempt
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def logLeakedStaging(table: String): Unit =
+    log.warn(s"staging table $table leaked: its post-rollback DROP failed " +
+      "and the failed attempt is being retried — drop it manually")
+
+  /** Every staging table named by a [[StagingCleanupException]] anywhere in
+    * `t`'s cause chain or the suppressed lists hanging off it. Bounded walk
+    * (same take(20) discipline as [[isTransientRace]]): a cause cycle must
+    * not spin this forever.
+    */
+  private[graft] def leakedStagingTables(t: Throwable): Seq[String] = {
+    val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(20).toSeq
+    chain.flatMap(x => x +: x.getSuppressed.toSeq).collect {
+      case s: StagingCleanupException => s.stagingTable
+    }.distinct
   }
 
   /** Fallback path: batched per-partition UPDATE-then-INSERT — one

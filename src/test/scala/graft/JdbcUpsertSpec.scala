@@ -6,7 +6,14 @@ import graft.sources.JdbcUpsert
 /** JDBC upsert + incremental watermark capability against embedded Derby
   * (ships in /opt/spark/jars for the Hive metastore — SURVEY §7.4.6).
   */
-class JdbcUpsertSpec extends SparkSpec {
+class JdbcUpsertSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
+
+  // A fault armed by a test that died before it fired must not outlive
+  // that test and misfire on an unrelated statement (ADVICE r15).
+  override protected def afterEach(): Unit = {
+    ShimJdbc.disarmAll()
+    super.afterEach()
+  }
 
   private val url = "jdbc:derby:memory:graftdb;create=true"
   private val ddl =
@@ -473,7 +480,7 @@ class JdbcUpsertSpec extends SparkSpec {
 
     val delta = Seq(("AAA", 20240101L, 2.0), ("BBB", 20240102L, 3.0))
       .toDF("code", "trade_date", "close_px")
-    ShimJdbc.armStatementFault()
+    ShimJdbc.armStatementFault("mergerace")
     val retries = JdbcUpsert.upsertViaStagingRetry(delta,
       "jdbc:graftshim:mergerace:memory:graftdb;create=true", "bars_race", keys,
       Some("code VARCHAR(16)"), maxRetries = 3)
@@ -502,7 +509,7 @@ class JdbcUpsertSpec extends SparkSpec {
     JdbcUpsert.ensureTable(url, ddl.replace("CREATE TABLE bars", "CREATE TABLE bars_drop"))
     val keys = Seq("code", "trade_date")
     val delta = Seq(("AAA", 20240101L, 5.0)).toDF("code", "trade_date", "close_px")
-    ShimJdbc.armStatementFault()
+    ShimJdbc.armStatementFault("dropfail")
     val e = intercept[graft.sources.StagingCleanupException] {
       JdbcUpsert.upsertViaStagingRetry(delta,
         "jdbc:graftshim:dropfail:memory:graftdb;create=true", "bars_drop", keys,
@@ -520,6 +527,53 @@ class JdbcUpsertSpec extends SparkSpec {
     val c = java.sql.DriverManager.getConnection(url)
     try c.createStatement().executeUpdate(s"DROP TABLE ${e.stagingTable}")
     finally c.close()
+  }
+
+  test("coincident race + cleanup failure: retry succeeds but the leak is reported, not erased") {
+    // ADVICE r15: when a transient merge race and a failed staging DROP
+    // coincide, the DROP failure rides the retried exception only as a
+    // suppressed cleanup error; a successful retry then swallows the
+    // exception — and with it, before this round, the only record of
+    // which staging table leaked. The wrapper must now (a) still classify
+    // the failure as a transient race (the suppressed cleanup failure
+    // must NOT suppress the retry the way a thrown
+    // StagingCleanupException rightly does), (b) converge in one retry,
+    // and (c) report the leaked table's name through onLeak before
+    // swallowing — and the name must be actionable.
+    import spark.implicits._
+    ShimJdbc.ensureRegistered()
+    JdbcUpsert.ensureTable(url, ddl.replace("CREATE TABLE bars", "CREATE TABLE bars_leak"))
+    val keys = Seq("code", "trade_date")
+    val seed = Seq(("AAA", 20240101L, 1.0)).toDF("code", "trade_date", "close_px")
+    JdbcUpsert.upsertViaStaging(seed, url, "bars_leak", keys, Some("code VARCHAR(16)"))
+
+    val delta = Seq(("AAA", 20240101L, 2.0), ("BBB", 20240102L, 3.0))
+      .toDF("code", "trade_date", "close_px")
+    // Both one-shot faults armed: first MERGE → 23505 (the insert race),
+    // then the failed attempt's staging DROP → 40XL1 (the coinciding
+    // cleanup failure). The retry's own MERGE and DROP pass through.
+    ShimJdbc.armStatementFault("mergerace")
+    ShimJdbc.armStatementFault("dropfail")
+    val leaked = scala.collection.mutable.ArrayBuffer.empty[String]
+    val retries = JdbcUpsert.upsertViaStagingRetry(delta,
+      "jdbc:graftshim:racedropfail:memory:graftdb;create=true", "bars_leak", keys,
+      Some("code VARCHAR(16)"), maxRetries = 3, onLeak = leaked += _)
+    assert(retries === 1, s"expected exactly one retry, got $retries")
+    assert(readTable("bars_leak") ===
+      Seq(("AAA", 20240101L, 2.0), ("BBB", 20240102L, 3.0)))
+    // Exactly one leak, named: the failed attempt's staging table.
+    assert(leaked.size === 1 && leaked.head.startsWith("bars_leak_stg_"),
+      s"expected one reported bars_leak_stg_* leak, got $leaked")
+    // The named table really exists (the leak is real, the DROP never
+    // ran), and the name is actionable — drop it. The SUCCESSFUL retry's
+    // staging table must meanwhile be gone, so afterwards no debris.
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      c.createStatement().executeUpdate(s"DROP TABLE ${leaked.head}")
+      val rs = c.createStatement().executeQuery(
+        "SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLENAME LIKE 'BARS_LEAK_STG%'")
+      assert(!rs.next(), "a staging table beyond the reported leak survived")
+    } finally c.close()
   }
 }
 
@@ -544,18 +598,32 @@ object ShimJdbc {
 
   val batchRewrites = new java.util.concurrent.atomic.AtomicInteger(0)
   private val registered = new java.util.concurrent.atomic.AtomicBoolean(false)
-  private val statementFaultArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // Armed one-shot faults, KEYED BY FAULT KIND (ADVICE r15): the old
+  // single shared AtomicBoolean meant a test that armed but never fired
+  // (e.g. an earlier assertion failed first) leaked its arm into the next
+  // shim-mode test, which then misfired on an unrelated statement — a
+  // confusing cascade. Keying prevents cross-kind misfires; the spec's
+  // afterEach calls [[disarmAll]] so a stale arm cannot cross test
+  // boundaries at all.
+  private val armed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def ensureRegistered(): Unit =
     if (registered.compareAndSet(false, true))
       DriverManager.registerDriver(new ShimDriver)
 
-  /** One-shot arm for the `mergerace`/`dropfail` statement faults: the
-    * NEXT matching executeUpdate through a statement-mode connection
-    * throws, then the mode passes everything through — so a retry of the
-    * same logical operation succeeds, like a real transient race.
+  /** One-shot arm for a statement-fault kind (`"mergerace"` /
+    * `"dropfail"`): the NEXT matching executeUpdate through a
+    * statement-mode connection throws, then the mode passes everything
+    * through — so a retry of the same logical operation succeeds, like a
+    * real transient race. The combined `racedropfail` connection mode
+    * consumes both kinds independently (arm each).
     */
-  def armStatementFault(): Unit = statementFaultArmed.set(true)
+  def armStatementFault(kind: String): Unit = armed.add(kind)
+
+  /** Safety net against stale arms outliving a failed test (ADVICE r15). */
+  def disarmAll(): Unit = armed.clear()
+
+  private def consume(kind: String): Boolean = armed.remove(kind)
 
   private def rewrite(mode: String, counts: Array[Int]): Array[Int] = {
     batchRewrites.incrementAndGet()
@@ -593,17 +661,14 @@ object ShimJdbc {
       preHandler(real, (m, args) =>
         if (m.getName == "executeUpdate" && args != null && args.nonEmpty) {
           val sql = args(0).asInstanceOf[String]
-          mode match {
-            case "mergerace" if sql.startsWith("MERGE") &&
-                statementFaultArmed.compareAndSet(true, false) =>
-              throw new SQLException(
-                "simulated concurrent-writer insert race (both NOT MATCHED)", "23505")
-            case "dropfail" if sql.startsWith("DROP TABLE") && !sql.endsWith("_d") &&
-                statementFaultArmed.compareAndSet(true, false) =>
-              throw new SQLException(
-                "simulated lock timeout on the post-commit staging drop", "40XL1")
-            case _ => ()
-          }
+          if ((mode == "mergerace" || mode == "racedropfail") &&
+              sql.startsWith("MERGE") && consume("mergerace"))
+            throw new SQLException(
+              "simulated concurrent-writer insert race (both NOT MATCHED)", "23505")
+          if ((mode == "dropfail" || mode == "racedropfail") &&
+              sql.startsWith("DROP TABLE") && !sql.endsWith("_d") && consume("dropfail"))
+            throw new SQLException(
+              "simulated lock timeout on the post-commit staging drop", "40XL1")
         })).asInstanceOf[Statement]
 
   private[graft] def proxyConnection(real: Connection, mode: String): Connection =
@@ -612,7 +677,7 @@ object ShimJdbc {
         if (m.getName == "prepareStatement" && (mode == "noinfo" || mode == "fail"))
           proxyStatement(r.asInstanceOf[PreparedStatement], mode)
         else if (m.getName == "createStatement" &&
-            (mode == "mergerace" || mode == "dropfail"))
+            (mode == "mergerace" || mode == "dropfail" || mode == "racedropfail"))
           proxyPlainStatement(r.asInstanceOf[Statement], mode)
         else r)).asInstanceOf[Connection]
 
