@@ -529,6 +529,114 @@ class JdbcUpsertSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     finally c.close()
   }
 
+  test("adversarial rows round-trip the staging upsert byte-exact (unicode/control/extremes)") {
+    // VERDICT r15 #4: the DB-update path had only ever carried clean
+    // synthetic bars. Replay the degenerate-set genre through
+    // ensureTable → upsertViaStaging → upsertViaStagingRetry → read-back:
+    // multibyte text (CJK + a surrogate-pair emoji + cyrillic), NBSP and
+    // ZWSP inside key VARCHARs, C0 control characters, tab/newline, and
+    // ±extreme doubles. Parity is asserted BYTE-exact on the UTF-8
+    // encoding of every string, not just String.equals, so a lossy
+    // Derby/JDBC transcoding seam cannot hide behind Java string
+    // normalization.
+    import spark.implicits._
+    JdbcUpsert.ensureTable(url,
+      """CREATE TABLE bars_adv (
+        |  k VARCHAR(64) NOT NULL PRIMARY KEY,
+        |  px DOUBLE,
+        |  txt VARCHAR(256))""".stripMargin)
+    val seed = Seq(
+      ("株式会社🚀", 1e30, "多字节 текст ☃"),
+      ("café\u00A0nbsp", -1e30, "a\u00A0b"),
+      ("a\u200Bb", java.lang.Double.MIN_NORMAL, "zwsp key"),
+      ("ctl\u0001\u001F", java.lang.Double.MAX_VALUE, "c\u0001d\u001Fe"),
+      ("tab\tnl", -java.lang.Double.MAX_VALUE, "x\ty\nz"))
+      .toDF("k", "px", "txt")
+    JdbcUpsert.upsertViaStaging(seed, url, "bars_adv", Seq("k"),
+      Some("k VARCHAR(64), txt VARCHAR(256)"))
+    // Delta through the retry wrapper: the emoji key must MATCH its seed
+    // row (update in place — multibyte keys survive the MERGE ON
+    // comparison), and bare "ab" must NOT match "a<ZWSP>b" (insert —
+    // zero-width characters are significant in Derby VARCHAR equality).
+    val delta = Seq(
+      ("株式会社🚀", -1e30, "多字节 текст ☃"),
+      ("ab", 0.5, "no zwsp"))
+      .toDF("k", "px", "txt")
+    val retries = JdbcUpsert.upsertViaStagingRetry(delta, url, "bars_adv", Seq("k"),
+      Some("k VARCHAR(64), txt VARCHAR(256)"))
+    assert(retries === 0)
+    val got = spark.read.format("jdbc").option("url", url).option("dbtable", "bars_adv").load()
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+      .sortBy(_._1)
+    val want = Seq(
+      ("ab", 0.5, "no zwsp"),
+      ("a\u200Bb", java.lang.Double.MIN_NORMAL, "zwsp key"),
+      ("café\u00A0nbsp", -1e30, "a\u00A0b"),
+      ("ctl\u0001\u001F", java.lang.Double.MAX_VALUE, "c\u0001d\u001Fe"),
+      ("tab\tnl", -java.lang.Double.MAX_VALUE, "x\ty\nz"),
+      ("株式会社🚀", -1e30, "多字节 текст ☃")).sortBy(_._1)
+    assert(got.length === want.length, s"row count: got ${got.toSeq}")
+    got.zip(want).foreach { case ((gk, gp, gt), (wk, wp, wt)) =>
+      assert(java.util.Arrays.equals(gk.getBytes("UTF-8"), wk.getBytes("UTF-8")),
+        s"key bytes differ: ${gk.getBytes("UTF-8").toSeq} vs ${wk.getBytes("UTF-8").toSeq}")
+      assert(java.util.Arrays.equals(gt.getBytes("UTF-8"), wt.getBytes("UTF-8")),
+        s"txt bytes differ for key $wk")
+      assert(java.lang.Double.compare(gp, wp) === 0, s"px differs for key $wk: $gp vs $wp")
+    }
+  }
+
+  test("Derby VARCHAR equality pads trailing spaces: a trailing-space key MERGEs into its trimmed twin") {
+    // Documented encoding seam probe (VERDICT r15 #4): SQL-standard PAD
+    // SPACE comparison means Derby's MERGE ON k = k treats 'ts' and
+    // 'ts ' as EQUAL keys, while Spark (and DuckDB, pinned in the
+    // degenerate program) treats them as distinct strings. A delta whose
+    // key differs from an existing row only by trailing spaces therefore
+    // UPDATES that row instead of inserting — silent key coalescing at
+    // the DB edge. Recipe for callers that need Spark-exact key
+    // semantics: make trailing whitespace significant BEFORE the upsert
+    // (escape/trim/length-prefix the key column).
+    import spark.implicits._
+    JdbcUpsert.ensureTable(url,
+      """CREATE TABLE bars_pad (
+        |  k VARCHAR(16) NOT NULL PRIMARY KEY,
+        |  px DOUBLE)""".stripMargin)
+    val seed = Seq(("ts", 1.0)).toDF("k", "px")
+    JdbcUpsert.upsertViaStaging(seed, url, "bars_pad", Seq("k"), Some("k VARCHAR(16)"))
+    val delta = Seq(("ts ", 2.0)).toDF("k", "px")
+    JdbcUpsert.upsertViaStaging(delta, url, "bars_pad", Seq("k"), Some("k VARCHAR(16)"))
+    val rows = spark.read.format("jdbc").option("url", url).option("dbtable", "bars_pad").load()
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(rows.length === 1, s"expected PAD SPACE coalescing to one row, got $rows")
+    assert(rows.head._2 === 2.0, "the trailing-space delta must have updated the trimmed row")
+    // The stored key keeps the ORIGINAL (seed) spelling — the UPDATE arm
+    // only touches non-key columns.
+    assert(rows.head._1 === "ts")
+  }
+
+  test("non-finite doubles are rejected loudly by the Derby arm (documented seam)") {
+    // Derby DOUBLE has no NaN/Infinity representation (SQL standard
+    // numeric): staging a non-finite px must fail loudly at the staging
+    // WRITE, not corrupt the target. Pinned so a pipeline feeding
+    // aggregate outputs (which CAN be NaN — 0/0 ratios) into the upsert
+    // learns the constraint from a test, not production.
+    import spark.implicits._
+    JdbcUpsert.ensureTable(url,
+      """CREATE TABLE bars_nan (
+        |  k VARCHAR(16) NOT NULL PRIMARY KEY,
+        |  px DOUBLE)""".stripMargin)
+    val delta = Seq(("n", Double.NaN)).toDF("k", "px")
+    val e = intercept[Exception] {
+      JdbcUpsert.upsertViaStaging(delta, url, "bars_nan", Seq("k"), Some("k VARCHAR(16)"))
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(_.isInstanceOf[java.sql.SQLException]),
+      s"expected a SQLException in the chain, got $e")
+    // target untouched
+    assert(spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "bars_nan").load().count() === 0)
+  }
+
   test("coincident race + cleanup failure: retry succeeds but the leak is reported, not erased") {
     // ADVICE r15: when a transient merge race and a failed staging DROP
     // coincide, the DROP failure rides the retried exception only as a
