@@ -253,6 +253,67 @@ class SourceFormatsSpec extends SparkSpec {
     back.unpersist()
   }
 
+  test("record-level duplicate JSON keys: inference refuses, explicit struct silently last-wins (documented divergence)") {
+    // VERDICT r15 #5 — the remaining reader seam of the dup-key chain.
+    // Rounds 14/15 pinned dup keys inside props STRINGS (from_json to
+    // MapType RETAINS both entries; graft_dedup_map_keys normalizes
+    // first-wins). This probe pins the RECORD path, spark.read.json on
+    // {"a":1,"a":2,...} lines, against the same oracle engine. Observed
+    // (Spark 4.1.2 / DuckDB 1.x, this box):
+    //  - DuckDB read_json: loud "Duplicate key" transform error — refuses.
+    //  - Spark, schema INFERENCE: infers a struct with two `a` fields and
+    //    analysis refuses with COLUMN_ALREADY_EXISTS — loud, like DuckDB,
+    //    though at a different stage (plan analysis, not parse).
+    //  - Spark, EXPLICIT struct schema: silent LAST-wins (a=2), and
+    //    PERMISSIVE does NOT flag the row as corrupt — the one silent arm,
+    //    diverging from DuckDB (refuse) AND from the repo's pinned
+    //    first-wins map normalization.
+    // Recipe (normalize-at-ingest, extended to the record case): when dup
+    // keys are possible and deterministic semantics are required, read the
+    // lines as TEXT and parse with from_json MapType +
+    // graft_dedup_map_keys — same first-wins chain the props columns use —
+    // instead of handing a struct schema to the JSON reader.
+    val dir = Files.createTempDirectory("graft_dupkey_records").toString
+    Files.writeString(java.nio.file.Path.of(dir, "part.json"),
+      "{\"a\":1,\"a\":2,\"b\":\"x\"}\n{\"a\":3,\"b\":\"y\"}\n")
+
+    // Arm 1: inference refuses loudly.
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.read.json(dir)
+    }
+    assert(e.getErrorClass == "COLUMN_ALREADY_EXISTS",
+      s"inference must refuse the duplicate inferred column, got $e")
+
+    // Arm 2: explicit struct schema — silent last-wins, PERMISSIVE does
+    // not flag it. Pinned as observed so an upstream behavior change
+    // (e.g. Spark starting to corrupt-flag dup keys) surfaces here.
+    val ex = spark.read.schema("a BIGINT, b STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+    val rows = ex.orderBy("a").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows === Seq((2L, "x", null), (3L, "y", null)),
+      s"explicit-struct arm expected silent last-wins with no corrupt flag, got $rows")
+
+    // Arm 3: the recipe — text + from_json(Map) retains BOTH entries
+    // (size 3 on the dup row), and the normalizer resolves first-wins
+    // (a=1), deterministic and consistent with the props-column chain.
+    val m = spark.read.text(dir)
+      .select(from_json(col("value"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)).as("m"))
+    val sizes = m.select(size(map_keys(col("m"))).as("n")).orderBy(col("n").desc)
+      .collect().map(_.getInt(0)).toSeq
+    assert(sizes === Seq(3, 2), "from_json(Map) must retain the duplicate entry pre-normalize")
+    val norm = m.select(graft.functions.MapExpressions.dedupMapKeys(col("m")).as("m"))
+      .select(element_at(col("m"), "a").as("a"), size(map_keys(col("m"))).as("n"))
+      .orderBy("a").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(norm === Seq(("1", 2), ("3", 2)),
+      "normalized record must be first-wins (a=1), unlike the struct arm's last-wins (a=2)")
+  }
+
   test("ties documents via JSON: corrupt line isolated, schema drift null-fills") {
     val docs = spark.read.parquet(s"$tiesDir/documents.parquet")
     val out = Files.createTempDirectory("graft_ties_badjson").toString
