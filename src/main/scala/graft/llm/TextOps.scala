@@ -39,18 +39,34 @@ object TextOps {
               |  COUNT(DISTINCT source) AS n_sources
               |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
-    // Per-language top-10 terms. The window runs over the aggregated
-    // (lang, term) table — tiny regardless of corpus size.
+    // Per-language top-10 terms. The aggregated (lang, term) table is NOT
+    // tiny at scale — the vocabulary grows with the corpus (round-16
+    // scaling harness) — so the top-k is TWO-PHASE: phase 1 ranks within
+    // (lang, input-partition); any row beaten by 10 rows in its own
+    // partition is beaten by 10 rows globally, so the per-partition
+    // top-10 is a superset of the global top-10, and phase 2's
+    // per-language sort ranks ≤ 10·partitions candidate rows instead of
+    // funneling the whole vocabulary into ≤#languages tasks. The (cnt
+    // desc, term) order is total within a language (term is unique after
+    // the groupBy), so the two-phase result is exactly the one-phase
+    // result, rank values included. Pinned in PlanSpec
+    // ("profile top-k queries pre-reduce per partition").
     QueryDef(
       "text_term_freq",
       (s, d) => {
+        val wLocal = Window.partitionBy(col("lang"), col("prof_pid"))
+          .orderBy(col("cnt").desc, col("term"))
         val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("term"))
         Tables.documents(s, d)
           .select(col("lang"), explode(split(col("text"), " ")).as("term"))
           .groupBy(col("lang"), col("term"))
           .agg(count(lit(1)).as("cnt"))
+          .withColumn("prof_pid", spark_partition_id())
+          .withColumn("lrn", row_number().over(wLocal))
+          .filter(col("lrn") <= 10)
           .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 10)
+          .drop("prof_pid", "lrn")
           .orderBy("lang", "rn")
       },
       Some("""SELECT lang, term, cnt, rn FROM (
@@ -205,9 +221,18 @@ object TextOps {
         val docs = Tables.documents(s, d)
         val terms = docs.select(col("doc_id"), col("lang"),
           explode(array_distinct(split(col("text"), " "))).as("term"))
+        // Two-phase profile top-20 (round-16 scaling harness; see
+        // text_term_freq for the superset argument and PlanSpec for the
+        // ratchet): phase 1 pre-reduces per (lang, input-partition) so
+        // the per-language sort never sees the whole vocabulary.
+        val wLocal = Window.partitionBy(col("plang"), col("prof_pid"))
+          .orderBy(col("cnt").desc, col("term"))
         val wProf = Window.partitionBy(col("plang")).orderBy(col("cnt").desc, col("term"))
         val profile = terms.groupBy(col("lang").as("plang"), col("term"))
           .agg(count(lit(1)).as("cnt"))
+          .withColumn("prof_pid", spark_partition_id())
+          .withColumn("lrn", row_number().over(wLocal))
+          .filter(col("lrn") <= 20)
           .withColumn("prn", row_number().over(wProf))
           .filter(col("prn") <= 20)
           .select("plang", "term")
@@ -412,9 +437,22 @@ object TextOps {
           explode(array_distinct(expr(
             "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")))
             .as("gram"))
+        // Two-phase profile top-30 — the round-16 scaling harness
+        // measured THIS stage as the one super-linear step in the LLM
+        // set (×8→×64 corpus: 35.7× wall for 8× data; every
+        // properly-distributed op stayed ≤6.4×): the one-phase window
+        // funneled all corpus-wide (lang, gram) counts into ≤#languages
+        // sort tasks. Phase 1 ranks within (lang, input-partition) —
+        // per-partition top-30 is a superset of the global top-30 (see
+        // text_term_freq) — leaving phase 2 ≤ 30·partitions rows.
+        val wLocal = Window.partitionBy(col("plang"), col("prof_pid"))
+          .orderBy(col("cnt").desc, col("gram"))
         val wProf = Window.partitionBy(col("plang")).orderBy(col("cnt").desc, col("gram"))
         val profile = grams.groupBy(col("lang").as("plang"), col("gram"))
           .agg(count(lit(1)).as("cnt"))
+          .withColumn("prof_pid", spark_partition_id())
+          .withColumn("lrn", row_number().over(wLocal))
+          .filter(col("lrn") <= 30)
           .withColumn("prn", row_number().over(wProf))
           .filter(col("prn") <= 30)
           .select("plang", "gram")

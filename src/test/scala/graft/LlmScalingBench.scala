@@ -84,11 +84,21 @@ object LlmScalingBench {
     "dedup_jaccard_pairs", // tokenPairs: materialized guarded postings + inverted-index join
     "dedup_ngram_jaccard", // hashed-shingle inverted index, df-guarded
     "dedup_components", // pointer-doubling CC over the pair graph, O(log n) rounds
-    "text_langid_chargram") // corpus trigram profile → broadcast overlap join
+    "text_langid_chargram", // corpus trigram profile → broadcast overlap join
+    // The two siblings sharing text_langid_chargram's profile-top-k
+    // window shape (Window.partitionBy(lang) over corpus-wide counts) —
+    // measured once the first harness run flagged that shape's ×8→×64
+    // step at 35.7× (round 16).
+    "text_langid", // corpus term profile → broadcast overlap join
+    "text_term_freq") // per-language top-10 terms over all token counts
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val scales = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 8, 64))
+    // arg 3: restrict to named ops (focused re-measurement — e.g. the
+    // round-16 chargram funnel investigation); never set when producing
+    // the full quoted table.
+    val ops = args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Ops)
     val outBase = "target/llm_scaling"
 
     val spark = SparkSession.builder()
@@ -145,12 +155,12 @@ object LlmScalingBench {
         spillMb: Double, shuffleMb: Double, peakMb: Double)
 
     // Warmup: each op once at ×1 (JIT/codegen; result discarded).
-    Ops.foreach { op =>
+    ops.foreach { op =>
       SparkEntry.queries(op)(spark, freshDir(dirs(scales.min))).count()
       dropCheckpoints()
     }
 
-    val cells = for (op <- Ops; k <- scales.sorted) yield {
+    val cells = for (op <- ops; k <- scales.sorted) yield {
       val runs = (0 until 2).map { _ =>
         dropCheckpoints()
         agg.reset()
@@ -170,7 +180,7 @@ object LlmScalingBench {
 
     // Least-squares slope of ln(wall) vs ln(k) per op, plus stepwise
     // ratios and the rows-vs-linear density check.
-    val summaries = Ops.map { op =>
+    val summaries = ops.map { op =>
       val cs = cells.filter(_.op == op).sortBy(_.k)
       val xs = cs.map(c => math.log(c.k.toDouble))
       val ys = cs.map(c => math.log(c.wallS))

@@ -184,6 +184,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"probe side shuffled for the filter join:\n$p")
   }
 
+  test("profile top-k queries pre-reduce per partition before the per-language sort") {
+    // Round-16 scaling-harness finding (LlmScalingBench, BASELINE.md r16):
+    // the profile top-N window — row_number over Window.partitionBy(lang)
+    // on corpus-wide (lang, gram|term) counts — funnels the entire
+    // vocabulary into ≤#languages sort tasks. Measured: ×8→×64 corpus
+    // step cost text_langid_chargram 35.7× for 8× data (step slope 1.72)
+    // while every properly-distributed op stayed ≤6.4×. At 100 TB that
+    // window is a handful of tasks sorting billions of rows each. The
+    // required shape is a TWO-PHASE top-k: phase 1 ranks within
+    // (lang, input-partition) — any row beaten by N rows in its own
+    // partition is beaten by N rows globally, so per-partition top-N is a
+    // superset of the global top-N — leaving phase 2's per-language sort
+    // ≤ N·partitions candidate rows. This ratchet pins phase 1's
+    // presence (the prof_pid salt column in a window partition spec) in
+    // all three queries that carry the profile shape.
+    for (q <- Seq("text_langid_chargram", "text_langid", "text_term_freq")) {
+      val p = plan(q)
+      assert(p.contains("prof_pid#"),
+        s"$q: profile top-k lacks the per-partition pre-reduce phase " +
+          s"(no prof_pid salt in any window partition spec):\n$p")
+    }
+  }
+
   test("no query plans an unintentional cartesian product") {
     val offenders = Registry.all.map(_.name)
       .filterNot(intentionalProducts)
