@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * Every 100 TB claim in this repo was, until this round, PLAN-SHAPE
   * evidence — inverted index instead of all-pairs, df-guard, banding,
   * O(log n) pointer doubling — measured only at the fixtures' fixed 5k-doc
-  * scale. This harness measures wall-time GROWTH: it replays the four most
-  * expensive LLM queries (in-gate r15_run4 seq costs) over seeded synthetic
+  * scale. This harness measures wall-time GROWTH: it replays the most
+  * expensive LLM queries (the in-gate r15_run4 top-cost list, plus the
+  * two profile-shape siblings added after the first run's chargram
+  * finding) over seeded synthetic
   * corpora at ×1/×8/×64 the sf0.1 document count and quotes per-op
   * wall-time ratios plus the least-squares log-log slope — the cheapest
   * available falsifier of the sub-quadratic designs. An op with slope ≥1.5
@@ -73,7 +75,7 @@ object LlmScalingBench {
     }
   }
 
-  /** The four ops under test — the r15 top-cost list minus the two whose
+  /** The ops under test — the r15 top-cost list minus the two whose
     * cost is fixed framework overhead (sub_recursive_cte) or already a
     * verify join over banded candidates (dedup_minhash_verified is
     * represented through the same postings/banding machinery the others
