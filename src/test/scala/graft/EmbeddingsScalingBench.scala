@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve harness for the EMBEDDINGS-family operators — third
+  * sibling of [[LlmScalingBench]] (documents) and [[EventsScalingBench]]
+  * (events); same methodology, observables, and quoting rules.
+  *
+  * The similarity/ANN queries are the one fixture family whose growth had
+  * never been measured: their 100 TB posture rests on "the query set is
+  * small and broadcast, the corpus side stays partitioned, and per-query
+  * candidate work is bounded by the index (IVF cell / LSH bucket), not
+  * the corpus" — with the declared exception that the brute-force top-k
+  * baseline is knowingly linear per query. Under corpus replication that
+  * predicts: linear-per-query wall for the brute-force ops (slope ≤ 1),
+  * linear for the IVF assignment pass, and NO quadratic bend anywhere
+  * (a quadratic would mean the corpus side got replicated or a window
+  * ran corpus-wide). This harness measures it.
+  *
+  * Corpus construction — SIGN-FLIP replication: replica r of the sf0.1
+  * embeddings table shifts `vec_id` by r·10⁶, keeps `label`, and maps
+  * dimension i of every vector to ±xᵢ with a deterministic per-(r, i)
+  * sign (replica 0 is the identity — the original bytes). A diagonal ±1
+  * matrix is orthogonal, so WITHIN a replica every cosine, norm, and
+  * neighbor rank is exactly the original's; ACROSS replicas the signs
+  * decorrelate (expected cosine 0, std ≈ 1/√64 — measured max vs the 10
+  * query vectors at ×4: 0.48). The fixed query / centroid / prior sets —
+  * all `vec_id < c` predicates — resolve to replica 0 only after the id
+  * shift, so the broadcast sides stay constant-size while the candidate
+  * side grows ×k. Honest caveat: because the base corpus has no planted
+  * near-dups, its true top-5 sims (~0.3–0.5) sit inside the cross-replica
+  * random tail, so neighbor IDENTITY at scale shifts toward high-scoring
+  * cross-replica coincidences (39/50 at ×4). That changes nothing this
+  * harness measures — candidate-scan work, index fan-in, and output SIZE
+  * are id-agnostic — but it is why the quoted evidence is wall growth and
+  * density, not neighbor-set invariance. Signs come from the same LCG
+  * family as the LSH planes (bit 20 of the mixed state — the low LCG
+  * bits alternate degenerately).
+  *
+  * Output-density semantics (the `rows_vs_linear` column): every op under
+  * test has a FIXED-size output by construction — top-5 of 10 broadcast
+  * queries, one row per centroid / label / query — so density must read
+  * EXACTLY 1/k (the output did not grow with the corpus), the same
+  * closed-key check as the events harness's transition-matrix ops. A
+  * density above 1/k means output rows grew with the corpus — a
+  * supposedly-bounded op leaking corpus cardinality into its result.
+  *
+  * Run: `sbt -batch "Test/runMain graft.EmbeddingsScalingBench [baseDir]
+  * [k,k,…] [ops]"` (defaults /root/testdata/sf0.1, 1,16,256, the Ops
+  * list below — the 2k-vector base needs two decades for signal over
+  * fixed overhead). Prints `[scale]` / `[scale-summary]` JSON lines in
+  * the LlmScalingBench format; quoted in BASELINE.md round 16. Not part
+  * of any gate.
+  */
+object EmbeddingsScalingBench {
+
+  private final class TaskMetricsAgg extends SparkListener {
+    val spill = new java.util.concurrent.atomic.AtomicLong(0)
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    val peak = new java.util.concurrent.atomic.AtomicLong(0)
+    def reset(): Unit = { spill.set(0); shuffleWrite.set(0); peak.set(0) }
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        peak.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+      }
+    }
+  }
+
+  /** Ops under test — every embeddings-only query with non-trivial join
+    * or index structure (the per-row lambda ops norm_stats/quantize are
+    * pure scans and measured implicitly by every bench run). Names are
+    * `SparkEntry.queries` keys: the harness runs the EXACT declared
+    * bodies.
+    */
+  private val Ops = Seq(
+    "sim_cosine_topk", // brute-force top-5, 10 broadcast queries × corpus
+    "sim_knn_label", // top-5 + label-vote window
+    "sim_ann_lsh", // 8-bit hyperplane bucket join (bucket fill grows ∝ n/256)
+    "sim_ann_ivf", // centroid assignment (corpus × 8) + in-cell probe
+    "sim_ann_recall", // IVF top-5 vs exact top-5 overlap per query
+    "sim_kmeans_step", // assignment + per-centroid mean recompute
+    "sim_label_centroid", // per-label mean vector (10 labels)
+    "dedup_embedding") // 200 broadcast priors-scan queries × corpus
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scales = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 16, 256))
+    val ops = args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Ops)
+    val outBase = "target/embeddings_scaling"
+
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("embeddings-scaling-bench")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val agg = new TaskMetricsAgg
+    spark.sparkContext.addSparkListener(agg)
+
+    val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val baseCount = base.count()
+
+    def buildCorpus(k: Int): String = {
+      val dir = s"$outBase/x$k"
+      val reps = (0 until k).map { r =>
+        // Per-(replica, dim) sign: bit 20 of the LCG state seeded on
+        // r·64 + i — replica 0 keeps the original float bytes.
+        val signed =
+          if (r == 0) col("embedding")
+          else transform(col("embedding"), (x, i) => {
+            val lcg = (lit(r.toLong * 64L) + i.cast("long")) * lit(1103515245L) + lit(12345L)
+            when(pmod(shiftright(lcg, 20), lit(2L)) === 0L, x).otherwise(x * lit(-1.0f))
+          })
+        base.select(
+          (col("vec_id") + lit(r.toLong * 1000000L)).as("vec_id"),
+          signed.as("embedding"),
+          col("label"))
+      }
+      reps.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+
+    val dirs = scales.map(k => k -> buildCorpus(k)).toMap
+    scales.foreach(k => println(s"[scale] corpus x$k built: ${k * baseCount} vectors"))
+
+    def dropCheckpoints(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+
+    // Globally-unique dir string per run — busts the Tables plan cache
+    // (keys on the dir STRING); see LlmScalingBench for the
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND failure the global uniqueness
+    // prevents.
+    val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    def freshDir(dir: String): String = dir + ("/." * runCounter.incrementAndGet())
+
+    case class Cell(op: String, k: Int, rows: Long, wallS: Double,
+        spillMb: Double, shuffleMb: Double, peakMb: Double)
+
+    ops.foreach { op =>
+      SparkEntry.queries(op)(spark, freshDir(dirs(scales.min))).count()
+      dropCheckpoints()
+    }
+
+    val cells = for (op <- ops; k <- scales.sorted) yield {
+      val runs = (0 until 2).map { _ =>
+        dropCheckpoints()
+        agg.reset()
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(op)(spark, freshDir(dirs(k))).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(400) // let the async listener bus drain
+        (wall, n, agg.spill.get / 1e6, agg.shuffleWrite.get / 1e6, agg.peak.get / 1e6)
+      }
+      val best = runs.minBy(_._1)
+      val c = Cell(op, k, best._2, best._1, best._3, best._4, best._5)
+      println(f"""[scale] {"op":"${c.op}","x":${c.k},"rows":${c.rows},""" +
+        f""""wall_s":${c.wallS}%.2f,"spill_mb":${c.spillMb}%.1f,""" +
+        f""""shuffle_write_mb":${c.shuffleMb}%.1f,"peak_task_mem_mb":${c.peakMb}%.1f}""")
+      c
+    }
+
+    val summaries = ops.map { op =>
+      val cs = cells.filter(_.op == op).sortBy(_.k)
+      val xs = cs.map(c => math.log(c.k.toDouble))
+      val ys = cs.map(c => math.log(c.wallS))
+      val mx = xs.sum / xs.size; val my = ys.sum / ys.size
+      val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+        xs.map(x => (x - mx) * (x - mx)).sum
+      val ratios = cs.sliding(2).map { case Seq(a, b) =>
+        f""""x${a.k}_to_x${b.k}":${b.wallS / a.wallS}%.2f""" }.mkString(",")
+      val r1 = cs.head.rows.toDouble
+      val density = cs.map(c =>
+        f""""x${c.k}":${c.rows / (c.k * r1)}%.3f""").mkString(",")
+      val verdict = if (slope >= 1.5) "WEAK" else "subquadratic"
+      f"""{"op":"$op","slope":$slope%.3f,"verdict":"$verdict",""" +
+        f""""wall_ratios":{$ratios},"rows_vs_linear":{$density}}"""
+    }
+    println(s"""[scale-summary] {"base_vectors":$baseCount,"scales":[${scales.mkString(",")}],""" +
+      s""""ops":[${summaries.mkString(",")}]}""")
+    spark.stop()
+  }
+}
