@@ -207,6 +207,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_embedding keeps the cosine out of the join and pre-limits the window") {
+    // Round-16 scaling-harness finding (EmbeddingsScalingBench, BASELINE.md
+    // r16): dedup_embedding stayed flat through ×256 (512k vectors). The
+    // plan properties that make that true — and that this ratchet pins:
+    // (1) the 200-query side is the BNL build side with its vec_id < 200
+    //     pushed to the parquet scan, so only the bounded side replicates;
+    // (2) the join condition is ONLY the cheap prior_id < vec_id long
+    //     compare — graft_cosine must never appear in it, or the O(d)
+    //     dot product runs per SCANNED pair (∝ 200·n) instead of per
+    //     SURVIVING pair (constant: priors are transitively < 200);
+    // (3) Spark 4's WindowGroupLimit runs a Partial pass, so the top-1
+    //     per query is reduced before any exchange.
+    val p = plan("dedup_embedding")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,200)]"),
+      s"query-side bound not pushed to the scan:\n$p")
+    val joinLine = p.linesIterator.find(_.contains("BroadcastNestedLoopJoin"))
+    assert(joinLine.isDefined, s"expected the bounded BNL join:\n$p")
+    assert(joinLine.get.contains("BuildLeft"),
+      s"the bounded query side must be the build side:\n$p")
+    assert(!joinLine.get.contains("graft_cosine"),
+      s"cosine leaked into the join condition (runs per scanned pair):\n$p")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"top-1 window lacks the partial group-limit pre-reduce:\n$p")
+  }
+
   test("no query plans an unintentional cartesian product") {
     val offenders = Registry.all.map(_.name)
       .filterNot(intentionalProducts)
