@@ -199,11 +199,25 @@ class PlanSpec extends SparkSpec {
     // ≤ N·partitions candidate rows. This ratchet pins phase 1's
     // presence (the prof_pid salt column in a window partition spec) in
     // all three queries that carry the profile shape.
+    // ADVICE r16: a bare substring check on prof_pid# would still pass if
+    // a refactor kept the salt column but dropped the lrn <= N pre-filter
+    // (the part that actually bounds the per-language sort), or moved the
+    // salt out of the window's partition spec. Anchor both: the Window
+    // LINE itself must partition on (lang|plang, prof_pid), and the
+    // bounding Filter on lrn must survive in the plan.
     for (q <- Seq("text_langid_chargram", "text_langid", "text_term_freq")) {
       val p = plan(q)
-      assert(p.contains("prof_pid#"),
+      val saltedWin = p.linesIterator.find(l =>
+        l.contains("Window") && l.contains("prof_pid#"))
+      assert(saltedWin.isDefined,
         s"$q: profile top-k lacks the per-partition pre-reduce phase " +
           s"(no prof_pid salt in any window partition spec):\n$p")
+      assert(saltedWin.get.contains("lang#") || saltedWin.get.contains("plang#"),
+        s"$q: the salted window no longer partitions on the language key " +
+          s"alongside prof_pid: ${saltedWin.get}\n$p")
+      assert(p.linesIterator.exists(l => l.contains("Filter") && l.contains("lrn#")),
+        s"$q: the lrn <= N pre-filter that bounds phase 2's candidate set " +
+          s"is gone from the plan:\n$p")
     }
   }
 
@@ -228,8 +242,33 @@ class PlanSpec extends SparkSpec {
       s"the bounded query side must be the build side:\n$p")
     assert(!joinLine.get.contains("graft_cosine"),
       s"cosine leaked into the join condition (runs per scanned pair):\n$p")
-    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+    // ADVICE r16: two independent plan-wide substrings would false-pass
+    // on a Final-only WindowGroupLimit plus an unrelated Partial operator
+    // elsewhere — assert Partial on the WindowGroupLimit line itself.
+    assert(p.linesIterator.exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")),
       s"top-1 window lacks the partial group-limit pre-reduce:\n$p")
+  }
+
+  test("agg_trimmed_mean finds its trim cuts without a raw-row rank window") {
+    // Round-16 scaling verdict (BASELINE.md r16, graded `weak`): the old
+    // formulation ranked EVERY order row with row_number over
+    // Window.partitionBy(o_orderpriority) — a closed 5-value key — so the
+    // rank sort exchanged the whole table into ≤5 non-empty partitions:
+    // parallelism capped at 5 tasks regardless of cluster size, per-task
+    // sort buffer linear in the data (measured 6.4–6.7× step per 8× data,
+    // 168 MB at ×64). The scale-safe shape derives the trim boundaries
+    // from percentile fences plus an exact walk over the fence band's
+    // DISTINCT values (value-granularity-bounded), so NO operator may
+    // rank or window raw rows: the plan must carry no Window at all, and
+    // its aggregates must stay map-side partial.
+    val p = plan("agg_trimmed_mean")
+    assert(!p.contains("row_number"),
+      s"raw-row rank window is back in the trim:\n$p")
+    assert(!p.contains("Window"),
+      s"a window over the closed 5-value priority key is back:\n$p")
+    assert(p.contains("partial_"),
+      s"trim aggregation lost its map-side partial phase:\n$p")
   }
 
   test("no query plans an unintentional cartesian product") {
