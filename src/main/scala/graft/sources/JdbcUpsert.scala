@@ -38,6 +38,34 @@ import org.apache.spark.sql.functions._
 sealed trait UpsertDialect {
   def name: String
 
+  /** Identifier hygiene guard (round 17, VERDICT r16 #5 follow-through).
+    *
+    * Scalar VALUES never appear in dialect-generated text — they ride
+    * Spark's parameterized staging INSERT (the wire layer the Derby arm
+    * executes byte-exact for the adversarial genre, JdbcUpsertSpec) — so
+    * the builders' only text surface is IDENTIFIERS. Target-side
+    * references are UNQUOTED by design (the target's DDL-folded names
+    * must resolve under the DB's case folding; quoting them would flip to
+    * exact-case semantics and stop matching), which means any identifier
+    * that is not unquoted-safe (an embedded quote metacharacter, NBSP,
+    * multibyte, leading digit …) would silently emit malformed SQL —
+    * worse, an embedded backtick/double-quote would break OUT of the
+    * quoted staging reference. Fail loudly at the seam instead. The
+    * admitted class ([A-Za-z_][A-Za-z0-9_]*) is a strict subset of every
+    * target dialect's identifier rules (MySQL additionally rejects NUL,
+    * trailing-space and >64-char names — none admissible here), so
+    * nothing this guard passes is MySQL- or Derby-rejected downstream.
+    */
+  protected def requirePlainIdentifiers(ids: Seq[String]): Unit =
+    ids.find(id => !id.matches("[A-Za-z_][A-Za-z0-9_]*")).foreach { bad =>
+      throw new IllegalArgumentException(
+        s"$name dialect: identifier '$bad' is not unquoted-safe " +
+          "([A-Za-z_][A-Za-z0-9_]*) — target-side references are unquoted " +
+          "by design, so this name cannot be emitted as valid SQL; rename " +
+          "the DataFrame column / table to a plain identifier before the " +
+          "upsert")
+    }
+
   /** Staging-side column reference. Spark's JDBC writer creates staging
     * columns as QUOTED identifiers (exact case) in the dialect's quoting
     * style, while the target's unquoted DDL normalizes to the DB's folding
@@ -64,6 +92,7 @@ case object AnsiMergeDialect extends UpsertDialect {
   def stagingRef(alias: String, c: String): String = s"""$alias."$c""""
   def upsertStatements(table: String, staging: String, deduped: String,
       cols: Seq[String], keys: Seq[String]): Seq[String] = {
+    requirePlainIdentifiers(table +: staging +: deduped +: cols)
     val nonKeys = cols.filterNot(keys.contains)
     def sq(c: String) = stagingRef("s", c)
     val on = keys.map(k => s"t.$k = ${sq(k)}").mkString(" AND ")
@@ -117,6 +146,7 @@ case object MySqlUpsertDialect extends UpsertDialect {
   def stagingRef(alias: String, c: String): String = s"$alias.`$c`"
   def upsertStatements(table: String, staging: String, deduped: String,
       cols: Seq[String], keys: Seq[String]): Seq[String] = {
+    requirePlainIdentifiers(table +: staging +: deduped +: cols)
     val nonKeys = cols.filterNot(keys.contains)
     def sq(c: String) = stagingRef("s", c)
     // All-key frame: MySQL rejects an empty ODKU clause; `k = s.k` is a
@@ -212,26 +242,40 @@ object JdbcUpsert {
       try stmts.foreach(s => c.createStatement().executeUpdate(s))
       catch { case t: Throwable => failure = t; throw t }
       finally {
-        try c.createStatement().executeUpdate(s"DROP TABLE $deduped")
-        catch { case _: java.sql.SQLException => () } // may not exist yet
-        try c.createStatement().executeUpdate(s"DROP TABLE $staging")
-        catch { case e: java.sql.SQLException =>
-          // A cleanup failure must never MASK the real merge failure
-          // (review r15: the bare finally replaced it) and must never
-          // look like a merge race to the retry wrapper — the upsert
-          // itself already committed, so re-running it would be double
-          // work and would leak THIS staging table unreferenced (each
-          // retry stages under a fresh name). Suppress onto the original
-          // failure if there is one; otherwise raise the typed wrapper
-          // naming the leaked table for operator cleanup. The suppressed
-          // form is ALSO the typed wrapper, not the raw SQLException
-          // (ADVICE r15): the staging name is a local here, so unless it
-          // travels aboard the exception, a retry wrapper that swallows
-          // this failure (transient race + successful re-run) erases the
-          // only record of which table leaked.
-          if (failure != null) failure.addSuppressed(new StagingCleanupException(staging, e))
-          else throw new StagingCleanupException(staging, e)
+        // A cleanup failure must never MASK the real merge failure
+        // (review r15: the bare finally replaced it) and must never
+        // look like a merge race to the retry wrapper — the upsert
+        // itself already committed, so re-running it would be double
+        // work and would leak THIS staging table unreferenced (each
+        // retry stages under a fresh name). Suppress onto the original
+        // failure if there is one; otherwise raise the typed wrapper
+        // naming the leaked table for operator cleanup. The suppressed
+        // form is ALSO the typed wrapper, not the raw SQLException
+        // (ADVICE r15): the staging name is a local here, so unless it
+        // travels aboard the exception, a retry wrapper that swallows
+        // this failure (transient race + successful re-run) erases the
+        // only record of which table leaked.
+        //
+        // BOTH temps get the same treatment (ADVICE r16: the deduped `_d`
+        // twin is a real materialized table and used to be a silent-leak
+        // path — every SQLException on its drop was swallowed). The one
+        // legitimate swallow is Derby's 42Y55 "does not exist" on the
+        // deduped drop: when the merge failed BEFORE the dialect's CREATE
+        // ran, there is nothing to leak. A failed drop of one temp never
+        // skips the other's drop.
+        var cleanupFailure: StagingCleanupException = null
+        for (temp <- Seq(deduped, staging)) {
+          try c.createStatement().executeUpdate(s"DROP TABLE $temp")
+          catch {
+            case e: java.sql.SQLException if e.getSQLState == "42Y55" => ()
+            case e: java.sql.SQLException =>
+              val wrapped = new StagingCleanupException(temp, e)
+              if (failure != null) failure.addSuppressed(wrapped)
+              else if (cleanupFailure != null) cleanupFailure.addSuppressed(wrapped)
+              else cleanupFailure = wrapped
+          }
         }
+        if (failure == null && cleanupFailure != null) throw cleanupFailure
       }
     }
   }

@@ -359,6 +359,58 @@ class JdbcUpsertSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assert(allKey.last.endsWith("ON DUPLICATE KEY UPDATE code = s.`code`"))
   }
 
+  test("dialect text carries identifiers only; non-plain identifiers fail loudly (VERDICT r16 #5)") {
+    // The adversarial-scalar genre (±1e30, control chars, NBSP keys —
+    // byte-exact through the Derby arm above) can never surface in
+    // dialect-generated text, because the builders consume ONLY
+    // identifiers: scalar values travel via Spark's parameterized staging
+    // INSERT. Structural pin: generated text is a pure function of the
+    // names — no statement may contain anything beyond the identifiers,
+    // quoting, and fixed keywords. With that, the statement-builder seam's
+    // whole escaping surface is identifiers, and since TARGET-side
+    // references are unquoted by design (DDL case-folding must apply), a
+    // non-plain name — embedded backtick/double-quote (which would break
+    // OUT of the quoted staging ref), NBSP, multibyte, leading digit —
+    // cannot be emitted as valid SQL at all. The dialects must reject the
+    // whole class loudly instead of emitting malformed statements.
+    // Documented divergence: MySQL's own identifier rules (no NUL, no
+    // trailing space, ≤64 chars) are a SUPERSET of the admitted plain
+    // class, so nothing the guard passes is MySQL-rejected downstream.
+    val dialects = Seq(graft.sources.AnsiMergeDialect, graft.sources.MySqlUpsertDialect)
+    val adversarial = Seq(
+      "pr`ice",        // breaks out of MySQL backtick quoting
+      "pr\"ice",       // breaks out of ANSI double-quote quoting
+      "k\u00A0ey",     // NBSP — invalid unquoted everywhere
+      "多字节",         // multibyte — unquoted target ref would not parse
+      "1digit",        // leading digit
+      "a;DROP TABLE t" // statement-splice shape
+    )
+    for (d <- dialects; bad <- adversarial) {
+      val asCol = intercept[IllegalArgumentException] {
+        d.upsertStatements("tgt", "tgt_stg_x", "tgt_stg_x_d",
+          Seq("code", bad), Seq("code"))
+      }
+      assert(asCol.getMessage.contains("not unquoted-safe") &&
+        asCol.getMessage.contains(bad), s"${d.name}/$bad: $asCol")
+      val asTable = intercept[IllegalArgumentException] {
+        d.upsertStatements(bad, "tgt_stg_x", "tgt_stg_x_d",
+          Seq("code", "px"), Seq("code"))
+      }
+      assert(asTable.getMessage.contains("not unquoted-safe"), s"${d.name}/$bad table")
+    }
+    // Identifier-only purity: every character of every generated statement
+    // is accounted for by the identifiers, the quoting styles, and the
+    // dialect's fixed keyword skeleton — no scalar can hide in the text.
+    val cols = Seq("code", "trade_date", "close_px")
+    for (d <- dialects) {
+      val stmts = d.upsertStatements("tgt", "tgt_stg_x", "tgt_stg_x_d", cols, Seq("code"))
+      val skeleton = stmts.mkString("\n")
+        .replaceAll("[A-Za-z_][A-Za-z0-9_]*", "")   // identifiers + keywords
+      assert(skeleton.matches("""[\s(),.=*"`;]*"""),
+        s"${d.name}: unexpected non-structural text in statements:\n$skeleton")
+    }
+  }
+
   test("MySQL conflicting-key guard trips on Derby for exactly the conflicting class") {
     // The guard statement is plain ANSI DDL, so unlike the rest of the
     // MySQL arm it CAN be executed here: run the dialect-generated ALTER
@@ -527,6 +579,50 @@ class JdbcUpsertSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     val c = java.sql.DriverManager.getConnection(url)
     try c.createStatement().executeUpdate(s"DROP TABLE ${e.stagingTable}")
     finally c.close()
+  }
+
+  test("deduped-twin drop failure is typed and reported, never a silent leak") {
+    // ADVICE r16: the staging table's failed DROP had the full
+    // StagingCleanupException treatment while the deduped `_d` twin — a
+    // real materialized table — swallowed EVERY SQLException, so it could
+    // leak silently after a committed merge. Same contract now: typed
+    // wrapper naming the leaked table, no retry (the merge committed,
+    // and StagingCleanupException anywhere in the chain disqualifies the
+    // transient-race classifier), and the OTHER temp's drop still runs —
+    // staging must not leak alongside the deduped failure.
+    import spark.implicits._
+    ShimJdbc.ensureRegistered()
+    JdbcUpsert.ensureTable(url, ddl.replace("CREATE TABLE bars", "CREATE TABLE bars_ddrop"))
+    val keys = Seq("code", "trade_date")
+    val delta = Seq(("AAA", 20240101L, 7.0)).toDF("code", "trade_date", "close_px")
+    ShimJdbc.armStatementFault("dropdedupfail")
+    val e = intercept[graft.sources.StagingCleanupException] {
+      JdbcUpsert.upsertViaStagingRetry(delta,
+        "jdbc:graftshim:dropdedupfail:memory:graftdb;create=true", "bars_ddrop", keys,
+        Some("code VARCHAR(16)"), maxRetries = 3)
+    }
+    assert(e.stagingTable.startsWith("bars_ddrop_stg_") && e.stagingTable.endsWith("_d"),
+      s"exception must name the leaked deduped table, got ${e.stagingTable}")
+    assert(e.getCause.isInstanceOf[java.sql.SQLException] &&
+      e.getCause.asInstanceOf[java.sql.SQLException].getSQLState == "40XL1")
+    // the merge COMMITTED despite the cleanup failure
+    assert(readTable("bars_ddrop") === Seq(("AAA", 20240101L, 7.0)))
+    // leak evidence is harvestable by the retry wrapper's reporter
+    assert(JdbcUpsert.leakedStagingTables(e) === Seq(e.stagingTable))
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      // the staging twin must still have been dropped (one temp's failed
+      // drop never skips the other's), and the leaked deduped table must
+      // really exist — proving the exception's name is actionable
+      val rs = c.getMetaData.getTables(null, null, null, Array("TABLE"))
+      val live = Iterator.continually(rs).takeWhile(_.next()).map(_.getString(3)).toList
+      val stagingName = e.stagingTable.stripSuffix("_d")
+      assert(!live.exists(_.equalsIgnoreCase(stagingName)),
+        s"staging twin must still be dropped; live tables: $live")
+      assert(live.exists(_.equalsIgnoreCase(e.stagingTable)),
+        s"leaked deduped table should exist; live tables: $live")
+      c.createStatement().executeUpdate(s"DROP TABLE ${e.stagingTable}")
+    } finally c.close()
   }
 
   test("adversarial rows round-trip the staging upsert byte-exact (unicode/control/extremes)") {
@@ -777,6 +873,10 @@ object ShimJdbc {
               sql.startsWith("DROP TABLE") && !sql.endsWith("_d") && consume("dropfail"))
             throw new SQLException(
               "simulated lock timeout on the post-commit staging drop", "40XL1")
+          if (mode == "dropdedupfail" &&
+              sql.startsWith("DROP TABLE") && sql.endsWith("_d") && consume("dropdedupfail"))
+            throw new SQLException(
+              "simulated lock timeout on the post-commit deduped-twin drop", "40XL1")
         })).asInstanceOf[Statement]
 
   private[graft] def proxyConnection(real: Connection, mode: String): Connection =
@@ -785,7 +885,8 @@ object ShimJdbc {
         if (m.getName == "prepareStatement" && (mode == "noinfo" || mode == "fail"))
           proxyStatement(r.asInstanceOf[PreparedStatement], mode)
         else if (m.getName == "createStatement" &&
-            (mode == "mergerace" || mode == "dropfail" || mode == "racedropfail"))
+            (mode == "mergerace" || mode == "dropfail" || mode == "racedropfail" ||
+              mode == "dropdedupfail"))
           proxyPlainStatement(r.asInstanceOf[Statement], mode)
         else r)).asInstanceOf[Connection]
 
