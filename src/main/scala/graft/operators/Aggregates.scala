@@ -636,21 +636,49 @@ object Aggregates {
     // complement of agg_gini). Rank window + one conditional decimal agg.
     QueryDef(
       "agg_topn_share",
+      // SCALE REWRITE (round 17, the closed-key ordered-window sweep):
+      // the old top-10 rank window partitioned on the 5-value priority
+      // key sorted the WHOLE table on ≤5 tasks to keep 50 rows. Two-phase
+      // top-k instead (the profile-top-k superset argument: a row beaten
+      // by 10 rows in its own input partition is beaten by 10 rows
+      // globally): phase 1 ranks within (priority, input-partition) — a
+      // parallel window — and phase 2 merges the ≤10·partitions candidate
+      // VALUES inside an aggregate with a sort_array/slice/fold HOF, no
+      // raw-row window anywhere. Candidate prices suffice (no keys): the
+      // orderkey tie-break can only swap equal values in or out of the
+      // top-10, which never changes the SUM; dropped NULL prices never
+      // displace a value (desc sort puts them last on both phases).
+      // top10_rev is NULL exactly when the old SUM was: n ≤ 10 with every
+      // price NULL (the ELSE-0 branch otherwise feeds the sum).
       (s, d) => {
-        val w = Window.partitionBy(col("o_orderpriority"))
+        val zero38 = lit(java.math.BigDecimal.ZERO).cast("decimal(38,4)")
+        val wLoc = Window.partitionBy(col("o_orderpriority"), col("tpid"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        Tables.orders(s, d)
-          .withColumn("rn", row_number().over(w))
-          .groupBy(col("o_orderpriority"))
+        val locals = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+          .withColumn("tpid", spark_partition_id())
+          .withColumn("lrn", row_number().over(wLoc))
+          .groupBy(col("o_orderpriority"), col("tpid"))
           .agg(
-            round(sum(when(col("rn") <= 10, col("o_totalprice").cast("decimal(18,4)"))
-              .otherwise(lit(0).cast("decimal(18,4)"))), 2).cast("double").as("top10_rev"),
+            count(lit(1)).as("lcnt"),
+            Exact.sumDec(col("o_totalprice")).as("ltot"),
+            collect_list(when(col("lrn") <= 10,
+              col("o_totalprice").cast("decimal(18,4)"))).as("lcand"))
+        val merged = locals.groupBy(col("o_orderpriority"))
+          .agg(
+            sum(col("lcnt")).as("n"),
+            sum(col("ltot")).as("tot"),
+            flatten(collect_list(col("lcand"))).as("cand"))
+        val topSum = aggregate(
+          slice(sort_array(col("cand"), asc = false), 1, 10),
+          zero38, (acc, x) => (acc + x).cast("decimal(38,4)"))
+        val top10 = when(size(col("cand")) > 0 || col("n") > 10, topSum)
+        merged.select(col("o_orderpriority"),
+            round(top10, 2).cast("double").as("top10_rev"),
             // nullif: an all-zero-price group has total 0 — ANSI kills
             // the job; DuckDB's /0 is NULL (round-8 DegenerateSweepSpec)
-            Exact.roundN(
-              sum(when(col("rn") <= 10, col("o_totalprice").cast("decimal(18,4)"))
-                .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
-                nullif(Exact.sumDec(col("o_totalprice")).cast("double"), lit(0.0d)), 4)
+            Exact.roundN(top10.cast("double") /
+              nullif(col("tot").cast("double"), lit(0.0d)), 4)
               .as("top10_share"))
           .orderBy("o_orderpriority")
       },
@@ -688,20 +716,45 @@ object Aggregates {
 
     // Gini coefficient of order value per priority (inequality measure):
     // G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n with ranks total-ordered by
-    // (value, key) — rank·x sums are exact in decimal, so the closed form
-    // is deterministic. One ordered window + one hash agg.
+    // (value, key).
+    //
+    // SCALE REWRITE (round 17, the closed-key ordered-window sweep): the
+    // rank window on the closed 5-value key sorted the whole table on ≤5
+    // tasks. But Σ(rank·x) over a run of TIED values is a closed form of
+    // the run alone — ranks cnt_lt+1 … cnt_lt+m sum to m·cnt_lt +
+    // m(m+1)/2 regardless of which tied row gets which rank (the orderkey
+    // tie-break is provably irrelevant) — so the whole statistic derives
+    // from the per-DISTINCT-value histogram: one map-side pass for
+    // (priority, value, m), a cumulative window over distinct values
+    // (bounded by value granularity, constant in row count, nulls first
+    // like the old rank order on BOTH engines — NULLS FIRST is now
+    // explicit in the oracle, where the old formulation silently relied
+    // on DuckDB's nulls-last never being exercised), then a map-side
+    // moment aggregate. The per-value weight m·cnt_lt + m(m+1)/2 is
+    // computed in DOUBLE with the identical expression on both engines
+    // (products exact to 2^53; the old per-row rn·x was double anyway),
+    // and the oracle SQL is rewritten to the same histogram form — the
+    // two engines still compute it independently.
     QueryDef(
       "agg_gini",
       (s, d) => {
-        val w = Window.partitionBy(col("o_orderpriority"))
-          .orderBy(col("o_totalprice"), col("o_orderkey"))
-        Tables.orders(s, d)
-          .withColumn("rn", row_number().over(w))
+        val hist = Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_totalprice"))
+          .groupBy(col("o_orderpriority"), col("o_totalprice"))
+          .agg(count(lit(1)).as("m"))
+        val wc = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val md = col("m").cast("double")
+        val weight = md * col("cnt_lt").cast("double") + md * (md + lit(1.0d)) / lit(2.0d)
+        hist
+          .withColumn("cnt_lt", coalesce(sum(col("m")).over(wc), lit(0L)))
           .groupBy(col("o_orderpriority"))
           .agg(
-            count(lit(1)).cast("double").as("n"),
-            Exact.sumDec(col("o_totalprice")).cast("double").as("sx"),
-            sum((col("rn") * col("o_totalprice")).cast("decimal(28,8)"))
+            sum(col("m")).cast("double").as("n"),
+            sum(col("m").cast("decimal(20,0)") *
+              col("o_totalprice").cast("decimal(18,4)")).cast("double").as("sx"),
+            sum((col("o_totalprice") * weight).cast("decimal(28,8)"))
               .cast("double").as("swx"))
           .select(col("o_orderpriority"),
             // nullif: an all-zero-value group has sx = 0 — ANSI kills the
@@ -711,19 +764,24 @@ object Aggregates {
                 (col("n") + 1.0d) / col("n"), 4).as("gini"))
           .orderBy("o_orderpriority")
       },
-      Some(s"""SELECT o_orderpriority,
+      Some(s"""WITH h AS (
+              |  SELECT o_orderpriority, o_totalprice, COUNT(*) AS m
+              |  FROM orders GROUP BY 1, 2),
+              |c AS (
+              |  SELECT o_orderpriority, o_totalprice, m,
+              |    COALESCE(SUM(m) OVER (PARTITION BY o_orderpriority
+              |      ORDER BY o_totalprice ASC NULLS FIRST
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_lt
+              |  FROM h),
+              |g AS (
+              |  SELECT o_orderpriority, CAST(SUM(m) AS DOUBLE) AS n,
+              |    CAST(SUM(CAST(m AS DECIMAL(20,0)) * CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+              |    CAST(SUM(CAST(o_totalprice * (CAST(m AS DOUBLE) * CAST(cnt_lt AS DOUBLE)
+              |      + CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) + 1) / 2) AS DECIMAL(28,8))) AS DOUBLE) AS swx
+              |  FROM c GROUP BY 1)
+              |SELECT o_orderpriority,
               |  ${Exact.roundNSql("(2.0 * swx) / (n * sx) - (n + 1.0) / n", 4)} AS gini
-              |FROM (
-              |  SELECT o_orderpriority, CAST(COUNT(*) AS DOUBLE) AS n,
-              |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-              |    CAST(SUM(CAST(rn * o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS swx
-              |  FROM (
-              |    SELECT o_orderpriority, o_totalprice,
-              |      ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-              |        ORDER BY o_totalprice, o_orderkey) AS rn
-              |    FROM orders) t
-              |  GROUP BY o_orderpriority) m
-              |ORDER BY o_orderpriority""".stripMargin)),
+              |FROM g ORDER BY o_orderpriority""".stripMargin)),
 
     // Column profiling (the data-quality summary every ingest pipeline
     // runs): null/NaN-aware counts, distinct cardinality, extrema of a
@@ -815,21 +873,51 @@ object Aggregates {
     // partition.
     QueryDef(
       "agg_spearman",
+      // SCALE REWRITE (round 17, the closed-key ordered-window sweep):
+      // min-rank is a pure function of the VALUE — rank(v) = #{< v} + 1 —
+      // so both rank maps derive from per-distinct-value histograms
+      // instead of ranking every raw row through two windows on the
+      // closed 3-value key. The old shape sorted the whole table TWICE on
+      // ≤3 tasks (294 MB per-task sort at ×8) and then DIED at ×64 with
+      // ARITHMETIC_OVERFLOW: sum(rx·rx) over ranks up to 12.8M exceeds
+      // Long (measured, BASELINE r17) — a correctness-at-scale bug, not
+      // just a funnel. Now: one map-side pass aggregates (flag, qty,
+      // disc) cell counts; the rank maps are cumulative windows over the
+      // cells' DISTINCT values (bounded by value granularity — ~50
+      // quantities × ~11 discounts — constant in row count, nulls-first
+      // like the old rank()); broadcast-joined back onto the cells, the
+      // moments are the identical integers computed in DECIMAL (the
+      // overflow fix; DuckDB's HUGEINT sums never overflowed, so equal
+      // integers → identical doubles and the oracle is unchanged).
       (s, d) => {
-        val wq = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
-        val wd = Window.partitionBy(col("l_returnflag")).orderBy(col("l_discount"))
-        val r = Tables.lineitem(s, d)
-          .select(col("l_returnflag"),
-            rank().over(wq).cast("long").as("rx"),
-            rank().over(wd).cast("long").as("ry"))
-        r.groupBy(col("l_returnflag"))
+        val cells = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity"), col("l_discount"))
+          .groupBy(col("l_returnflag"), col("l_quantity"), col("l_discount"))
+          .agg(count(lit(1)).as("c"))
+        def rankMap(valueCol: String, flagAs: String, valAs: String, rankAs: String) = {
+          val w = Window.partitionBy(col(flagAs)).orderBy(col(valAs))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          cells.groupBy(col("l_returnflag").as(flagAs), col(valueCol).as(valAs))
+            .agg(sum(col("c")).as("vc"))
+            .withColumn(rankAs, coalesce(sum(col("vc")).over(w), lit(0L)) + lit(1L))
+            .drop("vc")
+        }
+        val rq = rankMap("l_quantity", "fq", "qv", "rx")
+        val rd = rankMap("l_discount", "fd", "dv", "ry")
+        def dec(c: Column) = c.cast("decimal(38,0)")
+        cells
+          .join(broadcast(rq),
+            col("l_returnflag") <=> col("fq") && col("l_quantity") <=> col("qv"))
+          .join(broadcast(rd),
+            col("l_returnflag") <=> col("fd") && col("l_discount") <=> col("dv"))
+          .groupBy(col("l_returnflag"))
           .agg(
-            count(lit(1)).cast("double").as("n"),
-            sum(col("rx")).cast("double").as("sx"),
-            sum(col("ry")).cast("double").as("sy"),
-            sum(col("rx") * col("rx")).cast("double").as("sxx"),
-            sum(col("ry") * col("ry")).cast("double").as("syy"),
-            sum(col("rx") * col("ry")).cast("double").as("sxy"))
+            sum(col("c")).cast("double").as("n"),
+            sum(dec(col("c")) * dec(col("rx"))).cast("double").as("sx"),
+            sum(dec(col("c")) * dec(col("ry"))).cast("double").as("sy"),
+            sum(dec(col("c")) * dec(col("rx")) * dec(col("rx"))).cast("double").as("sxx"),
+            sum(dec(col("c")) * dec(col("ry")) * dec(col("ry"))).cast("double").as("syy"),
+            sum(dec(col("c")) * dec(col("rx")) * dec(col("ry"))).cast("double").as("sxy"))
           .select(col("l_returnflag"),
             // nullif: all-tied ranks on either side zero the denominator —
             // ANSI kills the job; DuckDB's /0 is NULL (round-8 sweep)

@@ -288,15 +288,25 @@ object Windows {
     // "contribution analysis" breakdown.
     QueryDef(
       "win_share_of_group",
+      // SCALE REWRITE (round 17, the closed-key ordered-window sweep):
+      // the whole-partition window sum partitioned on the closed 5-value
+      // priority key exchanged EVERY row into ≤5 tasks just to read a
+      // 5-row total. Same values, scale shape: a map-side 5-row aggregate
+      // broadcast-joined (null-safely — NULL priority is a group) back
+      // onto the scan; the row side never shuffles and parallelism tracks
+      // input partitions. Ratchet: PlanSpec "win_zscore and
+      // win_share_of_group join broadcast group totals".
       (s, d) => {
-        val wp = Window.partitionBy(col("o_orderpriority"))
-        Tables.orders(s, d)
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        val totals = o.groupBy(col("o_orderpriority").as("pr"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("tot"))
+        o.join(broadcast(totals), col("o_orderpriority") <=> col("pr"))
           .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
             // nullif: an all-zero group sums to 0 — ANSI kills the job;
             // DuckDB's /0 is NULL (round-8 sweep)
             Exact.roundN(col("o_totalprice") /
-              nullif(sum(col("o_totalprice").cast("decimal(18,4)")).over(wp)
-                .cast("double"), lit(0.0d)), 6)
+              nullif(col("tot").cast("double"), lit(0.0d)), 6)
               .as("share"))
           .orderBy("o_orderkey")
       },
@@ -385,13 +395,20 @@ object Windows {
 
     QueryDef(
       "win_zscore",
+      // SCALE REWRITE (round 17): same transformation as
+      // win_share_of_group — the three whole-partition moment windows on
+      // the closed 5-value key become one map-side 5-row aggregate,
+      // null-safely broadcast-joined back onto the (never-shuffled) scan.
       (s, d) => {
-        val w = Window.partitionBy(col("o_orderpriority"))
         val p = col("o_totalprice")
-        Tables.orders(s, d)
-          .withColumn("s1", Exact.sumDec(p).over(w).cast("double"))
-          .withColumn("s2", sum((p * p).cast("decimal(28,8)")).over(w).cast("double"))
-          .withColumn("n", count(lit(1)).over(w).cast("double"))
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"), p)
+        val moments = o.groupBy(col("o_orderpriority").as("pr"))
+          .agg(
+            Exact.sumDec(p).cast("double").as("s1"),
+            sum((p * p).cast("decimal(28,8)")).cast("double").as("s2"),
+            count(lit(1)).cast("double").as("n"))
+        o.join(broadcast(moments), col("o_orderpriority") <=> col("pr"))
           .select(
             col("o_orderkey"), col("o_orderpriority"), p,
             // nullif twice: a single-row group zeroes (n−1) and an

@@ -79,6 +79,22 @@ object EventsScalingBench {
     "ts_interarrival", // per-user lag deltas + distribution agg
     "ts_autocorr") // per-type lag-k autocorrelation over the daily series
 
+
+  /** Full-evaluation action (round-17 harness fix): a bare `count()` lets
+    * Catalyst PRUNE every expression the count does not need — for an
+    * aggregate-shaped op the count needs only the grouping keys, so the
+    * expensive windows/walks feeding the aggregate expressions were
+    * REMOVED from the measured plan (agg_spearman's two 38M-row rank
+    * windows "ran" in 0.2 s with zero shuffle — the tell). Hashing every
+    * output column makes nothing prunable; the row count rides the same
+    * single action.
+    */
+  private def evalAll(df: org.apache.spark.sql.DataFrame): Long = {
+    val r = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)")).head()
+    r.getLong(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val scales = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 8, 64))
@@ -131,7 +147,7 @@ object EventsScalingBench {
         spillMb: Double, shuffleMb: Double, peakMb: Double)
 
     ops.foreach { op =>
-      SparkEntry.queries(op)(spark, freshDir(dirs(scales.min))).count()
+      evalAll(SparkEntry.queries(op)(spark, freshDir(dirs(scales.min))))
       dropCheckpoints()
     }
 
@@ -140,7 +156,7 @@ object EventsScalingBench {
         dropCheckpoints()
         agg.reset()
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(op)(spark, freshDir(dirs(k))).count()
+        val n = evalAll(SparkEntry.queries(op)(spark, freshDir(dirs(k))))
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(400) // let the async listener bus drain
         (wall, n, agg.spill.get / 1e6, agg.shuffleWrite.get / 1e6, agg.peak.get / 1e6)

@@ -94,6 +94,22 @@ object LlmScalingBench {
     "text_langid", // corpus term profile → broadcast overlap join
     "text_term_freq") // per-language top-10 terms over all token counts
 
+
+  /** Full-evaluation action (round-17 harness fix): a bare `count()` lets
+    * Catalyst PRUNE every expression the count does not need — for an
+    * aggregate-shaped op the count needs only the grouping keys, so the
+    * expensive windows/walks feeding the aggregate expressions were
+    * REMOVED from the measured plan (agg_spearman's two 38M-row rank
+    * windows "ran" in 0.2 s with zero shuffle — the tell). Hashing every
+    * output column makes nothing prunable; the row count rides the same
+    * single action.
+    */
+  private def evalAll(df: org.apache.spark.sql.DataFrame): Long = {
+    val r = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)")).head()
+    r.getLong(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val scales = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 8, 64))
@@ -158,7 +174,7 @@ object LlmScalingBench {
 
     // Warmup: each op once at ×1 (JIT/codegen; result discarded).
     ops.foreach { op =>
-      SparkEntry.queries(op)(spark, freshDir(dirs(scales.min))).count()
+      evalAll(SparkEntry.queries(op)(spark, freshDir(dirs(scales.min))))
       dropCheckpoints()
     }
 
@@ -167,7 +183,7 @@ object LlmScalingBench {
         dropCheckpoints()
         agg.reset()
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(op)(spark, freshDir(dirs(k))).count()
+        val n = evalAll(SparkEntry.queries(op)(spark, freshDir(dirs(k))))
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(400) // let the async listener bus drain
         (wall, n, agg.spill.get / 1e6, agg.shuffleWrite.get / 1e6, agg.peak.get / 1e6)

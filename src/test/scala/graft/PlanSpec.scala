@@ -271,6 +271,73 @@ class PlanSpec extends SparkSpec {
       s"trim aggregation lost its map-side partial phase:\n$p")
   }
 
+  test("win_zscore and win_share_of_group join broadcast group totals, no raw-row window") {
+    // Round-17 scaling pass (BASELINE.md r17): both ops computed their
+    // per-group moments with whole-partition windows partitioned on the
+    // closed 5-value o_orderpriority key — every row exchanged into ≤5
+    // tasks just to read a 5-row total. The scale shape is a 5-row
+    // map-side aggregate broadcast-joined back onto the (parallel) scan:
+    // no Window operator at all, and the row side never shuffles.
+    for (q <- Seq("win_zscore", "win_share_of_group")) {
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q: raw-row window over the closed priority key is back:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: group totals not broadcast-joined:\n$p")
+      assert(p.contains("partial_"),
+        s"$q: totals aggregate lost its map-side partial phase:\n$p")
+    }
+  }
+
+  test("agg_topn_share pre-reduces top-10 per input partition before any per-priority step") {
+    // Round-17 scaling pass: the top-10 rank window partitioned on the
+    // closed 5-value key sorted the whole table on ≤5 tasks to keep 50
+    // rows. Required shape (the profile-top-k pattern): phase 1 ranks
+    // within (priority, input-partition) — any row beaten by 10 rows in
+    // its own partition is beaten by 10 rows globally — and the merge of
+    // the ≤10·partitions candidates happens in an aggregate (HOF over a
+    // collected bounded array), never a raw-row window. Every Window line
+    // must therefore carry the tpid salt in its partition spec, and the
+    // lrn <= 10 bound must survive in the collecting aggregate (it is a
+    // CASE inside collect_list, not a Filter — the same pass also needs
+    // every row for the group total).
+    val p = plan("agg_topn_share")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("tpid#")),
+      s"agg_topn_share: a window without the tpid salt in its partition spec:\n$p")
+    assert(p.contains("lrn#"),
+      s"agg_topn_share: the lrn <= 10 candidate bound is gone:\n$p")
+  }
+
+  test("agg_spearman derives rank maps from value histograms, never ranking raw rows") {
+    // Round-17 scaling pass: the two rank windows on the closed 3-value
+    // key sorted the whole table twice on ≤3 tasks (294 MB/task at ×8)
+    // and DIED at ×64 — sum(rx·rx) over raw-row ranks overflows Long
+    // (measured ARITHMETIC_OVERFLOW, BASELINE r17). The scale shape:
+    // min-rank is a function of the value, so the rank maps are windows
+    // over the distinct-value HISTOGRAM (granularity-bounded) broadcast
+    // back onto the map-side cell counts, with decimal moment sums.
+    val p = plan("agg_spearman")
+    assert(!p.contains("rank("),
+      s"agg_spearman: raw-row rank window is back:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"agg_spearman: rank maps not broadcast-joined:\n$p")
+    assert(p.contains("partial_"),
+      s"agg_spearman: cell counts lost the map-side partial phase:\n$p")
+  }
+
+  test("agg_gini computes rank-weighted sums from the value histogram, not row_number") {
+    // Round-17 scaling pass: Σ(rank·x) over a tied run is a closed form
+    // of (value, multiplicity, cnt_lt) — the row_number window on the
+    // closed 5-value key was pure funnel. The only window allowed is the
+    // cumulative count over the DISTINCT-value histogram.
+    val p = plan("agg_gini")
+    assert(!p.contains("row_number"),
+      s"agg_gini: raw-row rank window is back:\n$p")
+    assert(p.contains("partial_"),
+      s"agg_gini: histogram aggregate lost its map-side partial phase:\n$p")
+  }
+
   test("no query plans an unintentional cartesian product") {
     val offenders = Registry.all.map(_.name)
       .filterNot(intentionalProducts)
