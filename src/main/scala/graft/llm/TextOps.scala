@@ -376,17 +376,47 @@ object TextOps {
     // parallel approximation of greedy packing (exact greedy is inherently
     // sequential; this is the shape used at scale). Partitioned by lang so
     // window state stays bounded per key.
+    // SCALE REWRITE (round 17, closed-key sweep second wave): the running
+    // token total partitioned on the closed ~10-value lang key pushed the
+    // whole corpus through ≤#langs sort tasks. Two-phase prefix sum over
+    // TwoPhase doc_id-range buckets: the bucket bounds come from a 2-column
+    // (lang, doc_id) stats pass — a DIFFERENT pruned signature from the
+    // text-bearing main pass, so the heavy column is still read... twice,
+    // not three times: per-(lang, bucket) token totals need n_toks and
+    // share the main pass's signature (the ScanBudgetSpec exception —
+    // fences-before-classification is load-bearingly sequential, and the
+    // scan-once alternative IS the measured closed-key funnel). cum =
+    // bucket-local running sum + exclusive bucket offset, windows bounded
+    // by bucket population / ≤langs×66 aggregate rows.
     QueryDef(
       "text_pack_bins",
       (s, d) => {
-        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.documents(s, d)
+        def docs = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"),
             size(split(col("text"), " ")).cast("long").as("n_toks"))
-          .withColumn("cum", sum(col("n_toks")).over(w))
+        val stats = Tables.documents(s, d).select(col("lang"), col("doc_id"))
+          .groupBy(col("lang").as("sg"))
+          .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+        def bucketize(df: org.apache.spark.sql.DataFrame) =
+          df.join(broadcast(stats), col("lang") <=> col("sg"))
+            .withColumn("bkt",
+              graft.operators.TwoPhase.bucket(col("doc_id"), col("lo"), col("hi")))
+        val wOff = Window.partitionBy(col("og")).orderBy(col("obkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = bucketize(docs)
+          .groupBy(col("lang").as("og"), col("bkt").as("obkt"))
+          .agg(sum(col("n_toks")).as("tsum"))
+          .withColumn("off", coalesce(sum(col("tsum")).over(wOff), lit(0L)))
+          .select(col("og"), col("obkt"), col("off"))
+        val wIn = Window.partitionBy(col("lang"), col("bkt")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bucketize(docs)
+          .withColumn("lcum", sum(col("n_toks")).over(wIn))
+          .join(broadcast(offs),
+            col("lang") <=> col("og") && col("bkt") === col("obkt"))
           .select(col("doc_id"), col("lang"), col("n_toks"),
-            floor((col("cum") - col("n_toks")) / 512d).cast("long").as("bin"))
+            floor((col("off") + col("lcum") - col("n_toks")) / 512d)
+              .cast("long").as("bin"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, lang, n_toks,

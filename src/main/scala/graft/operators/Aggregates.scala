@@ -992,18 +992,50 @@ object Aggregates {
     // disagree on quantile_disc edge conventions, the rank pick doesn't.
     QueryDef(
       "agg_percentile_disc",
+      // SCALE REWRITE (round 17, closed-key sweep second wave): the old
+      // body ranked every raw customer row through two windows on the
+      // closed 5-value segment key. The discrete percentile is a
+      // SELECTION — only the rows at ranks ceil(n·q) matter — so the
+      // TwoPhase bucket decomposition gets a stronger form than the rank
+      // family's: per-(segment, bucket) counts locate the ONE bucket
+      // whose exclusive-offset range covers each target rank (the bucket
+      // histogram IS a coarse rank index), and only those ≤2 buckets per
+      // segment are ranked row-by-row — a ~1/64 residual sort, in
+      // parallel. Selected values are deterministic even on full-dup
+      // ties: row_number may permute equal (acctbal, custkey) rows, but
+      // every permutation puts the same VALUE at the target rank.
       (s, d) => {
-        val w = Window.partitionBy(col("c_mktsegment"))
+        val c = Tables.customer(s, d)
+          .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+        val stats = c.groupBy(col("c_mktsegment").as("sg"))
+          .agg(min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+        def bucketize(df: org.apache.spark.sql.DataFrame) =
+          df.join(broadcast(stats), col("c_mktsegment") <=> col("sg"))
+            .withColumn("bkt",
+              TwoPhase.bucket(col("c_acctbal"), col("lo"), col("hi")))
+        val wOff = Window.partitionBy(col("sg")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val counts = bucketize(c.select(col("c_mktsegment"), col("c_acctbal")))
+          .groupBy(col("sg"), col("bkt")).agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+          .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("sg"))))
+        val k1 = ceil(col("n") * 0.5d)
+        val k2 = ceil(col("n") * 0.9d)
+        val covers = (k: org.apache.spark.sql.Column) =>
+          col("off") < k && k <= col("off") + col("cnt")
+        val targets = counts.filter(covers(k1) || covers(k2))
+          .select(col("sg").as("og"), col("bkt").as("obkt"),
+            col("off"), col("n"))
+        val wIn = Window.partitionBy(col("c_mktsegment"), col("bkt"))
           .orderBy(col("c_acctbal"), col("c_custkey"))
-        val ranked = Tables.customer(s, d)
-          .select(col("c_mktsegment"), col("c_acctbal"),
-            row_number().over(w).as("rn"),
-            count(lit(1)).over(Window.partitionBy(col("c_mktsegment"))).as("n"))
-        ranked
+        bucketize(c)
+          .join(broadcast(targets),
+            col("c_mktsegment") <=> col("og") && col("bkt") === col("obkt"))
+          .withColumn("rk", col("off") + row_number().over(wIn))
           .groupBy(col("c_mktsegment"))
           .agg(
-            max(when(col("rn") === ceil(col("n") * 0.5d), col("c_acctbal"))).as("med_disc"),
-            max(when(col("rn") === ceil(col("n") * 0.9d), col("c_acctbal"))).as("p90_disc"))
+            max(when(col("rk") === ceil(col("n") * 0.5d), col("c_acctbal"))).as("med_disc"),
+            max(when(col("rk") === ceil(col("n") * 0.9d), col("c_acctbal"))).as("p90_disc"))
           .orderBy("c_mktsegment")
       },
       Some("""SELECT c_mktsegment,

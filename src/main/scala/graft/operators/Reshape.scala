@@ -222,24 +222,46 @@ object Reshape {
     // per (type, day) to bound partition width.
     QueryDef(
       "ts_active_concurrency",
+      // SCALE REWRITE (round 17, closed-key sweep second wave): the
+      // running sum over the boundary stream partitioned on the closed
+      // event_type key pushed 2× the events table through ≤#types sort
+      // tasks. Two-phase prefix sum over calendar-DAY buckets instead —
+      // the bucket map (date_trunc) is a monotone pure function of the
+      // data needing NO min/max pass (one fewer scan than the TwoPhase
+      // range form), equal timestamps share a day, and the offsets window
+      // runs over per-(type, day) delta sums: bounded by the time span,
+      // constant in row count. live = bucket-local running sum +
+      // exclusive per-day offset; a single-day corpus degenerates to the
+      // naive plan, never to a wrong answer. The boundary stream is now
+      // derived twice (delta sums, then ranked rows) — a deliberate
+      // ScanBudgetSpec exception: the fences-before-classification order
+      // is load-bearingly sequential and the scan-once alternative IS the
+      // measured closed-key funnel; re-reading 2 pruned columns beats
+      // sorting 2× the table on ≤#types tasks at 100 TB.
       (s, d) => {
-        // One scan, not a self-UNION: each event row explodes into its
-        // (+1 at ts, -1 at ts+30min) boundary pair. The union form scanned
-        // events twice with the same pruned columns (round-11 ScanAudit:
-        // identical scan signature ×2) — at 100 TB that is the whole
-        // table read twice for rows derivable in one pass.
-        val bounds = Tables.events(s, d)
+        def bounds = Tables.events(s, d)
           .select(col("event_type"), explode(array(
             struct(col("ts").as("bt"), lit(1).as("delta")),
             struct((col("ts") + expr("INTERVAL 30 MINUTE")).as("bt"),
               lit(-1).as("delta")))).as("b"))
           .select(col("event_type"), col("b.bt").as("bt"), col("b.delta").as("delta"))
-        val w = Window.partitionBy(col("event_type")).orderBy(col("bt"), col("delta"))
+          .withColumn("bkt", date_trunc("DAY", col("bt")))
+        val wOff = Window.partitionBy(col("og")).orderBy(col("obkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = bounds
+          .groupBy(col("event_type").as("og"), col("bkt").as("obkt"))
+          .agg(sum(col("delta")).as("dsum"))
+          .withColumn("off", coalesce(sum(col("dsum")).over(wOff), lit(0L)))
+          .select(col("og"), col("obkt"), col("off"))
+        val wIn = Window.partitionBy(col("event_type"), col("bkt"))
+          .orderBy(col("bt"), col("delta"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         bounds
-          .withColumn("live", sum(col("delta")).over(w))
+          .withColumn("lcum", sum(col("delta")).over(wIn))
+          .join(broadcast(offs),
+            col("event_type") <=> col("og") && col("bkt") <=> col("obkt"))
           .groupBy(col("event_type"))
-          .agg(max(col("live")).cast("long").as("peak_concurrent"))
+          .agg(max(col("off") + col("lcum")).cast("long").as("peak_concurrent"))
           .orderBy("event_type")
       },
       Some("""SELECT event_type, CAST(MAX(live) AS BIGINT) AS peak_concurrent

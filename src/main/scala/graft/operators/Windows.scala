@@ -34,15 +34,36 @@ object Windows {
              |  FROM orders) t
              |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
 
+    // SCALE REWRITE (round 17, closed-key sweep second wave): rank and
+    // dense_rank over (p_retailprice DESC) on the closed ~25-value
+    // p_brand key are pure functions of the VALUE — rank = #{> v} + 1
+    // (peers share it by definition), dense = distinct-above + 1 — so
+    // both derive from the per-distinct-price histogram (the
+    // agg_spearman mechanism): one map-side (brand, price) count, a
+    // cumulative window over DISTINCT prices (granularity-bounded,
+    // constant in row count), broadcast back onto the never-shuffled
+    // scan. DESC NULLS LAST ordering survives because the histogram
+    // window sorts the same expression the raw window did.
     QueryDef(
       "win_rank_dense",
       (s, d) => {
-        val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)
+        val hist = Tables.part(s, d)
+          .select(col("p_brand"), col("p_retailprice"))
+          .groupBy(col("p_brand").as("hb"), col("p_retailprice").as("hp"))
+          .agg(count(lit(1)).as("cnt"))
+        val wGt = Window.partitionBy(col("hb")).orderBy(col("hp").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wPos = Window.partitionBy(col("hb")).orderBy(col("hp").desc)
+        val rmap = hist
+          .withColumn("rnk", coalesce(sum(col("cnt")).over(wGt), lit(0L)) + lit(1L))
+          .withColumn("drnk", row_number().over(wPos).cast("long"))
+          .select(col("hb"), col("hp"), col("rnk"), col("drnk"))
         Tables.part(s, d)
-          .select(
-            col("p_brand"), col("p_partkey"), col("p_retailprice"),
-            rank().over(w).cast("long").as("rnk"),
-            dense_rank().over(w).cast("long").as("drnk"))
+          .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+          .join(broadcast(rmap),
+            col("p_brand") <=> col("hb") && col("p_retailprice") <=> col("hp"))
+          .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+            col("rnk"), col("drnk"))
           .orderBy("p_brand", "rnk", "p_partkey")
       },
       Some("""SELECT p_brand, p_partkey, p_retailprice,
@@ -105,16 +126,55 @@ object Windows {
 
     // percent_rank = (rank−1)/(n−1) and cume_dist = peers≤/n in both
     // engines — pure int ratios, rounded 4dp (D5).
+    //
+    // SCALE REWRITE (round 17, closed-key sweep second wave): the raw-row
+    // window on the closed 5-value c_mktsegment key exchanged every
+    // customer into ≤5 sort tasks (measured linear per-task memory growth,
+    // BASELINE.md r17). Now the win_ntile deterministic-value-bucket
+    // pattern, per group (TwoPhase.bucket): rank within (segment, bucket)
+    // in parallel, exclusive bucket offsets from a ≤5×66-row aggregate,
+    // broadcast back. Peer semantics survive exactly: local rank() counts
+    // strictly-before rows (peers share it) and the default RANGE-to-
+    // CURRENT-ROW count frame includes peers — and since equal values
+    // share a bucket by construction, peers never span buckets, so
+    // global rank = off + local rank and peers≤ = off + local count.
+    // n == 1 must yield pct_rank 0.0 (the SQL-standard guard both engines
+    // apply before dividing by n−1).
     QueryDef(
       "win_pct_rank",
       (s, d) => {
-        val w = Window.partitionBy(col("c_mktsegment"))
+        val c = Tables.customer(s, d)
+          .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+        val stats = c.groupBy(col("c_mktsegment").as("sg"))
+          .agg(min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+        def bucketize(df: org.apache.spark.sql.DataFrame) =
+          df.join(broadcast(stats), col("c_mktsegment") <=> col("sg"))
+            .withColumn("bkt",
+              TwoPhase.bucket(col("c_acctbal"), col("lo"), col("hi")))
+        val wOff = Window.partitionBy(col("sg")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = bucketize(c.select(col("c_mktsegment"), col("c_acctbal")))
+          .groupBy(col("sg"), col("bkt")).agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+          .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("sg"))))
+          .select(col("sg").as("og"), col("bkt").as("obkt"),
+            col("off"), col("n"))
+        val wIn = Window.partitionBy(col("c_mktsegment"), col("bkt"))
           .orderBy(col("c_acctbal"), col("c_custkey"))
-        Tables.customer(s, d)
+        bucketize(c)
+          .withColumn("lrk", rank().over(wIn))
+          .withColumn("lc", count(lit(1)).over(wIn)) // default frame: peers≤
+          .join(broadcast(offs),
+            col("c_mktsegment") <=> col("og") && col("bkt") === col("obkt"))
           .select(
             col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
-            graft.Exact.roundN(percent_rank().over(w), 4).as("pct_rank"),
-            graft.Exact.roundN(cume_dist().over(w), 4).as("cume"))
+            graft.Exact.roundN(
+              when(col("n") === 1L, lit(0.0d)).otherwise(
+                (col("off") + col("lrk") - lit(1L)).cast("double") /
+                  (col("n") - lit(1L)).cast("double")), 4).as("pct_rank"),
+            graft.Exact.roundN(
+              (col("off") + col("lc")).cast("double") / col("n").cast("double"),
+              4).as("cume"))
           .orderBy("c_mktsegment", "c_custkey")
       },
       Some(s"""SELECT c_mktsegment, c_custkey, c_acctbal,
@@ -124,17 +184,46 @@ object Windows {
               |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
               |ORDER BY c_mktsegment, c_custkey""".stripMargin)),
 
+    // SCALE REWRITE (round 17, closed-key sweep second wave): the
+    // unbounded-frame first/nth_value on the closed ~25-value p_brand key
+    // funneled the whole part table into ≤25 sort tasks to read TWO
+    // values per brand. Two-phase top-2 instead (the agg_topn_share
+    // superset argument: a row beaten by 2 rows in its own input
+    // partition is beaten by 2 rows globally): phase 1 keeps ≤2
+    // candidates per (brand, input-partition) — the lrn <= 2 filter also
+    // lets Spark insert a Partial WindowGroupLimit — and phase 2 merges
+    // them in a per-brand aggregate whose sort key struct encodes
+    // (price DESC NULLS LAST, partkey ASC) as an ASC sort: a leading
+    // is-null flag sends null prices last, then the NEGATED price (safe:
+    // decimal/double negation, never long), then partkey. The ≤25×2-row
+    // result broadcasts back onto the never-shuffled scan. element_at is
+    // avoided for the second slot — ANSI throws on out-of-bounds; a
+    // size guard keeps the 1-row-brand NULL semantics of nth_value(2).
     QueryDef(
       "win_first_nth",
       (s, d) => {
-        val w = Window.partitionBy(col("p_brand"))
+        val p0 = Tables.part(s, d)
+          .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+        val wLoc = Window.partitionBy(col("p_brand"), col("tpid"))
           .orderBy(col("p_retailprice").desc, col("p_partkey"))
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        Tables.part(s, d)
-          .select(
-            col("p_brand"), col("p_partkey"), col("p_retailprice"),
-            first(col("p_partkey")).over(w).as("top_part"),
-            nth_value(col("p_partkey"), 2).over(w).as("second_part"))
+        val cands = p0.withColumn("tpid", spark_partition_id())
+          .withColumn("lrn", row_number().over(wLoc))
+          .filter(col("lrn") <= 2)
+        val sortKey = struct(
+          col("p_retailprice").isNull.as("nl"),
+          (-col("p_retailprice")).as("nv"),
+          col("p_partkey").as("k"))
+        val top2 = cands
+          .groupBy(col("p_brand").as("tb"))
+          .agg(slice(sort_array(collect_list(sortKey)), 1, 2).as("top"))
+          .select(col("tb"),
+            when(size(col("top")) >= 1, element_at(col("top"), 1).getField("k"))
+              .as("top_part"),
+            when(size(col("top")) >= 2, element_at(col("top"), 2).getField("k"))
+              .as("second_part"))
+        p0.join(broadcast(top2), col("p_brand") <=> col("tb"))
+          .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+            col("top_part"), col("second_part"))
           .orderBy("p_brand", "p_partkey")
       },
       Some("""SELECT p_brand, p_partkey, p_retailprice,
@@ -379,14 +468,43 @@ object Windows {
     // cume_dist with a fully-deterministic ordering (acctbal, custkey ⇒ no
     // peers), so cd = rank/n exactly; the int/int division is the same
     // ieee754 quotient on both engines.
+    //
+    // SCALE REWRITE (round 17, closed-key sweep second wave): same
+    // transformation as win_pct_rank — the raw-row window on the closed
+    // 5-value segment key becomes TwoPhase-bucketed local counts plus
+    // broadcast exclusive offsets; the peers-inclusive count (the default
+    // RANGE-to-CURRENT-ROW frame) keeps cume_dist's exact semantics even
+    // on degenerate full-duplicate rows, since equal values never span
+    // buckets.
     QueryDef(
       "win_cume_dist",
       (s, d) => {
-        val w = Window.partitionBy(col("c_mktsegment"))
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        val stats = c.groupBy(col("c_mktsegment").as("sg"))
+          .agg(min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+        def bucketize(df: org.apache.spark.sql.DataFrame) =
+          df.join(broadcast(stats), col("c_mktsegment") <=> col("sg"))
+            .withColumn("bkt",
+              TwoPhase.bucket(col("c_acctbal"), col("lo"), col("hi")))
+        val wOff = Window.partitionBy(col("sg")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = bucketize(c.select(col("c_mktsegment"), col("c_acctbal")))
+          .groupBy(col("sg"), col("bkt")).agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+          .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("sg"))))
+          .select(col("sg").as("og"), col("bkt").as("obkt"),
+            col("off"), col("n"))
+        val wIn = Window.partitionBy(col("c_mktsegment"), col("bkt"))
           .orderBy(col("c_acctbal"), col("c_custkey"))
-        Tables.customer(s, d)
+        bucketize(c)
+          .withColumn("lc", count(lit(1)).over(wIn)) // default frame: peers≤
+          .join(broadcast(offs),
+            col("c_mktsegment") <=> col("og") && col("bkt") === col("obkt"))
           .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-            Exact.roundN(cume_dist().over(w), 6).as("cd"))
+            Exact.roundN(
+              (col("off") + col("lc")).cast("double") / col("n").cast("double"),
+              6).as("cd"))
           .orderBy("c_custkey")
       },
       Some(s"""SELECT c_custkey, c_mktsegment, c_acctbal,

@@ -338,6 +338,97 @@ class PlanSpec extends SparkSpec {
       s"agg_gini: histogram aggregate lost its map-side partial phase:\n$p")
   }
 
+  test("customer rank-family ops bucket-salt every window and broadcast offsets") {
+    // Round-17 closed-key sweep, second wave: win_cume_dist, win_pct_rank
+    // and agg_percentile_disc ranked every raw customer row in a window
+    // partitioned on the closed 5-value c_mktsegment key — the same
+    // ≤5-sort-task funnel the first wave rewrote, with measured
+    // linear-per-task memory growth (8.9→25.2 MB across ×64 replicated
+    // customers, BASELINE.md r17). Required shape (the win_ntile
+    // deterministic-value-bucket pattern, generalized per group): every
+    // Window line must carry the bkt# salt in its partition spec, and the
+    // per-(segment, bucket) counts/offsets must come back via broadcast
+    // join — never a raw-row window on the bare segment key.
+    for (q <- Seq("win_cume_dist", "win_pct_rank", "agg_percentile_disc")) {
+      val p = plan(q)
+      val bigWins = p.linesIterator.filter(l =>
+        l.contains("Window") && l.contains("c_mktsegment#") && !l.contains("bkt#")).toSeq
+      assert(bigWins.isEmpty,
+        s"$q: a window partitioned on the bare closed segment key is back:\n" +
+          s"${bigWins.mkString("\n")}\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: bucket offsets not broadcast-joined:\n$p")
+      assert(!p.contains("cume_dist(") && !p.contains("percent_rank("),
+        s"$q: raw-row rank window function is back:\n$p")
+    }
+  }
+
+  test("win_rank_dense derives both ranks from the price histogram, never ranking raw rows") {
+    // Round-17 second wave: rank and dense_rank on the closed ~25-value
+    // p_brand key are pure functions of the VALUE (rank = #{> v} + 1;
+    // dense = distinct-above + 1), so both derive from the per-distinct-
+    // price histogram (granularity-bounded, the agg_spearman mechanism)
+    // broadcast back onto the scan — no rank()/dense_rank() over raw rows.
+    val p = plan("win_rank_dense")
+    assert(!p.contains("rank("), // also matches dense_rank(
+      s"win_rank_dense: raw-row rank window is back:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"win_rank_dense: rank map not broadcast-joined:\n$p")
+    assert(p.contains("partial_count"),
+      s"win_rank_dense: histogram lost its map-side partial phase:\n$p")
+  }
+
+  test("win_first_nth pre-reduces per-partition top-2 and broadcasts it, no full-frame window") {
+    // Round-17 second wave: first/nth_value over an unbounded frame on
+    // the closed p_brand key funneled the whole part table into ≤25 sort
+    // tasks to read 2 values per brand. The scale shape is the
+    // agg_topn_share two-phase top-k: per-(brand, input-partition)
+    // candidates (tpid salt), a tiny per-brand merge, broadcast back.
+    val p = plan("win_first_nth")
+    assert(!p.contains("first(") && !p.contains("nth_value("),
+      s"win_first_nth: full-frame window function is back:\n$p")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("tpid#")),
+      s"win_first_nth: a window without the tpid salt:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"win_first_nth: top-2 not broadcast-joined:\n$p")
+  }
+
+  test("ts_active_concurrency and text_pack_bins two-phase their running sums over buckets") {
+    // Round-17 second wave: both ops ran a raw-row running sum in a
+    // window partitioned on a closed key (event_type / lang) — the
+    // whole boundary/document stream through ≤#key sort tasks. The scale
+    // shape is a two-phase prefix sum over deterministic value buckets
+    // (time / doc_id ranges): local running sums within (key, bkt) in
+    // parallel, exclusive per-bucket offsets over the tiny aggregate,
+    // broadcast back. Every Window line must carry the bkt# salt except
+    // the offsets window, which runs over ≤ keys×buckets aggregated rows
+    // (recognizable by its cnt/dsum input, never raw stream columns).
+    for ((q, raw) <- Seq("ts_active_concurrency" -> "delta#",
+                         "text_pack_bins" -> "n_toks#")) {
+      val p = plan(q)
+      val rawWins = p.linesIterator.filter(l =>
+        l.contains("Window") && l.contains(raw) && !l.contains("bkt#")).toSeq
+      assert(rawWins.isEmpty,
+        s"$q: a raw-stream running-sum window without the bkt salt is back:\n" +
+          s"${rawWins.mkString("\n")}\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: bucket offsets not broadcast-joined:\n$p")
+    }
+  }
+
+  test("scan_sample_stratified keeps its Partial WindowGroupLimit pre-reduce") {
+    // Round-17 class audit: this is the one closed-key (lang) rank window
+    // that is ALREADY bounded — the rn <= 10 filter lets Spark 4 insert a
+    // Partial WindowGroupLimit before the exchange, so each input
+    // partition forwards ≤10 rows per language. Pin the mechanism (the
+    // same WindowGroupLimit reliance dedup_embedding pins).
+    val p = plan("scan_sample_stratified")
+    assert(p.linesIterator.exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"scan_sample_stratified: Partial WindowGroupLimit pre-reduce gone:\n$p")
+  }
+
   test("no query plans an unintentional cartesian product") {
     val offenders = Registry.all.map(_.name)
       .filterNot(intentionalProducts)

@@ -72,7 +72,22 @@ class ScanBudgetSpec extends SparkSpec {
       // funnel (6.4–6.7× step per 8× data, 168 MB/task at ×64) and graded
       // `weak`; re-reading 2 columns once more is strictly cheaper at
       // 100 TB than sorting the table on 5 tasks.
-      "agg_trimmed_mean" -> Set("orders"))
+      "agg_trimmed_mean" -> Set("orders"),
+      // Round-17 closed-key sweep, second wave — all four share the
+      // win_ntile/agg_trimmed_mean justification: the two-phase bucket
+      // decomposition is load-bearingly SEQUENTIAL (bucket bounds/counts
+      // must exist before a row can be offset against them), AQE stage
+      // reuse does not fire for the window-vs-aggregate consumer pair
+      // (the agg_chi_square class), and the scan-once alternative IS the
+      // closed-key sort funnel the round-17 scaling harness measured and
+      // these rewrites removed. Each repeat re-reads a 2-3 column pruned
+      // projection that partial-aggregates map-side to ≤ keys×66 rows.
+      "win_cume_dist" -> Set("customer"),
+      "win_pct_rank" -> Set("customer"),
+      "agg_percentile_disc" -> Set("customer"),
+      "win_first_nth" -> Set("part"),
+      "ts_active_concurrency" -> Set("events"),
+      "text_pack_bins" -> Set("documents"))
 
   test("the scan counter has teeth: duplicate and reused scans are visible") {
     import org.apache.spark.sql.functions._
