@@ -84,19 +84,34 @@ else
       echo "GATE BLOCKED: bench_regress.py errored (no FLAG lines, rc=$scan_rc)"
       exit 1
     fi
+    # Round-scoped token matching (round 17): the first r17 gate showed a
+    # STALE token passing the literal grep — disposal(text_pack_bins)
+    # written in round 11 for a different movement satisfied a round-17
+    # flag. A disposal is evidence about THIS round's scan, so when the
+    # round number is derivable from GATE_LOG (PREFLIGHT_r{N}.log), only
+    # tokens at or after BASELINE.md's first "## Round {N}" header count;
+    # otherwise fall back to the whole file (manual un-logged runs).
+    ROUND_N=$(echo "${GATE_LOG:-}" | sed -n 's/^PREFLIGHT_r0*\([0-9]*\)\.log$/\1/p')
+    if [[ -n "$ROUND_N" ]] && grep -q "^## Round ${ROUND_N} " BASELINE.md; then
+      DISPOSAL_SCOPE=$(sed -n "/^## Round ${ROUND_N} /,\$p" BASELINE.md)
+      scope_desc="BASELINE.md's Round ${ROUND_N} sections"
+    else
+      DISPOSAL_SCOPE=$(cat BASELINE.md)
+      scope_desc="BASELINE.md"
+    fi
     undisposed=""
     for q in $flags; do
-      grep -qF "disposal($q)" BASELINE.md || undisposed="$undisposed $q"
+      echo "$DISPOSAL_SCOPE" | grep -qF "disposal($q)" || undisposed="$undisposed $q"
     done
     if [[ -n "$undisposed" ]]; then
       echo "GATE BLOCKED: flagged queries without a 'disposal(<query>)' note" \
-           "in BASELINE.md:$undisposed"
+           "in ${scope_desc}:$undisposed"
       echo "Solo-confirm or root-cause each, append the evidence to" \
            "BASELINE.md including the literal token 'disposal(<query>)'," \
            "then re-run the gate."
       exit 1
     fi
-    echo "all flags carry disposal notes in BASELINE.md — accepted"
+    echo "all flags carry disposal notes in ${scope_desc} — accepted"
   fi
 fi
 
