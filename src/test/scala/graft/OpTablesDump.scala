@@ -33,7 +33,14 @@ object OpTablesDump {
       val tables =
         try {
           val df = SparkEntry.queries(name)(spark, dir)
-          df.queryExecution.analyzed.collect {
+          // collectWithSubqueries, not collect: IN/EXISTS/scalar/lateral
+          // subqueries live in EXPRESSION-embedded plans that plain
+          // collect never visits — the first dump printed sub_in_filter /
+          // sub_lateral / join_existence as customer-only and mis-routed
+          // them to the customer replication arm, growing their scan but
+          // not their per-order work (caught by the fixed-rows density
+          // tell, round 17).
+          df.queryExecution.analyzed.collectWithSubqueries {
             case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
               fs.location.rootPaths.map { p =>
                 val s = p.toString
