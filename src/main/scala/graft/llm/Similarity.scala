@@ -235,21 +235,34 @@ object Similarity {
     QueryDef(
       "sim_quantize_int8",
       (s, d) => {
+        // Pre-project mn/range/q as NAMED columns instead of capturing
+        // the array_min/array_max expression trees inside the transform
+        // lambda: a captured expression is re-evaluated per ELEMENT
+        // (64 × O(64) array scans per vector) and the un-named q was
+        // projected three times (q_first/q_last/q_sum each rebuilt the
+        // array) — a ~150× constant found by the round-17 universal
+        // scaling sweep (104 s for 2M vectors at ×1024). CollapseProject
+        // keeps non-cheap aliases that are consumed more than once, so
+        // the lambda now references per-row attributes; the plan shape
+        // is pinned by PlanSpec ("computes min/max once per row").
+        // Arithmetic unchanged — oracle-identical output.
         val emb = col("embedding").cast("array<double>")
-        val mn = array_min(emb)
-        val mx = array_max(emb)
-        val range = when(mx === mn, lit(null).cast("double")).otherwise(mx - mn)
-        val q = transform(emb, x =>
-          Exact.roundN((x - mn) / range * 255d, 0).cast("long"))
         Tables.embeddings(s, d)
+          .select(col("vec_id"), emb.as("emb"),
+            array_min(emb).as("mn"), array_max(emb).as("mx"))
+          .select(col("vec_id"), col("emb"), col("mn"),
+            when(col("mx") === col("mn"), lit(null).cast("double"))
+              .otherwise(col("mx") - col("mn")).as("rng"))
+          .select(col("vec_id"), transform(col("emb"), x =>
+            Exact.roundN((x - col("mn")) / col("rng") * 255d, 0).cast("long")).as("q"))
           .select(
             col("vec_id"),
             // try_element_at: a malformed sub-64-dim vector would make
             // plain element_at(q, 64) an ANSI INVALID_ARRAY_INDEX
             // job-killer; DuckDB's q[64] out-of-bounds is already NULL
-            try_element_at(q, lit(1)).as("q_first"),
-            try_element_at(q, lit(64)).as("q_last"),
-            aggregate(q, lit(0L), (acc, v) => acc + v).as("q_sum"))
+            try_element_at(col("q"), lit(1)).as("q_first"),
+            try_element_at(col("q"), lit(64)).as("q_last"),
+            aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"))
           .orderBy("vec_id")
       },
       Some(s"""SELECT vec_id, q[1] AS q_first, q[64] AS q_last,

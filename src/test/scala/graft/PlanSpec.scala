@@ -429,6 +429,28 @@ class PlanSpec extends SparkSpec {
       s"scan_sample_stratified: Partial WindowGroupLimit pre-reduce gone:\n$p")
   }
 
+  test("sim_quantize_int8 computes min/max once per row and the quantized array once") {
+    // Round-17 universal-sweep finding: the op is linear (slope 0.85) but
+    // its CONSTANT was ~150× off — the original body captured the
+    // `array_min(emb)` / `array_max(emb)` EXPRESSION TREES inside the
+    // transform lambda (re-evaluated per ELEMENT: 64 elements × repeated
+    // O(64) array scans per vector) and projected the transform three
+    // times (q_first / q_last / q_sum each rebuilt the whole array).
+    // ~104 s for 2M vectors at ×1024, all of it redundant re-evaluation.
+    // The scale-safe shape pre-projects mn/range and the quantized array
+    // q as named columns (CollapseProject keeps non-cheap aliases used
+    // more than once), so the plan's lambda references ATTRIBUTES:
+    // array_min/array_max appear exactly once each, and exactly one
+    // transform builds q.
+    val p = plan("sim_quantize_int8")
+    assert("array_min".r.findAllIn(p).size == 1,
+      s"vector min re-evaluated inside the lambda (expected 1 array_min):\n$p")
+    assert("array_max".r.findAllIn(p).size == 1,
+      s"vector max re-evaluated inside the lambda (expected 1 array_max):\n$p")
+    assert("transform\\(".r.findAllIn(p).size == 1,
+      s"quantized array rebuilt per consumer (expected 1 transform):\n$p")
+  }
+
   test("no query plans an unintentional cartesian product") {
     val offenders = Registry.all.map(_.name)
       .filterNot(intentionalProducts)
