@@ -383,7 +383,13 @@ object TwoPhaseShaveBench {
     // ONCE after the generic warmup — the condition Bench's sequential
     // pass measures. Compare across two fresh-JVM launches.
     args.lift(3).foreach { mode =>
-      if (mode.startsWith("plan")) {
+      if (mode.startsWith("wsc")) {
+        // which operators sit inside WholeStageCodegen spans?
+        val df = Registry.queries(args(2))(spark, dir)
+        df.collect()
+        System.err.println(df.queryExecution.executedPlan.toString
+          .linesIterator.take(60).mkString("\n"))
+      } else if (mode.startsWith("plan")) {
         val pick: String => ((SparkSession, String) => DataFrame) =
           if (mode.endsWith("v2")) variants else Registry.queries(_)
         names.foreach { n =>
