@@ -15,6 +15,40 @@ import org.apache.spark.sql.functions._
   */
 object Aggregates {
 
+  private val zeroDec38 = lit(java.math.BigDecimal.ZERO).cast("decimal(38,4)")
+
+  /** Exact selection walk over a band's sorted distinct (value, count)
+    * array (`agg_trimmed_mean`): finds the first value where the running
+    * count reaches rank-within-band `j`, carrying strict-below count/sum
+    * and the value's multiplicity. The walk is BOUNDED to its own band
+    * [from, bandHi] (ADVICE r17): the array holds BOTH fence bands'
+    * values, and an unbounded `p >= from` filter could let a walk whose
+    * bracket was violated (target rank beyond the band's mass) run on
+    * into the upper band and "hit" at a wrong value SILENTLY — bounding
+    * structurally guarantees a violated bracket leaves `t` NULL, the
+    * declared loud failure. (Violation is unreachable today only because
+    * of the percentile_approx rank-error bound; TrimmedMeanFuzzSpec pins
+    * the guarantee directly.)
+    */
+  private[graft] def selectionWalk(arr: Column, from: Column, bandHi: Column,
+      j: Column): Column =
+    aggregate(
+      filter(arr, x => x("p") >= from && x("p") <= bandHi),
+      struct(lit(0L).as("cum"), zeroDec38.as("cums"),
+        lit(null).cast("double").as("t"), lit(0L).as("cb"),
+        zeroDec38.as("sb"), lit(0L).as("mu")),
+      (acc, x) => {
+        val hit = acc("t").isNull && (acc("cum") + x("c")) >= j
+        struct(
+          (acc("cum") + x("c")).as("cum"),
+          (acc("cums") + x("p").cast("decimal(18,4)") * x("c"))
+            .cast("decimal(38,4)").as("cums"),
+          when(hit, x("p")).otherwise(acc("t")).as("t"),
+          when(hit, acc("cum")).otherwise(acc("cb")).as("cb"),
+          when(hit, acc("cums")).otherwise(acc("sb")).as("sb"),
+          when(hit, x("c")).otherwise(acc("mu")).as("mu"))
+      })
+
   val defs: Seq[QueryDef] = Seq(
 
     // TPC-H Q1 shape.
@@ -494,7 +528,7 @@ object Aggregates {
         // fences must exist before a row can be band-classified; see the
         // measured ScanBudgetSpec exception entry).
         val meta = Seq("n", "n_null", "total", "nn", "mb", "mt", "kb", "kt",
-          "f1", "g1")
+          "f1", "f2", "g1", "g2")
         val bands = o
           .join(broadcast(withFences.drop("fences")),
             col("o_orderpriority") <=> col("pr"))
@@ -517,31 +551,15 @@ object Aggregates {
             sort_array(collect_list(when(col("bp").isNotNull,
               struct(col("bp").as("p"), col("c").as("c"))))).as("arr"))
 
-        // Exact selection walk over a band's sorted distinct values: finds
-        // the first value where the running count reaches rank-within-band
-        // j, carrying strict-below count/sum and the value's multiplicity.
-        def walk(from: Column, j: Column): Column =
-          aggregate(
-            filter(col("arr"), x => x("p") >= from),
-            struct(lit(0L).as("cum"), zero38.as("cums"),
-              lit(null).cast("double").as("t"), lit(0L).as("cb"),
-              zero38.as("sb"), lit(0L).as("mu")),
-            (acc, x) => {
-              val hit = acc("t").isNull && (acc("cum") + x("c")) >= j
-              struct(
-                (acc("cum") + x("c")).as("cum"),
-                (acc("cums") + x("p").cast("decimal(18,4)") * x("c"))
-                  .cast("decimal(38,4)").as("cums"),
-                when(hit, x("p")).otherwise(acc("t")).as("t"),
-                when(hit, acc("cum")).otherwise(acc("cb")).as("cb"),
-                when(hit, acc("cums")).otherwise(acc("sb")).as("sb"),
-                when(hit, x("c")).otherwise(acc("mu")).as("mu"))
-            })
-
+        // Exact selection walk per band ([[selectionWalk]]): each walk is
+        // bounded to ITS band (ADVICE r17 — f2/g2 ride along in `meta`),
+        // so a violated bracket is structurally guaranteed to yield NULL.
         val r = bands
-          .withColumn("lo", walk(col("f1"), col("kb") - col("c1")))
+          .withColumn("lo",
+            selectionWalk(col("arr"), col("f1"), col("f2"), col("kb") - col("c1")))
           .withColumn("hi",
-            walk(col("g1"), col("nn") - col("kt") + 1 - col("c1h")))
+            selectionWalk(col("arr"), col("g1"), col("g2"),
+              col("nn") - col("kt") + 1 - col("c1h")))
         val t = r("lo")("t")
         val bottomSum = r("s1") + r("lo")("sb") +
           (r("kb") - r("c1") - r("lo")("cb")).cast("decimal(20,0)") *

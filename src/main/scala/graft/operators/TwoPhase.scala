@@ -44,10 +44,20 @@ object TwoPhase {
     * row would silently vanish — the win_ntile round-9 lesson).
     * A single-valued (or all-NULL) group collapses to bucket 0.
     * Callers pass NUMERIC columns (cast timestamps via unix_micros).
+    *
+    * The arithmetic runs in DOUBLE (ADVICE r17): on the native type a
+    * long-keyed group whose range exceeds Long.MaxValue/Buckets
+    * overflowed (v − lo) · Buckets, and under ANSI that throws. Bucket
+    * placement only needs an approximately monotone division — the
+    * long→double conversion is monotone non-decreasing and equal values
+    * map to equal doubles, which is exactly the contract (bucket order ==
+    * value order, equal values share a bucket); precision loss can only
+    * merge adjacent buckets, never reorder them.
     */
   def bucket(v: Column, lo: Column, hi: Column): Column =
     when(v.isNull, lit(-1))
       .when(hi <=> lo, lit(0))
       .otherwise(least(lit(Buckets - 1),
-        floor((v - lo) * Buckets / (hi - lo)).cast("int")))
+        floor((v.cast("double") - lo.cast("double")) * Buckets /
+          (hi.cast("double") - lo.cast("double"))).cast("int")))
 }

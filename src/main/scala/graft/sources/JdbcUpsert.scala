@@ -66,6 +66,50 @@ sealed trait UpsertDialect {
           "upsert")
     }
 
+  /** TABLE-position guard (ADVICE r17): schema-qualified names like
+    * `app.bars` are valid unquoted SQL and were accepted before the
+    * round-17 guard, so the table argument (and the staging/deduped temps
+    * derived from it) admits DOT-SEPARATED plain segments — each segment
+    * still held to the strict class above. Column and key names keep the
+    * single-segment rule (a dotted column reference is never a column
+    * NAME).
+    */
+  protected def requirePlainTables(ids: Seq[String]): Unit =
+    ids.foreach { id =>
+      val segs = id.split("\\.", -1)
+      if (segs.isEmpty || segs.exists(s => !s.matches("[A-Za-z_][A-Za-z0-9_]*")))
+        throw new IllegalArgumentException(
+          s"$name dialect: table name '$id' is not unquoted-safe (dot-" +
+            "separated [A-Za-z_][A-Za-z0-9_]* segments) — target-side " +
+            "references are unquoted by design, so this name cannot be " +
+            "emitted as valid SQL")
+    }
+
+  /** Full identifier-surface guard for [[upsertStatements]] (ADVICE r17):
+    * keys splice verbatim into the MERGE ON clause, the MySQL ODKU clause,
+    * and the UNIQUE constraint text, so they are held to the same strict
+    * rule as columns AND must be drawn from `cols` (an absent key is an
+    * unvalidated splice with no data meaning); an empty key list would
+    * emit a malformed empty ON/UNIQUE clause.
+    */
+  protected def requireValidUpsertIdentifiers(table: String, staging: String,
+      deduped: String, cols: Seq[String], keys: Seq[String]): Unit = {
+    requirePlainTables(Seq(table, staging, deduped))
+    requirePlainIdentifiers(cols ++ keys)
+    if (keys.isEmpty)
+      throw new IllegalArgumentException(
+        s"$name dialect: keys must be non-empty — an empty key list would " +
+          "emit a malformed ON / UNIQUE clause")
+    keys.filterNot(cols.contains) match {
+      case Nil => ()
+      case missing =>
+        throw new IllegalArgumentException(
+          s"$name dialect: keys ${missing.mkString(", ")} are not among " +
+            s"the staged columns (${cols.mkString(", ")}) — every upsert " +
+            "key must be one of the DataFrame's columns")
+    }
+  }
+
   /** Staging-side column reference. Spark's JDBC writer creates staging
     * columns as QUOTED identifiers (exact case) in the dialect's quoting
     * style, while the target's unquoted DDL normalizes to the DB's folding
@@ -92,7 +136,7 @@ case object AnsiMergeDialect extends UpsertDialect {
   def stagingRef(alias: String, c: String): String = s"""$alias."$c""""
   def upsertStatements(table: String, staging: String, deduped: String,
       cols: Seq[String], keys: Seq[String]): Seq[String] = {
-    requirePlainIdentifiers(table +: staging +: deduped +: cols)
+    requireValidUpsertIdentifiers(table, staging, deduped, cols, keys)
     val nonKeys = cols.filterNot(keys.contains)
     def sq(c: String) = stagingRef("s", c)
     val on = keys.map(k => s"t.$k = ${sq(k)}").mkString(" AND ")
@@ -146,7 +190,7 @@ case object MySqlUpsertDialect extends UpsertDialect {
   def stagingRef(alias: String, c: String): String = s"$alias.`$c`"
   def upsertStatements(table: String, staging: String, deduped: String,
       cols: Seq[String], keys: Seq[String]): Seq[String] = {
-    requirePlainIdentifiers(table +: staging +: deduped +: cols)
+    requireValidUpsertIdentifiers(table, staging, deduped, cols, keys)
     val nonKeys = cols.filterNot(keys.contains)
     def sq(c: String) = stagingRef("s", c)
     // All-key frame: MySQL rejects an empty ODKU clause; `k = s.k` is a
@@ -157,7 +201,8 @@ case object MySqlUpsertDialect extends UpsertDialect {
       else nonKeys.map(c => s"$c = ${sq(c)}").mkString(", ")
     Seq(
       s"CREATE TABLE $deduped AS SELECT DISTINCT * FROM $staging",
-      s"ALTER TABLE $deduped ADD CONSTRAINT ${deduped}_uk UNIQUE (${keys.mkString(", ")})",
+      // constraint names are bare identifiers: strip any schema prefix
+      s"ALTER TABLE $deduped ADD CONSTRAINT ${deduped.split('.').last}_uk UNIQUE (${keys.mkString(", ")})",
       s"""INSERT INTO $table (${cols.mkString(", ")})
          |SELECT ${cols.map(sq).mkString(", ")} FROM $deduped s
          |ON DUPLICATE KEY UPDATE $updateClause""".stripMargin)

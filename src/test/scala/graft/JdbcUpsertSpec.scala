@@ -779,6 +779,79 @@ class JdbcUpsertSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
       assert(!rs.next(), "a staging table beyond the reported leak survived")
     } finally c.close()
   }
+
+  test("ADVICE r17: keys are guarded too — non-plain, absent-from-cols, or empty fail loudly") {
+    // keys splice verbatim into the MERGE ON clause, the MySQL ODKU
+    // clause, and the UNIQUE constraint text — the one identifier surface
+    // VERDICT r16 #5's guard missed. A key must be a plain identifier AND
+    // one of the frame's columns (anything else is an unvalidated splice
+    // the guard exists to close), and an empty key list would emit a
+    // malformed empty ON/UNIQUE clause.
+    for (d <- Seq(graft.sources.AnsiMergeDialect, graft.sources.MySqlUpsertDialect)) {
+      val absent = intercept[IllegalArgumentException] {
+        d.upsertStatements("tgt", "tgt_stg_x", "tgt_stg_x_d",
+          Seq("code", "px"), Seq("trade_date"))
+      }
+      assert(absent.getMessage.contains("keys"), s"${d.name}: $absent")
+      val adversarial = intercept[IllegalArgumentException] {
+        d.upsertStatements("tgt", "tgt_stg_x", "tgt_stg_x_d",
+          Seq("code", "px"), Seq("pr`ice"))
+      }
+      assert(adversarial.getMessage.contains("keys") ||
+        adversarial.getMessage.contains("not unquoted-safe"), s"${d.name}: $adversarial")
+      val empty = intercept[IllegalArgumentException] {
+        d.upsertStatements("tgt", "tgt_stg_x", "tgt_stg_x_d",
+          Seq("code", "px"), Seq.empty)
+      }
+      assert(empty.getMessage.contains("keys"), s"${d.name}: $empty")
+    }
+  }
+
+  test("ADVICE r17: schema-qualified targets are accepted; each segment stays guarded") {
+    // "app.bars" is valid unquoted SQL and was accepted before the r17
+    // guard — a latent API regression for any caller upserting into a
+    // non-default schema. The TABLE position (and the staging/deduped
+    // temps derived from it) now admit dot-separated plain segments;
+    // column and key names keep the strict single-segment rule.
+    val stmts = graft.sources.AnsiMergeDialect.upsertStatements(
+      "appx.bars", "appx.bars_stg_1", "appx.bars_stg_1_d",
+      Seq("code", "px"), Seq("code"))
+    assert(stmts.last.contains("MERGE INTO appx.bars "), stmts.last)
+    // MySQL's UNIQUE constraint name must stay a bare identifier even
+    // when the deduped temp is schema-qualified.
+    val my = graft.sources.MySqlUpsertDialect.upsertStatements(
+      "appx.bars", "appx.bars_stg_1", "appx.bars_stg_1_d",
+      Seq("code", "px"), Seq("code"))
+    val alter = my.find(_.contains("ADD CONSTRAINT")).get
+    assert(alter.contains("ADD CONSTRAINT bars_stg_1_d_uk UNIQUE"), alter)
+    // Degenerate qualified forms stay rejected.
+    for (bad <- Seq("appx..bars", ".bars", "appx.", "ap`px.bars", "a.b;DROP TABLE t")) {
+      val ex = intercept[IllegalArgumentException] {
+        graft.sources.AnsiMergeDialect.upsertStatements(
+          bad, "tgt_stg_x", "tgt_stg_x_d", Seq("code", "px"), Seq("code"))
+      }
+      assert(ex.getMessage.contains("not unquoted-safe"), s"$bad: $ex")
+    }
+    // Columns/keys must NOT gain the dotted form.
+    val dottedCol = intercept[IllegalArgumentException] {
+      graft.sources.AnsiMergeDialect.upsertStatements(
+        "tgt", "tgt_stg_x", "tgt_stg_x_d", Seq("co.de", "px"), Seq("px"))
+    }
+    assert(dottedCol.getMessage.contains("not unquoted-safe"), dottedCol.toString)
+    // End-to-end on Derby: upsert into an explicitly-qualified target.
+    import spark.implicits._
+    JdbcUpsert.ensureTable(url, "CREATE SCHEMA APPX")
+    JdbcUpsert.ensureTable(url, ddl.replace("CREATE TABLE bars", "CREATE TABLE APPX.bars"))
+    val day1 = Seq(("AAA", 20240101L, 10.0), ("BBB", 20240101L, 20.0))
+      .toDF("code", "trade_date", "close_px")
+    JdbcUpsert.upsertViaStaging(day1, url, "APPX.bars",
+      Seq("code", "trade_date"), Some("code VARCHAR(16)"))
+    val delta = Seq(("AAA", 20240101L, 11.5)).toDF("code", "trade_date", "close_px")
+    JdbcUpsert.upsertViaStaging(delta, url, "APPX.bars",
+      Seq("code", "trade_date"), Some("code VARCHAR(16)"))
+    val rows = readTable("APPX.bars")
+    assert(rows === Seq(("AAA", 20240101L, 11.5), ("BBB", 20240101L, 20.0)))
+  }
 }
 
 /** Test-only JDBC driver: wraps embedded Derby and injects faults.

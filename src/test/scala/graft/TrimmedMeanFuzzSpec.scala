@@ -172,4 +172,40 @@ class TrimmedMeanFuzzSpec extends SparkSpec {
   test("empty orders table yields an empty result") {
     assert(run(Seq.empty).isEmpty)
   }
+
+  test("ADVICE r17: a violated bracket leaves the walk's boundary NULL — " +
+      "never a silent upper-band value") {
+    // The band arrays (`arr`) hold BOTH fence bands' values. The walk for
+    // the LOWER cut must be bounded to ITS band [f1, f2]: an unbounded
+    // p >= f1 filter would keep walking into the upper [g1, g2] band, so
+    // a violated bracket (target rank beyond the lower band's mass —
+    // unreachable today only because of the percentile_approx rank-error
+    // bound) could "hit" at an upper-band value and return a silently
+    // wrong trimmed mean instead of the declared loud NULL. Fixture: the
+    // lower band [1.0, 2.0] holds 5 rows, the upper band starts at 10.0,
+    // and the target rank 7 exceeds the band mass — the boundary struct's
+    // value must stay NULL.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1, 1)).toDF("g", "x").select(
+      array(
+        struct(lit(1.0d).as("p"), lit(2L).as("c")),
+        struct(lit(2.0d).as("p"), lit(3L).as("c")),
+        struct(lit(10.0d).as("p"), lit(5L).as("c")),
+        struct(lit(11.0d).as("p"), lit(4L).as("c"))).as("arr"),
+      lit(1.0d).as("from"), lit(2.0d).as("bandHi"), lit(7L).as("j"))
+    val out = df.select(
+      graft.operators.Aggregates
+        .selectionWalk(col("arr"), col("from"), col("bandHi"), col("j"))("t")
+        .as("t")).collect().head
+    assert(out.isNullAt(0),
+      s"violated bracket hit a wrong upper-band value: ${out.get(0)}")
+    // An in-band target still resolves exactly: rank 4 within [1.0, 2.0]
+    // lands on the 2.0 run with 2 strictly-below rows.
+    val ok = df.select(
+      graft.operators.Aggregates
+        .selectionWalk(col("arr"), col("from"), col("bandHi"), lit(4L)).as("w"))
+      .select(col("w")("t"), col("w")("cb"), col("w")("mu")).collect().head
+    assert(ok.getDouble(0) === 2.0 && ok.getLong(1) === 2L && ok.getLong(2) === 3L)
+  }
 }

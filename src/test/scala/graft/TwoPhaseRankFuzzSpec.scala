@@ -320,6 +320,84 @@ class TwoPhaseRankFuzzSpec extends SparkSpec {
     assert(Registry.queries("text_pack_bins")(spark, docsDir(Seq.empty)).count() === 0L)
   }
 
+  test("pack_bins: a doc_id range wider than Long.MaxValue/Buckets must not overflow") {
+    // ADVICE r17: TwoPhase.bucket computed (v − lo) · 64 on the column's
+    // NATIVE type, so a long-keyed group whose id range exceeds
+    // Long.MaxValue/64 overflowed the multiply — under ANSI that throws
+    // and kills the job. Bucket placement only needs an approximately
+    // monotone division, so the map now goes through double first.
+    val rows = Seq(
+      (0L, Some("l0"), Some("a b c")),
+      (Long.MaxValue / 32L, Some("l0"), Some("d e")),
+      (Long.MaxValue - 1L, Some("l0"), Some("f g h i")),
+      (5L, Some("l1"), Some("j k")))
+    val d = docsDir(rows)
+    same(Registry.queries("text_pack_bins")(spark, d), oldPackBins(d), "pack/widerange")
+  }
+
+  // -------------------------------------------------------------- orders
+
+  private val ordersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_orderpriority", StringType),
+    StructField("o_totalprice", DoubleType)))
+
+  private def ordersDir(rows: Seq[(Long, Option[String], Option[Double])]): String = {
+    val dir = tmp("graft-tpr-ord-")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (k, p, v) => Row(k, p.orNull, v.map(Double.box).orNull) },
+        4),
+      ordersSchema).write.parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  /** Ground truth for agg_gini: the ORIGINAL row_number body verbatim
+    * (round-2 formulation, commit dfdf749) — Σ(rank·x) over raw rows.
+    * ADVICE r17: agg_gini's oracle was rewritten to the same histogram
+    * closed form as the Spark body, so unlike the other eleven rewrites a
+    * shared derivation mistake (the m·cnt_lt + m(m+1)/2 weight, null
+    * handling) would pass both engines undetected; this pins the closed
+    * form against the independent raw-rank derivation. The old body's
+    * unguarded /0 (double NaN/Inf, vs the new body's declared NULL) is
+    * out of scope — fixtures avoid all-zero-price groups; the nullif
+    * guard is DegenerateGroupSpec's territory.
+    */
+  private def oldGini(d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, d)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        Exact.sumDec(col("o_totalprice")).cast("double").as("sx"),
+        sum((col("rn") * col("o_totalprice")).cast("decimal(28,8)"))
+          .cast("double").as("swx"))
+      .select(col("o_orderpriority"),
+        Exact.roundN(
+          lit(2.0d) * col("swx") / (col("n") * col("sx")) -
+            (col("n") + 1.0d) / col("n"), 4).as("gini"))
+  }
+
+  test("gini: tie runs, null prices, null priority, 1-row groups, skewed mass") {
+    val rnd = new scala.util.Random(67L)
+    val pool = Vector(1.0, 1.0, 1.0, 2.5, 2.5, 40.0, 1000.0)
+    val rows = (1 to 1500).map { i =>
+      (i.toLong,
+        if (i % 31 == 0) None else Some(s"p${i % 4}"),
+        if (i % 11 == 0) None else Some(pool(rnd.nextInt(pool.size))))
+    } ++ Seq(
+      (9001L, Some("solo"), Some(7.0)),          // 1-row group
+      (9002L, Some("allnull"), None),            // all-null-price group
+      (9003L, Some("allnull"), None)) ++
+      (1 to 200).map(i => (9100L + i, Some("skew"),
+        Some(if (i <= 195) 0.01 else 50000.0)))  // extreme concentration
+    val d = ordersDir(rows)
+    same(Registry.queries("agg_gini")(spark, d), oldGini(d), "gini/mixed")
+    assert(Registry.queries("agg_gini")(spark, ordersDir(Seq.empty)).count() === 0L)
+  }
+
   // ------------------------------------------------------------ lineitem
 
   private val liSchema = StructType(Seq(
