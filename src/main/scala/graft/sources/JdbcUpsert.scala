@@ -387,6 +387,7 @@ object JdbcUpsert {
       onLeak: String => Unit = logLeakedStaging): Int = {
     var attempt = 0
     var done = false
+    val reportedLeaks = scala.collection.mutable.Set.empty[String]
     while (!done) {
       try {
         upsertViaStaging(df, url, table, keys, stagingColumnTypes, dialect)
@@ -395,8 +396,12 @@ object JdbcUpsert {
         case e: Throwable if attempt < maxRetries && isTransientRace(e) =>
           // About to swallow `e` (if the retry succeeds) — surface any
           // leaked staging tables riding it as suppressed cleanup
-          // failures first (ADVICE r15).
-          leakedStagingTables(e).foreach(onLeak)
+          // failures first (ADVICE r15). Deduped across attempts
+          // (VERDICT r17 #6): if a later attempt's exception carries an
+          // already-reported table (a wrapper re-raising with the prior
+          // chain suppressed), onLeak-driven automation must not file
+          // the same leak twice.
+          reportNewLeaks(e, reportedLeaks, onLeak)
           attempt += 1
           Thread.sleep((50L << attempt) +
             java.util.concurrent.ThreadLocalRandom.current().nextLong(50))
@@ -416,6 +421,19 @@ object JdbcUpsert {
     * (same take(20) discipline as [[isTransientRace]]): a cause cycle must
     * not spin this forever.
     */
+  /** Report each staging table leaked aboard `t` exactly once per retry
+    * loop: names already in `reported` are skipped, new ones are recorded
+    * then handed to `onLeak` (VERDICT r17 #6 — double-reporting the same
+    * table would double-file whatever cleanup automation onLeak drives).
+    */
+  private[graft] def reportNewLeaks(t: Throwable,
+      reported: scala.collection.mutable.Set[String],
+      onLeak: String => Unit): Unit =
+    leakedStagingTables(t).filterNot(reported.contains).foreach { tbl =>
+      reported += tbl
+      onLeak(tbl)
+    }
+
   private[graft] def leakedStagingTables(t: Throwable): Seq[String] = {
     val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(20).toSeq
     chain.flatMap(x => x +: x.getSuppressed.toSeq).collect {

@@ -119,7 +119,12 @@ class BenchEmitSpec extends AnyFunSuite {
     pb.directory(tmp.toFile)
     pb.environment().put("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     pb.environment().put("SPARK_GRAFT_CPUS", "4")
-    pb.environment().put("SPARK_GRAFT_BENCH_THREADS", "1") // sequential pass only
+    // THREADS=2 so the REAL sequential pass runs before the concurrent
+    // one (threads=1 skips it and falls back) — VERDICT r17 #6: seq_wall
+    // is the gate-comparable series, so a harness regression that
+    // silently dropped the sequential pass must show here.
+    pb.environment().put("SPARK_GRAFT_BENCH_THREADS", "2")
+    pb.environment().put("SPARK_GRAFT_BENCH_SEQ", "1")
     pb.environment().put("SPARK_GRAFT_BENCH_ONLY", "scan_full,fn_string")
     pb.redirectError(ProcessBuilder.Redirect.DISCARD)
     // stdout via a FILE, never a pipe read-before-waitFor: readAllBytes on
@@ -150,7 +155,18 @@ class BenchEmitSpec extends AnyFunSuite {
       "driver-facing key set changed — extend BOTH schema pins together")
     assert(node.get("n").asInt() === 2, "SPARK_GRAFT_BENCH_ONLY restriction not honored")
     assert(node.get("value").isNumber && node.get("value").asDouble() > 0.0)
-    assert(node.get("seq_wall").isNumber && node.get("seq_wall").asDouble() > 0.0)
+    assert(node.get("seq_wall").isNumber && node.get("seq_wall").asDouble() > 0.0,
+      "seq_wall missing or zero with SPARK_GRAFT_BENCH_SEQ=1 — the " +
+        "gate-comparable sequential series was silently dropped")
+    // The sequential pass is a separate wall-clock measurement from the
+    // concurrent pass; its per-query map must have been recorded for both
+    // queries in BENCH_DETAILS.json (the seq_queries key tags the pass).
+    val details = mapper.readTree(
+      Files.readString(tmp.resolve("BENCH_DETAILS.json")))
+    assert(details.get("seq_queries").isObject &&
+      details.get("seq_queries").fieldNames().asScala.toSet ===
+        Set("scan_full", "fn_string"),
+      "sequential-pass per-query map missing from BENCH_DETAILS.json")
     assert(node.get("queries").isObject &&
       node.get("queries").fieldNames().asScala.toSet === Set("scan_full", "fn_string"))
     assert(node.get("failed").isArray && node.get("failed").size() === 0,

@@ -780,6 +780,26 @@ class JdbcUpsertSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     } finally c.close()
   }
 
+  test("VERDICT r17 #6: a leaked staging table is reported through onLeak at most once") {
+    // If a later retry's exception re-carries an already-reported leak
+    // (a wrapper re-raising with the prior chain suppressed),
+    // onLeak-driven automation must not file the same cleanup twice.
+    val seen = scala.collection.mutable.Set.empty[String]
+    val reports = scala.collection.mutable.ArrayBuffer.empty[String]
+    val e1 = new RuntimeException("merge race")
+    e1.addSuppressed(new graft.sources.StagingCleanupException(
+      "bars_stg_deadbeef", new java.sql.SQLException("lock", "40XL1")))
+    JdbcUpsert.reportNewLeaks(e1, seen, reports += _)
+    assert(reports.toSeq === Seq("bars_stg_deadbeef"))
+    // same table rides the NEXT attempt's exception (wrapped chain)
+    val e2 = new RuntimeException("merge race again", e1)
+    e2.addSuppressed(new graft.sources.StagingCleanupException(
+      "bars_stg_cafe0001", new java.sql.SQLException("lock", "40XL1")))
+    JdbcUpsert.reportNewLeaks(e2, seen, reports += _)
+    assert(reports.toSeq === Seq("bars_stg_deadbeef", "bars_stg_cafe0001"),
+      s"duplicate leak report: $reports")
+  }
+
   test("ADVICE r17: keys are guarded too — non-plain, absent-from-cols, or empty fail loudly") {
     // keys splice verbatim into the MERGE ON clause, the MySQL ODKU
     // clause, and the UNIQUE constraint text — the one identifier surface

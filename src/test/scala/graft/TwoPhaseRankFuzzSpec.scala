@@ -458,4 +458,60 @@ class TwoPhaseRankFuzzSpec extends SparkSpec {
     same(Registry.queries("agg_spearman")(spark, d), oldSpearman(d), "spearman/mixed")
     assert(Registry.queries("agg_spearman")(spark, liDir(Seq.empty)).count() === 0L)
   }
+
+  // ------------------------------------------------- AQE coalesce toggle
+
+  test("two-phase bodies are row-identical with AQE partition coalescing " +
+      "toggled both ways (VERDICT r17 #7)") {
+    // The two-phase rewrites are fuzz-pinned for row identity above, but
+    // always under the session's default AQE settings. AQE partition
+    // coalescing is the mechanism most likely to merge the histogram /
+    // offsets stages' tiny partitions differently at cluster scale, so
+    // run the whole family under BOTH settings — a decomposition that
+    // accidentally depended on physical partition boundaries (the thing
+    // TwoPhase.bucket's determinism contract forbids) would diverge here.
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val orig = spark.conf.get(key)
+    val rnd = new scala.util.Random(143L)
+    try {
+      for (v <- Seq("false", "true")) {
+        spark.conf.set(key, v)
+        checkCustomer(
+          (1 to 700).map(i => (i.toLong,
+            if (i % 23 == 0) None else Some(s"s${i % 3}"),
+            if (i % 9 == 0) None else Some(rnd.nextDouble() * 500 - 100))),
+          s"aqe-coalesce-$v")
+        val dd = docsDir((1 to 400).map { i =>
+          (if (i < 300) i.toLong else 50000L + i * 31L,
+            if (i % 17 == 0) None else Some(s"l${i % 3}"),
+            Some(Seq.fill(1 + rnd.nextInt(40))("w").mkString(" ")))
+        })
+        same(Registry.queries("text_pack_bins")(spark, dd), oldPackBins(dd),
+          s"aqe-coalesce-$v/pack_bins")
+        val de = eventsDir((1 to 600).map(i =>
+          (i.toLong, if (i % 13 == 0) None else Some(s"t${i % 2}"),
+            Some((i % 4).toLong * 86400000000L + rnd.nextLong(86400000000L)))))
+        same(Registry.queries("ts_active_concurrency")(spark, de),
+          oldConcurrency(de), s"aqe-coalesce-$v/concurrency")
+        val dp = partDir((1 to 300).map(i => (i.toLong,
+          if (i % 19 == 0) None else Some(s"b${i % 5}"),
+          if (i % 11 == 0) None else Some(rnd.nextInt(40) * 2.5))))
+        same(Registry.queries("win_first_nth")(spark, dp), oldFirstNth(dp),
+          s"aqe-coalesce-$v/first_nth")
+        same(Registry.queries("win_rank_dense")(spark, dp), oldRankDense(dp),
+          s"aqe-coalesce-$v/rank_dense")
+        val dor = ordersDir((1 to 500).map(i => (i.toLong,
+          if (i % 29 == 0) None else Some(s"p${i % 3}"),
+          if (i % 7 == 0) None else Some(rnd.nextInt(30) * 1.5 + 1.0))))
+        same(Registry.queries("agg_gini")(spark, dor), oldGini(dor),
+          s"aqe-coalesce-$v/gini")
+        val dl = liDir((1 to 500).map(i =>
+          (Some(s"f${i % 2}"),
+            if (i % 13 == 0) None else Some(rnd.nextInt(20) * 1.0),
+            if (i % 11 == 0) None else Some(rnd.nextInt(8) * 0.01))))
+        same(Registry.queries("agg_spearman")(spark, dl), oldSpearman(dl),
+          s"aqe-coalesce-$v/spearman")
+      }
+    } finally spark.conf.set(key, orig)
+  }
 }

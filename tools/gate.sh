@@ -40,7 +40,8 @@ if [[ -n "${GATE_LOG:-}" && -z "${GATE_LOG_ACTIVE:-}" ]]; then
   exit "$gate_rc"
 fi
 DIRTY=$(git status --porcelain | grep -vc '^?? \|^ M BENCH_DETAILS.json$' || true)
-echo "=== gate run $(date -u +%Y-%m-%dT%H:%MZ), HEAD $(git rev-parse --short HEAD)$([ "$DIRTY" -gt 0 ] && echo ' + UNCOMMITTED TRACKED CHANGES' || true), sweep_sf01=${GATE_SWEEP_SF01:-0} ==="
+LOAD_AT_LAUNCH=$(cut -d' ' -f1 /proc/loadavg)
+echo "=== gate run $(date -u +%Y-%m-%dT%H:%MZ), HEAD $(git rev-parse --short HEAD)$([ "$DIRTY" -gt 0 ] && echo ' + UNCOMMITTED TRACKED CHANGES' || true), sweep_sf01=${GATE_SWEEP_SF01:-0}, loadavg_1m=${LOAD_AT_LAUNCH} ==="
 
 echo "=== compile ==="
 sbt -batch compile
@@ -58,7 +59,34 @@ for SF in $SCALES; do
   python3 tools/preflight.py "/root/testdata/sf${SF}" "$OUT"
 done
 
+# Bench launch load gate (VERDICT r17 #5): the gate-run bench numbers
+# feed the committed regression series and the round narrative, yet were
+# un-load-gated — two r17 gate runs carried a uniform ~1.25x box-load
+# factor that had to be divided out after the fact. Apply the same
+# discipline bench_quote.sh has had since r12: the 1-min loadavg at the
+# bench step must be <= GRAFT_BENCH_MAX_LAUNCH_LOAD (default 1.5). The
+# earlier compile/test/verify stages are allowed to have heated the box,
+# so poll up to GRAFT_GATE_LOAD_WAIT seconds (default 300) for the load
+# to settle before refusing — a refusal is a RED gate, not a silent
+# tainted number.
 echo "=== bench sf0.1 ==="
+MAX_LOAD="${GRAFT_BENCH_MAX_LAUNCH_LOAD:-1.5}"
+WAIT_S="${GRAFT_GATE_LOAD_WAIT:-300}"
+waited=0
+while :; do
+  BENCH_LOAD=$(cut -d' ' -f1 /proc/loadavg)
+  ok=$(awk -v l="$BENCH_LOAD" -v m="$MAX_LOAD" 'BEGIN{print (l<=m)?1:0}')
+  [[ "$ok" == "1" ]] && break
+  if (( waited >= WAIT_S )); then
+    echo "GATE BLOCKED: bench launch loadavg ${BENCH_LOAD} > ${MAX_LOAD}" \
+         "after waiting ${waited}s — rerun when the box is idle" \
+         "(override threshold with GRAFT_BENCH_MAX_LAUNCH_LOAD)"
+    exit 1
+  fi
+  echo "bench load gate: loadavg ${BENCH_LOAD} > ${MAX_LOAD}, settling (${waited}s/${WAIT_S}s)"
+  sleep 15; waited=$((waited + 15))
+done
+echo "bench launch loadavg_1m=${BENCH_LOAD} (gate <= ${MAX_LOAD})"
 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   sbt -batch "runMain graft.Bench" | grep -o '{"metric".*}' | tee /tmp/gate_bench.json
 
