@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Ratchet for the round-17 full-inventory scaling program: every
   * registry op must carry a measured curve in the committed
-  * SCALING_r17.json, and the file's own count must match the registry.
+  * SCALING_r18.json, and the file's own count must match the registry.
   *
   * Why a test and not just a narrative: the unmeasured tail is exactly
   * where round 17 found real structure (agg_spearman's rank-sum Long
@@ -14,7 +14,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * (run the family harness, rebuild the json, bump ops_measured).
   *
   * The check is textual on purpose: the artifact is a committed,
-  * generator-owned file (BASELINE.md "SCALING_r17.json" section), its
+  * generator-owned file (BASELINE.md "SCALING_r18.json" section), its
   * ops map keys are written as `"<name>": {` at a fixed indent, and op
   * names never collide with field names — no JSON parser dependency
   * needed in the test classpath.
@@ -22,11 +22,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class ScalingCoverageSpec extends AnyFunSuite {
 
   private lazy val artifact: String = {
-    val src = scala.io.Source.fromFile("SCALING_r17.json")
+    val src = scala.io.Source.fromFile("SCALING_r18.json")
     try src.mkString finally src.close()
   }
 
-  test("every registry op has a measured scaling curve in SCALING_r17.json") {
+  test("every registry op has a measured scaling curve in SCALING_r18.json") {
     val missing = Registry.all.map(_.name).filterNot(n => artifact.contains(s""""$n": {"""))
     assert(missing.isEmpty,
       s"ops without a measured curve (run the family harness and re-consolidate): $missing")
@@ -34,9 +34,9 @@ class ScalingCoverageSpec extends AnyFunSuite {
 
   test("the artifact's own count matches the registry (forces re-consolidation on growth)") {
     assert(artifact.contains(s""""ops_total": ${Registry.all.size}"""),
-      s"SCALING_r17.json ops_total != registry size ${Registry.all.size} — re-consolidate")
+      s"SCALING_r18.json ops_total != registry size ${Registry.all.size} — re-consolidate")
     assert(artifact.contains(s""""ops_measured": ${Registry.all.size}"""),
-      s"SCALING_r17.json ops_measured != registry size ${Registry.all.size} — measure the new ops")
+      s"SCALING_r18.json ops_measured != registry size ${Registry.all.size} — measure the new ops")
   }
 
   test("no undisposed weak verdicts ride in the artifact") {
