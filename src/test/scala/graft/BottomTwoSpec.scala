@@ -54,6 +54,37 @@ class BottomTwoSpec extends SparkSpec {
     assert(BottomTwo.finish(whole) === BottomTwoTypes.Out(Some(9L), Some(0L)))
   }
 
+  test("randomized: fold+merge over arbitrary splits equals the sort-based top-2") {
+    // Differential fuzz beyond the fixed seams: random value streams
+    // (NaN, ±0.0, null-flags, duplicate keys) folded through reduce with
+    // a random split-point merge must equal taking the first two of the
+    // reference sort under Spark's normalized double ordering.
+    val rnd = new scala.util.Random(271828L)
+    def refSort(vs: Seq[In]): Seq[In] = vs.sortWith { (a, b) =>
+      if (a.nl != b.nl) b.nl
+      else if (a.np == b.np || (a.np.isNaN && b.np.isNaN)) a.k < b.k
+      else java.lang.Double.compare(a.np, b.np) < 0
+    }
+    val pool = Seq(0.0, -0.0, 1.5, -1.5, Double.NaN, 7.25, 1e12, -1e12)
+    for (trial <- 1 to 200) {
+      val n = rnd.nextInt(9) // 0..8 values, short groups included
+      val vs = Seq.fill(n)(In(
+        rnd.nextInt(4) == 0,
+        pool(rnd.nextInt(pool.size)),
+        rnd.nextInt(5).toLong)) // duplicate keys on purpose
+      val cut = if (n == 0) 0 else rnd.nextInt(n + 1)
+      val (l, r) = vs.splitAt(cut)
+      val got = BottomTwo.finish(BottomTwo.merge(
+        l.foldLeft(BottomTwo.zero)(BottomTwo.reduce),
+        r.foldLeft(BottomTwo.zero)(BottomTwo.reduce)))
+      val ref = refSort(vs)
+      val want = BottomTwoTypes.Out(ref.headOption.map(_.k), ref.lift(1).map(_.k))
+      // ties on BOTH (price, key) make the winner among full-duplicate
+      // rows ambiguous only in identity, never in the reported key.
+      assert(got === want, s"trial $trial: vs=$vs cut=$cut got=$got want=$want")
+    }
+  }
+
   test("end-to-end over a DataFrame: matches first/nth_value window semantics") {
     import spark.implicits._
     val df = Seq(
