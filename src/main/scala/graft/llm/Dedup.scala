@@ -20,14 +20,20 @@ object Dedup {
   /** Portable token pseudo-hash: (ascii(first)*8191 + ascii(last)*131 +
     * len*17) mod 2^16. Weak as a hash, but pure integer scalar arithmetic —
     * bit-identical in any SQL dialect (same D7 reasoning as `udf_scalar`).
+    * Operands are widened to BIGINT BEFORE the multiply (ADVICE r18 #1):
+    * `ascii()` returns the full CODE POINT, so an astral-plane first/last
+    * char (up to 1,114,111) times 8191 overflows 32-bit — an ANSI job
+    * death here, a negative lane under wraparound. The SQL twin casts per
+    * operand so DuckDB computes the identical 64-bit value
+    * (TokenHashWidthSpec pins both recipes on U+100000 tokens).
     */
   private def tokHash(tok: Column): Column =
-    ((ascii(substring(tok, 1, 1)) * 8191 +
-      ascii(substring(reverse(tok), 1, 1)) * 131 +
-      length(tok) * 17) % 65536).cast("long")
+    ((ascii(substring(tok, 1, 1)).cast("long") * 8191 +
+      ascii(substring(reverse(tok), 1, 1)).cast("long") * 131 +
+      length(tok).cast("long") * 17) % 65536)
 
   private val tokHashSql =
-    "((ascii(substring(tok, 1, 1)) * 8191 + ascii(substring(reverse(tok), 1, 1)) * 131 + length(tok) * 17) % 65536)"
+    "((CAST(ascii(substring(tok, 1, 1)) AS BIGINT) * 8191 + CAST(ascii(substring(reverse(tok), 1, 1)) AS BIGINT) * 131 + CAST(length(tok) AS BIGINT) * 17) % 65536)"
 
   /** 63-bit portable token hash for the SimHash family (round 18, VERDICT
     * r17 #2): four independently-mixed 16-bit lanes of the same
@@ -47,20 +53,24 @@ object Dedup {
     (257, 2053, 31, 32768))
 
   private def tokHash64(tok: Column): Column = {
-    val a = ascii(substring(tok, 1, 1))
-    val b = ascii(substring(reverse(tok), 1, 1))
-    val l = length(tok)
+    // BIGINT per operand before the multiply — see [[tokHash]]: the lane
+    // multipliers (up to 8191) overflow 32-bit on astral-plane codepoints,
+    // and the r18 lane table exposes LAST chars to the big multipliers too
+    // (ADVICE r18 #1; TokenHashWidthSpec).
+    val a = ascii(substring(tok, 1, 1)).cast("long")
+    val b = ascii(substring(reverse(tok), 1, 1)).cast("long")
+    val l = length(tok).cast("long")
     HashLanes.zipWithIndex.map { case ((am, bm, lm, m), i) =>
-      ((a * am + b * bm + l * lm) % m).cast("long") * lit(1L << (16 * i))
+      ((a * am + b * bm + l * lm) % m) * lit(1L << (16 * i))
     }.reduce(_ + _)
   }
 
   private val tokHash64Sql: String = {
-    val a = "ascii(substring(tok, 1, 1))"
-    val b = "ascii(substring(reverse(tok), 1, 1))"
-    val l = "length(tok)"
+    val a = "CAST(ascii(substring(tok, 1, 1)) AS BIGINT)"
+    val b = "CAST(ascii(substring(reverse(tok), 1, 1)) AS BIGINT)"
+    val l = "CAST(length(tok) AS BIGINT)"
     HashLanes.zipWithIndex.map { case ((am, bm, lm, m), i) =>
-      s"CAST(($a * $am + $b * $bm + $l * $lm) % $m AS BIGINT) * ${1L << (16 * i)}"
+      s"(($a * $am + $b * $bm + $l * $lm) % $m) * ${1L << (16 * i)}"
     }.mkString("(", " + ", ")")
   }
 
