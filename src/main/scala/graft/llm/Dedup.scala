@@ -89,8 +89,47 @@ object Dedup {
     * recall-complete for the declared ≤ 3 filter (the old 2×8-bit banding
     * could miss a ≤ 3 pair whose diffs straddled both bands).
     */
-  private val SimhashBands: Seq[(Int, Long)] =
+  private[graft] val SimhashBands: Seq[(Int, Long)] =
     Seq((0, 65535L), (16, 65535L), (32, 65535L), (48, 65535L))
+
+  /** Fingerprint → near-dup pairs: the banding/candidate/filter stage of
+    * `dedup_simhash_pairs`, extracted (round 19, VERDICT r18 #1) so the
+    * recall-completeness of the band table is testable on PLANTED
+    * fingerprints — the text→vote pipeline cannot realize arbitrary
+    * 63-bit values (the portable token hash's image is far smaller than
+    * 2⁶³), so the planted-pair suite must enter here, at the exact code
+    * the registered query runs. `bands` is parameterized ONLY for the
+    * suite's teeth (SimhashRecallSpec proves a 2-band table misses planted
+    * ≤ 3-bit pairs); the registered query always passes [[SimhashBands]].
+    *
+    * Input: (doc_id, lang, source, sh). Output: (doc_id_a, doc_id_b,
+    * hamming) for every within-block pair at Hamming ≤ 3 — complete by
+    * pigeonhole given ≥ 4 bands covering all 63 bits.
+    */
+  private[graft] def simhashBandPairs(
+      sh: DataFrame, bands: Seq[(Int, Long)] = SimhashBands): DataFrame = {
+    val bandStructs = bands.zipWithIndex.map { case ((sft, mask), i) =>
+      struct(lit(i).as("b"),
+        shiftright(col("sh"), sft).bitwiseAND(lit(mask)).as("bv"))
+    }
+    val banded = sh.select(col("doc_id"), col("lang"), col("source"), col("sh"),
+      explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("lang"), col("source"), col("sh"),
+        col("band.b").as("b"), col("band.bv").as("bv"))
+    val a = banded.select(col("doc_id").as("da"), col("lang"), col("source"),
+      col("b"), col("bv"), col("sh").as("ha"))
+    val bb = banded.select(col("doc_id").as("db"), col("lang").as("l2"),
+      col("source").as("s2"), col("b").as("b2"), col("bv").as("bv2"),
+      col("sh").as("hb"))
+    a.join(bb, col("lang") === col("l2") && col("source") === col("s2") &&
+        col("b") === col("b2") && col("bv") === col("bv2") &&
+        col("da") < col("db"))
+      .select(col("da"), col("db"), col("ha"), col("hb")).distinct()
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"), col("hamming"))
+      .orderBy("doc_id_a", "doc_id_b")
+  }
 
   /** Shared bit-vote machinery for the two simhash queries: per-bit
     * ONES-counts plus one row count, branch-free `(h >> j) & 1` terms in
@@ -848,27 +887,10 @@ object Dedup {
         val sh = toks.groupBy(col("doc_id"), col("lang"), col("source"))
           .agg(bitOnes.head, bitOnes.tail: _*)
           .select(col("doc_id"), col("lang"), col("source"), fpFromOnes.as("sh"))
-        val bandStructs = SimhashBands.zipWithIndex.map { case ((sft, mask), i) =>
-          struct(lit(i).as("b"),
-            shiftright(col("sh"), sft).bitwiseAND(lit(mask)).as("bv"))
-        }
-        val bands = sh.select(col("doc_id"), col("lang"), col("source"), col("sh"),
-          explode(array(bandStructs: _*)).as("band"))
-          .select(col("doc_id"), col("lang"), col("source"), col("sh"),
-            col("band.b").as("b"), col("band.bv").as("bv"))
-        val a = bands.select(col("doc_id").as("da"), col("lang"), col("source"),
-          col("b"), col("bv"), col("sh").as("ha"))
-        val bb = bands.select(col("doc_id").as("db"), col("lang").as("l2"),
-          col("source").as("s2"), col("b").as("b2"), col("bv").as("bv2"),
-          col("sh").as("hb"))
-        a.join(bb, col("lang") === col("l2") && col("source") === col("s2") &&
-            col("b") === col("b2") && col("bv") === col("bv2") &&
-            col("da") < col("db"))
-          .select(col("da"), col("db"), col("ha"), col("hb")).distinct()
-          .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
-          .filter(col("hamming") <= 3)
-          .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"), col("hamming"))
-          .orderBy("doc_id_a", "doc_id_b")
+        // Banding/candidate/filter stage lives in [[simhashBandPairs]]
+        // (extracted round 19 so SimhashRecallSpec can plant fingerprints
+        // at this seam; same plan, verified by the exchange-budget golden).
+        simhashBandPairs(sh)
       },
       Some {
         s"""WITH t AS (
