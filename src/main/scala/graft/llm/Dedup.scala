@@ -200,10 +200,13 @@ object Dedup {
 
   /** Materialization primitive for the multi-consumer dedup subtrees
     * ([[tokenPairs]], dedup_ngram_jaccard's postings, each
-    * [[connectedComponents]] round). Default is `localCheckpoint` —
-    * executor-local, unreplicated storage: right for local[32] and cheap,
-    * but after lineage truncation an executor loss at cluster scale is a
-    * JOB FAILURE, not a recompute (VERDICT r05 #1). Setting
+    * [[connectedComponents]] round). Default is `localCheckpoint` at
+    * DISK_ONLY — executor-local, unreplicated, and deliberately NOT
+    * memory-first (round 19, VERDICT r18 #2: memory-first checkpoint
+    * blocks compete with execution memory and OOM'd the ×256 probes on
+    * defaults): right for local[32] and cheap, but after lineage
+    * truncation an executor loss at cluster scale is a JOB FAILURE, not a
+    * recompute (VERDICT r05 #1). Setting
     * `spark.graft.reliableCheckpointDir` (session conf, so `--conf` works
     * on a cluster) or `SPARK_GRAFT_RELIABLE_CHECKPOINT` (env) to a
     * fault-tolerant path (HDFS/object store) switches every such
@@ -229,7 +232,18 @@ object Dedup {
         if (!spark.sparkContext.getCheckpointDir.exists(_.contains(d)))
           spark.sparkContext.setCheckpointDir(d)
         df.checkpoint(eager = false)
-      case None => df.localCheckpoint(eager = false)
+      case None =>
+        // DISK_ONLY, not the MEMORY-first default (round 19, VERDICT r18
+        // #2): checkpoint blocks held memory-first compete with execution
+        // memory — the ×256 probes OOM'd deterministically on defaults and
+        // survived only behind the reliable-checkpoint knob. Disk-only
+        // local blocks make the scale-safe behavior the default (re-reads
+        // ride the OS page cache locally, so the bench cost is noise —
+        // re-quoted in BASELINE.md r19), while the reliable dir remains
+        // the cluster answer to executor LOSS (disk-only local blocks
+        // still die with their executor).
+        df.localCheckpoint(eager = false,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
     }
   }
 
