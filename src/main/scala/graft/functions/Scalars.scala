@@ -441,15 +441,16 @@ object Scalars {
     // Regexp family: extract-with-group, replace-all, and match-test. The
     // patterns stick to char classes + anchors so Java regex and DuckDB's
     // RE2 agree (same constraint as fn_string / text_token_count).
-    // KNOWN ENGINE-DEFINED DIVERGENCE (round-14 control set): the one
-    // anchor case where they DON'T agree is a subject ending in a line
-    // terminator — Java's `$` also matches BEFORE a final terminator,
-    // RE2's only at end-of-text, so a p_name of "…widget\n" gives
-    // is_widget true on Spark and false on DuckDB (probed empirically;
-    // declared expected in tools/degen_preflight.sh expected_for).
-    // Driver fixtures carry no trailing terminators, so this never
-    // surfaces there; strip trailing [\r\n]+ before anchoring if a real
-    // ingest needs the engines to agree on such names.
+    // The end anchor is `\z` (end-of-TEXT), not `$` (round 19, VERDICT
+    // r18 #4): Java's `$` also matches BEFORE a final line terminator
+    // while RE2's matches only at end-of-text, so a p_name of
+    // "…widget\n" made is_widget diverge (Spark true, DuckDB false) —
+    // the control degenerate set's one documented divergence for four
+    // rounds. Both engines support `\z` with NO terminator exception
+    // (probed: Java and RE2 both reject the trailing-LF name), so the
+    // anchors now agree on ANY input and the control set runs clean;
+    // DegenerateSweepSpec pins the trailing-LF behavior on the Spark
+    // side so a pattern edit back to `$` goes red.
     QueryDef(
       "fn_regexp",
       (s, d) =>
@@ -463,13 +464,13 @@ object Scalars {
             nullif(regexp_extract(col("p_brand"), "#([0-9]+)", 1), lit(""))
               .cast("long").as("brand_num"),
             regexp_replace(col("p_name"), " ", "_").as("name_snake"),
-            col("p_name").rlike("widget$").as("is_widget"),
+            col("p_name").rlike("widget\\z").as("is_widget"),
             regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"))
           .orderBy("p_partkey"),
       Some("""SELECT p_partkey,
              |  CAST(NULLIF(regexp_extract(p_brand, '#([0-9]+)', 1), '') AS BIGINT) AS brand_num,
              |  regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
-             |  regexp_matches(p_name, 'widget$') AS is_widget,
+             |  regexp_matches(p_name, 'widget\z') AS is_widget,
              |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word
              |FROM part ORDER BY p_partkey""".stripMargin)),
 

@@ -801,11 +801,12 @@ object DegenTables {
     * value (string-escape parsing, not raw bytes). One part name ends in
     * a LINE FEED — the canonical Java-vs-RE2 anchor seam: Java's `$`
     * (Spark) matches before a final line terminator, RE2's (DuckDB)
-    * matches only at end-of-text — probed empirically before this set
-    * was written ('control widget\n' rlike 'widget$': Spark true, DuckDB
-    * false), so `fn_regexp` is this set's ONE documented expected
-    * divergence (declared in tools/degen_preflight.sh expected_for, and
-    * at the fn_regexp QueryDef). Everything else must agree.
+    * matches only at end-of-text. Since round 19 (VERDICT r18 #4)
+    * fn_regexp anchors on `\z` — end-of-text on BOTH engines, no
+    * terminator exception — so this set has ZERO expected divergences;
+    * the trailing-LF name stays as the regression canary (the sweep and
+    * DegenerateSweepSpec's positive pin both go red on a `$` revert).
+    * Everything must agree.
     */
   def writeControl(spark: SparkSession, dir: String): Unit = {
     import spark.implicits._

@@ -426,9 +426,10 @@ class DegenerateSweepSpec extends SparkSpec {
     * and CRLF and TAB inside document text (with an exact duplicate
     * across the line breaks, so dedup hashes control bytes), the NBSP /
     * zero-width-space / BOM invisibles, the escaped \n inside a JSON
-    * string value, and the trailing-LF part name — the Java-vs-RE2
-    * `$`-anchor seam that makes fn_regexp this set's one declared
-    * divergence in the oracle sweep (tools/degen_preflight.sh).
+    * string value, and the trailing-LF part name — the historical
+    * Java-vs-RE2 `$`-anchor seam, kept as the regression canary for the
+    * round-19 `\z` parity fix (VERDICT r18 #4) that cleared the oracle
+    * sweep's last control-set forgiveness.
     */
   test("control: queries survive control characters and the invisibles are real") {
     val d = Files.createTempDirectory("graft-degen-control-").toString
@@ -454,18 +455,23 @@ class DegenerateSweepSpec extends SparkSpec {
       .select("p_name").collect().map(_.getString(0))
     assert(names.exists(_.endsWith("widget\n")),
       "fixture lost the trailing-LF part name — the $-anchor seam is gone")
-    // Positive pin of the divergence's Spark half (same philosophy as
-    // the extremes loud-throw enforcement): expected_for(control) only
-    // FORGIVES fn_regexp's parity failure — if a future Spark aligned
-    // its `$` with RE2, the sweep would quietly pass and the declared
-    // divergence would go stale. Assert Java semantics still hold so
-    // that change surfaces here and prompts de-listing.
+    // Positive pin of the round-19 anchor PARITY (VERDICT r18 #4): the
+    // fn_regexp end anchor is `\z` on both engines — end-of-text with no
+    // final-line-terminator exception — so the trailing-LF seam name must
+    // NOT match on Spark (it never matched on RE2), and the control set
+    // carries ZERO forgivenesses in degen_preflight.sh expected_for. The
+    // seam name stays in the fixture as the regression canary: an edit
+    // back to `$` flips this assertion red before the sweep ever runs.
     import spark.implicits._
-    assert(Seq("control widget\n").toDF("p")
-      .select(col("p").rlike("widget$")).head().getBoolean(0),
-      "Spark's $ no longer matches before a final line terminator — " +
-        "de-list fn_regexp from degen_preflight.sh expected_for(control) " +
-        "and update the fn_regexp QueryDef divergence note")
+    assert(!Seq("control widget\n").toDF("p")
+      .select(col("p").rlike("widget\\z")).head().getBoolean(0),
+      "Spark's \\z matched before a final line terminator — the fn_regexp " +
+        "anchor parity (VERDICT r18 #4) regressed; re-probe DuckDB before " +
+        "re-declaring a control-set forgiveness")
+    assert(Seq("control widget").toDF("p")
+      .select(col("p").rlike("widget\\z")).head().getBoolean(0),
+      "\\z stopped matching at plain end-of-text — is_widget is now " +
+        "false everywhere and the oracle comparison is vacuous")
     val props = spark.read.parquet(s"$d/events.parquet")
       .select("props").collect().map(_.getString(0))
     assert(props.exists(p => p.contains("\\n") && p.contains("\\t")),

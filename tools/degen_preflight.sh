@@ -66,11 +66,10 @@ expected_for() {
     # decimal representation, C printf via the exact binary expansion —
     # engine-defined, documented at the fn_format QueryDef.
     extremes) expected_loud_for extremes; printf '%s\n' fn_format ;;
-    # Java's `$` (Spark) matches before a FINAL LINE TERMINATOR, RE2's
-    # (DuckDB) only at end-of-text — the control set's trailing-LF part
-    # name flips is_widget between engines (probed empirically, round 14;
-    # documented at the fn_regexp QueryDef). Engine-defined.
-    control) printf '%s\n' fn_regexp ;;
+    # control: ZERO expected divergences since round 19 — fn_regexp's end
+    # anchor is now `\z` on both engines (no final-line-terminator
+    # exception in Java OR RE2), closing the `$`-anchor seam that was this
+    # set's one forgiveness for four rounds (VERDICT r18 #4).
   esac
 }
 
