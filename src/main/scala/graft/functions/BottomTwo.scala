@@ -30,7 +30,16 @@ object BottomTwoTypes {
   *
   * Buffer/output: (found1, key1, found2, key2) plus the two sort keys; an
   * explicit found flag instead of a key sentinel, so arbitrary (including
-  * negative) keys from degenerate fixtures can never collide with "unset".
+  * negative) NON-NULL keys from degenerate fixtures can never collide
+  * with "unset".
+  *
+  * PRECONDITION (ADVICE r18 #2): `In.k` is a non-nullable Long, so a NULL
+  * key fails LOUDLY at encoding time — it cannot silently mis-rank. The
+  * one caller (win_first_nth) keys on p_partkey, the part table's primary
+  * key, which no fixture (driver or degenerate) nulls; a future caller
+  * with nullable keys must pass coalesce(key, sentinel) plus an explicit
+  * null-key flag column, mirroring how the price's nullability is
+  * carried in `nl`.
   */
 object BottomTwo extends Aggregator[
     BottomTwoTypes.In, BottomTwoTypes.Buf, BottomTwoTypes.Out] {

@@ -200,9 +200,18 @@ object Windows {
     // encodes (price DESC NULLS LAST, partkey ASC) as an ascending
     // (isnull, −price, key) triple; the aggregator compares −price via
     // IEEE == then Double.compare, so 0.0/−0.0 and NaN ties still fall
-    // through to the key — matching Spark's normalized sort exactly
-    // (TwoPhaseRankFuzzSpec pins row identity vs the original window
-    // body). The ≤25-row result broadcasts back onto the never-shuffled
+    // through to the key — matching Spark's normalized sort on every
+    // real-valued input (TwoPhaseRankFuzzSpec pins row identity vs the
+    // original window body). KNOWN NaN DIVERGENCE from the original
+    // `p_retailprice.desc` window (ADVICE r18 #3): negation maps NaN to
+    // NaN, and NaN is GREATEST in the ascending −price order — so a NaN
+    // price ranks below all real prices here, where the original DESC
+    // window (and the oracle's DESC) would rank it FIRST. Prices are
+    // never NaN in any fixture (the column is parquet double from TPC-H
+    // money; degenerate sets null it, and NULL is carried by `nl`), so
+    // the seam is unreachable today; a NaN-bearing ingest would need
+    // np = if(isnan(p), −Inf, −p) with a NaN flag column, mirroring nl.
+    // The ≤25-row result broadcasts back onto the never-shuffled
     // scan (measured sf0.1 cold: 2.2 s → 1.5 s solo; ratchets: PlanSpec
     // no-Window, exchange-budget 3+1 → 2+1).
     QueryDef(
