@@ -32,8 +32,15 @@ object Dedup {
       ascii(substring(reverse(tok), 1, 1)).cast("long") * 131 +
       length(tok).cast("long") * 17) % 65536)
 
-  private val tokHashSql =
-    "((CAST(ascii(substring(tok, 1, 1)) AS BIGINT) * 8191 + CAST(ascii(substring(reverse(tok), 1, 1)) AS BIGINT) * 131 + CAST(length(tok) AS BIGINT) * 17) % 65536)"
+  /** SQL twin of [[tokHash]], parameterized on the variable name so the
+    * minhash oracle's `list_transform` lambda (var `t`) shares the ONE
+    * widened recipe — the r19-initial widening left this as a dead
+    * fixed-name constant while the live oracle lambda kept the 32-bit
+    * multiply (code-review finding; RegistrySpec's token-hash lint now
+    * pins every oracle copy).
+    */
+  private def tokHashSql(v: String): String =
+    s"((CAST(ascii(substring($v, 1, 1)) AS BIGINT) * 8191 + CAST(ascii(substring(reverse($v), 1, 1)) AS BIGINT) * 131 + CAST(length($v) AS BIGINT) * 17) % 65536)"
 
   /** 63-bit portable token hash for the SimHash family (round 18, VERDICT
     * r17 #2): four independently-mixed 16-bit lanes of the same
@@ -600,8 +607,7 @@ object Dedup {
       Some {
         def aI(i: Int): Long = 1103515245L + 2L * i
         def bI(i: Int): Long = 12345L + 7919L * i
-        val tokHashLambda =
-          "((ascii(substring(t, 1, 1)) * 8191 + ascii(substring(reverse(t), 1, 1)) * 131 + length(t) * 17) % 65536)"
+        val tokHashLambda = tokHashSql("t")
         val sigCols = (0 until 16).map { i =>
           s"list_min(list_transform(toks, t -> (${aI(i)} * $tokHashLambda + ${bI(i)}) % 32768)) AS h$i"
         }.mkString(",\n  ")

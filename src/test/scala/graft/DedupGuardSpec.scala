@@ -109,8 +109,9 @@ class DedupGuardSpec extends SparkSpec {
         "reliable checkpoint changed the connectedComponents result")
       // The switch must actually write checkpoint data under the dir —
       // otherwise this test would pass with the flag silently ignored.
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val wrote = try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally walk.close()
       assert(wrote > 0, s"no checkpoint files under $dir — the flag was ignored")
     } finally {
       spark.conf.unset("spark.graft.reliableCheckpointDir")
@@ -177,6 +178,12 @@ class DedupGuardSpec extends SparkSpec {
     }
     assert(!spark.conf.getOption("spark.graft.reliableCheckpointDir").exists(_.nonEmpty),
       "precondition: no reliable dir configured")
+    // materialize() also honors the env knob; when it's set the "local
+    // DISK_ONLY" half below would silently exercise the reliable path and
+    // fail with a misleading "persisted no RDD blocks". Cancel instead.
+    assume(!sys.env.get("SPARK_GRAFT_RELIABLE_CHECKPOINT").exists(_.nonEmpty),
+      "SPARK_GRAFT_RELIABLE_CHECKPOINT is set in this environment — the " +
+        "local-path half of this test cannot run")
     val local = newlyPersistedLevels {
       Dedup.materialize(spark.range(0, 1000, 1, 4).toDF("id")).count()
     }
@@ -196,8 +203,9 @@ class DedupGuardSpec extends SparkSpec {
       }
       assert(reliable.isEmpty,
         s"reliable path still persisted local blocks: $reliable")
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val wrote = try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally walk.close()
       assert(wrote > 0, s"no checkpoint files under $dir")
     } finally spark.conf.unset("spark.graft.reliableCheckpointDir")
   }

@@ -101,6 +101,24 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("oracle lint: token-hash ascii operands are cast to BIGINT before the multiply") {
+    // ADVICE r18 #1, completed: ascii() returns the full code point, so
+    // `ascii(substring(…)) * 8191` overflows INT32 on astral-plane chars —
+    // a DuckDB multiplication-overflow error on exactly the inputs the
+    // widened Spark halves now handle. Every oracle copy of the portable
+    // token-hash recipe must cast per operand; `ascii(substring` appears in
+    // oracle SQL nowhere else, so the pattern is precise. RED against the
+    // r19-initial state (dedup_minhash_verified / sketch_cms_heavy_hitters /
+    // text_fingerprint oracles all carried the un-cast multiply).
+    val uncast = "(?<!CAST\\()ascii\\(substring".r
+    for (q <- Registry.all; sql <- q.oracle) {
+      assert(uncast.findFirstIn(sql).isEmpty,
+        s"${q.name}: un-cast ascii(substring …) in the oracle — the token-hash " +
+          "multiply must compute in BIGINT (ADVICE r18 #1; overflows INT32 on " +
+          "astral-plane codepoints)")
+    }
+  }
+
   test("oracle lint: no complex-typed output columns on oracle-bearing queries") {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     for (q <- Registry.all if q.oracle.isDefined) {

@@ -148,13 +148,10 @@ class SimhashRecallSpec extends SparkSpec {
     * purpose (shared-recipe discipline, same as TokenHashWidthSpec) so a
     * drive-by lane-table edit in Dedup.scala goes red here too.
     */
-  private def tokHash64Ref(first: Long, last: Long, len: Long): Long = {
-    val lanes = Seq((8191L, 131L, 17L, 65536L), (131L, 8191L, 257L, 65536L),
-      (4093L, 521L, 127L, 65536L), (257L, 2053L, 31L, 32768L))
-    lanes.zipWithIndex.map { case ((am, bm, lm, m), i) =>
-      ((first * am + last * bm + len * lm) % m) << (16 * i)
-    }.sum
-  }
+  // Long-replayed recipe from the shared TokenHashRefs replica (one
+  // test-side copy carries the drive-by-edit teeth).
+  private def tokHash64Ref(first: Long, last: Long, len: Long): Long =
+    TokenHashRefs.tokHash64Ref(first, last, len)
 
   test("end-to-end: the REGISTERED query emits exactly the brute-force pairs of replayed fingerprints") {
     // Single-token docs: unanimous vote => fingerprint == tokHash64(token).

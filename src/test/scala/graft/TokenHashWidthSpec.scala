@@ -30,24 +30,18 @@ class TokenHashWidthSpec extends SparkSpec {
   private val astral = new String(Character.toChars(0x100000))
   private val cp = 0x100000L
 
-  /** The tokHash64 recipe replayed in Long arithmetic (the shared-recipe
-    * contract style: constants duplicated on purpose, so a drive-by edit
-    * of the lane table in Dedup.scala goes red here).
-    */
-  private def tokHash64Ref(first: Long, last: Long, len: Long): Long = {
-    val lanes = Seq((8191L, 131L, 17L, 65536L), (131L, 8191L, 257L, 65536L),
-      (4093L, 521L, 127L, 65536L), (257L, 2053L, 31L, 32768L))
-    lanes.zipWithIndex.map { case ((am, bm, lm, m), i) =>
-      ((first * am + last * bm + len * lm) % m) << (16 * i)
-    }.sum
-  }
-
-  private def tokHash16Ref(first: Long, last: Long, len: Long): Long =
-    (first * 8191L + last * 131L + len * 17L) % 65536L
+  // The recipes replayed in Long arithmetic live in the shared
+  // TokenHashRefs replica (one test-side copy carries the drive-by-edit
+  // teeth; see that object's scaladoc).
+  import TokenHashRefs.{tokHash16Ref, tokHash64Ref}
 
   private def writeDocs(rows: Seq[(Long, String)]): String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_astral").toString
-    rows.map { case (id, text) => (id, text, "xx", "s0", text.length.toLong) }
+    // n_chars carries CODE-POINT counts per the fixture house rule
+    // (DegenTables) — text.length would count UTF-16 units and overstate
+    // astral chars by one each.
+    rows.map { case (id, text) =>
+      (id, text, "xx", "s0", text.codePointCount(0, text.length).toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     tmp
@@ -97,5 +91,40 @@ class TokenHashWidthSpec extends SparkSpec {
       .collect()
     assert(th.head.getLong(0) === cp, "ascii() did not return the astral codepoint")
     assert(tokHash16Ref(cp, cp, 1L) >= 0L && tokHash16Ref(cp, cp, 1L) < 65536L)
+  }
+
+  // The r19 widening initially covered only Dedup.tokHash/tokHash64 — the
+  // SIBLING copies of the same recipe (Sketches.tokHash behind
+  // sketch_cms_heavy_hitters, the inline hash in text_fingerprint) kept the
+  // 32-bit multiply, so the exact input class ADVICE r18 #1 names still
+  // killed those two queries under ANSI. These two tests were RED against
+  // the un-widened bodies (SparkArithmeticException in the multiply) and
+  // pin the whole recipe family, not just the Dedup copy.
+
+  test("sketch_cms_heavy_hitters survives astral-plane chars (64-bit token hash)") {
+    val dir = writeDocs(Seq(
+      (0L, s"$astral $astral alpha"),
+      (1L, s"$astral beta beta")))
+    val out = Registry.queries("sketch_cms_heavy_hitters")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(astral)._1 === 3L, s"true count wrong: $out")
+    assert(out("beta")._1 === 2L)
+    assert(out("alpha")._1 === 1L)
+    // CMS estimates are always >= the true count (collisions only add).
+    assert(out.values.forall { case (cnt, est) => est >= cnt }, s"est < true: $out")
+  }
+
+  test("text_fingerprint survives astral-plane chars and matches the Long-replayed recipe") {
+    val dir = writeDocs(Seq(
+      (0L, s"$astral abc$astral"), // astral first char; astral LAST char
+      (1L, astral)))
+    val out = Registry.queries("text_fingerprint")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = 'a'.toLong
+    // fingerprint = Σ tokHash16(tok) · (1-based position) mod 2^31, replayed
+    // in Long arithmetic (what the oracle's per-operand BIGINT casts compute).
+    val f0 = (tokHash16Ref(cp, cp, 1L) * 1L + tokHash16Ref(a, cp, 4L) * 2L) % 2147483648L
+    assert(out(0L) === f0)
+    assert(out(1L) === tokHash16Ref(cp, cp, 1L) % 2147483648L)
   }
 }
