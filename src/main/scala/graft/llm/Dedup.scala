@@ -27,7 +27,7 @@ object Dedup {
     * operand so DuckDB computes the identical 64-bit value
     * (TokenHashWidthSpec pins both recipes on U+100000 tokens).
     */
-  private def tokHash(tok: Column): Column =
+  private[llm] def tokHash(tok: Column): Column =
     ((ascii(substring(tok, 1, 1)).cast("long") * 8191 +
       ascii(substring(reverse(tok), 1, 1)).cast("long") * 131 +
       length(tok).cast("long") * 17) % 65536)
@@ -38,8 +38,15 @@ object Dedup {
     * fixed-name constant while the live oracle lambda kept the 32-bit
     * multiply (code-review finding; RegistrySpec's token-hash lint now
     * pins every oracle copy).
+    *
+    * private[llm] (ADVICE r19 #2): Sketches' CMS and TextOps'
+    * text_fingerprint consume the SAME portable recipe — their own string
+    * copies could drift constant-by-constant without tripping the lint
+    * (which only catches the un-cast failure mode), so both now call
+    * these two definitions and the recipe has exactly one source of
+    * truth on each side (Column and SQL).
     */
-  private def tokHashSql(v: String): String =
+  private[llm] def tokHashSql(v: String): String =
     s"((CAST(ascii(substring($v, 1, 1)) AS BIGINT) * 8191 + CAST(ascii(substring(reverse($v), 1, 1)) AS BIGINT) * 131 + CAST(length($v) AS BIGINT) * 17) % 65536)"
 
   /** 63-bit portable token hash for the SimHash family (round 18, VERDICT

@@ -20,19 +20,16 @@ object Sketches {
   private def aI(i: Int): Long = 1103515245L + 2L * i
   private def bI(i: Int): Long = 12345L + 7919L * i
 
-  /** Portable token hash (same family as Dedup.tokHash). Operands widened
-    * to BIGINT before the multiply (ADVICE r18 #1, completed round 19):
-    * ascii() returns the full code point, so an astral-plane first/last
-    * char times 8191 overflows 32-bit — an ANSI job death on the Spark
-    * side (TokenHashWidthSpec's CMS astral test was RED on this body).
+  /** Portable token hash — [[Dedup.tokHash]]'s widened recipe, delegated
+    * (ADVICE r19 #2): the r19 widening fixed this file's copies but left
+    * them COPIES — three SQL bodies that could drift constant-by-constant
+    * without tripping the un-cast lint. One source of truth now lives in
+    * Dedup; this file keeps only the local aliases.
     */
   private def tokHash(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    ((ascii(substring(tok, 1, 1)).cast("long") * 8191 +
-      ascii(substring(reverse(tok), 1, 1)).cast("long") * 131 +
-      length(tok).cast("long") * 17) % 65536)
+    Dedup.tokHash(tok)
 
-  private val tokHashSql =
-    "((CAST(ascii(substring(term, 1, 1)) AS BIGINT) * 8191 + CAST(ascii(substring(reverse(term), 1, 1)) AS BIGINT) * 131 + CAST(length(term) AS BIGINT) * 17) % 65536)"
+  private val tokHashSql = Dedup.tokHashSql("term")
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -170,26 +170,21 @@ object TextOps {
       (s, d) =>
         Tables.documents(s, d)
           .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-          // Operands widened to BIGINT before the multiply (ADVICE r18 #1,
-          // completed round 19): astral-plane first/last chars overflow the
-          // 32-bit ascii()*8191 under ANSI (TokenHashWidthSpec).
-          .withColumn("h",
-            ((ascii(substring(col("tok"), 1, 1)).cast("long") * 8191 +
-              ascii(substring(reverse(col("tok")), 1, 1)).cast("long") * 131 +
-              length(col("tok")).cast("long") * 17) % 65536))
+          // The widened portable token hash, delegated to Dedup's single
+          // source of truth (ADVICE r18 #1 widening; ADVICE r19 #2
+          // de-duplication — an inline copy could drift constant-by-
+          // constant without tripping the un-cast lint).
+          .withColumn("h", Dedup.tokHash(col("tok")))
           .groupBy(col("doc_id"))
           .agg((sum(col("h") * (col("pos") + 1)) % 2147483648L).as("fingerprint"))
           .orderBy("doc_id"),
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |p AS (SELECT doc_id, unnest(toks) AS tok,
-             |        unnest(range(1, len(toks) + 1)) AS pos FROM t),
-             |h AS (SELECT doc_id, pos,
-             |        (CAST(ascii(substring(tok, 1, 1)) AS BIGINT) * 8191 +
-             |         CAST(ascii(substring(reverse(tok), 1, 1)) AS BIGINT) * 131 +
-             |         CAST(length(tok) AS BIGINT) * 17) % 65536 AS h
-             |      FROM p)
-             |SELECT doc_id, CAST(SUM(h * pos) % 2147483648 AS BIGINT) AS fingerprint
-             |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              |p AS (SELECT doc_id, unnest(toks) AS tok,
+              |        unnest(range(1, len(toks) + 1)) AS pos FROM t),
+              |h AS (SELECT doc_id, pos, ${Dedup.tokHashSql("tok")} AS h
+              |      FROM p)
+              |SELECT doc_id, CAST(SUM(h * pos) % 2147483648 AS BIGINT) AS fingerprint
+              |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Token counting two ways (the pre-training budget accounting op):
     // whitespace tokens and BPE-ish regex tokens (runs of letters/digits).

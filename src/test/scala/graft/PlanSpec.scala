@@ -67,6 +67,37 @@ class PlanSpec extends SparkSpec {
       s"query side not broadcast:\n$p")
   }
 
+  test("sim top-k state is intrinsically bounded: map-side TopKNeighbors, no per-query sort window") {
+    // Round 20 (VERDICT r19 #1): the r19 shape — row_number over
+    // Window.partitionBy(query_id) — bounded what SHUFFLES (Partial
+    // WindowGroupLimit) but still SORTED every joined input partition
+    // first, so per-task state grew ∝ partition size (41.9→83.9 MB across
+    // the x1024→x2048 embeddings probe). The fix is the BottomTwo pattern
+    // at K=5: a partial_topkneighbors ObjectHashAggregate pushes each row
+    // into ≤|queries|×K slots map-side — flat in the corpus no matter how
+    // deployment sizes partitions. Pin BOTH halves: the partial aggregate
+    // must exist in every consumer of cosineTopK, and the exact top-k
+    // must carry no Window (and therefore no pre-window partition sort)
+    // at all.
+    for (q <- Seq("sim_cosine_topk", "sim_knn_label", "sim_ann_recall")) {
+      val p = plan(q)
+      assert(p.contains("partial_topkneighbors"),
+        s"$q: map-side partial TopKNeighbors aggregate gone:\n$p")
+    }
+    val pTop = plan("sim_cosine_topk")
+    assert(!pTop.contains("Window"),
+      s"sim_cosine_topk: a window (the unbounded per-query sort shape) is back:\n$pTop")
+    // knn's one remaining window ranks the ≤(queries×labels)-row vote
+    // counts — bounded input by construction. If a row_number line stops
+    // mentioning votes, the top-k sort window crept back in.
+    val pKnn = plan("sim_knn_label")
+    val badWins = pKnn.linesIterator
+      .filter(l => l.contains("row_number") && !l.contains("votes#")).toSeq
+    assert(badWins.isEmpty,
+      s"sim_knn_label: a non-vote row_number window is back:\n" +
+        s"${badWins.mkString("\n")}\n$pKnn")
+  }
+
   test("join_range_binned plans an equi-join, not a nested loop") {
     val p = plan("join_range_binned")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

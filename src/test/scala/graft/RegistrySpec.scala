@@ -110,12 +110,27 @@ class RegistrySpec extends SparkSpec {
     // oracle SQL nowhere else, so the pattern is precise. RED against the
     // r19-initial state (dedup_minhash_verified / sketch_cms_heavy_hitters /
     // text_fingerprint oracles all carried the un-cast multiply).
-    val uncast = "(?<!CAST\\()ascii\\(substring".r
-    for (q <- Registry.all; sql <- q.oracle) {
-      assert(uncast.findFirstIn(sql).isEmpty,
-        s"${q.name}: un-cast ascii(substring …) in the oracle — the token-hash " +
-          "multiply must compute in BIGINT (ADVICE r18 #1; overflows INT32 on " +
-          "astral-plane codepoints)")
+    // ADVICE r19 #1 hardening: the original lookbehind `(?<!CAST\()` was
+    // case-sensitive (a correctly-widened lowercase `cast(` would
+    // false-positive) and only checked the five characters before the call —
+    // the plausible mis-fix `CAST(ascii(substring(…)) * 8191 … AS BIGINT)`
+    // (cast applied AFTER the multiply, which still overflows INT32 inside
+    // DuckDB before the cast) passed it. Now every occurrence must be the
+    // exact widened recipe: `CAST(` binding the ascii(substring …) operand
+    // itself, closed by `AS BIGINT)` BEFORE any arithmetic — i.e. the
+    // shape Dedup.tokHashSql emits.
+    val call = "(?i)ascii\\(substring".r
+    val widenedTail =
+      "(?i)^ascii\\(substring\\((?:reverse\\()?(?:\\w+\\.)?\\w+\\)?, 1, 1\\)\\) AS BIGINT\\)".r
+    for (q <- Registry.all; sql <- q.oracle; m <- call.findAllMatchIn(sql)) {
+      val pre = sql.substring(math.max(0, m.start - 5), m.start)
+      assert(pre.equalsIgnoreCase("CAST(") &&
+        widenedTail.findFirstIn(sql.substring(m.start)).isDefined,
+        s"${q.name}: ascii(substring …) in the oracle is not the widened " +
+          "`CAST(ascii(substring(v, 1, 1)) AS BIGINT)` recipe — the cast must " +
+          "bind the operand BEFORE the multiply (ADVICE r18 #1 / r19 #1; the " +
+          "bare or post-multiply-cast form overflows INT32 on astral-plane " +
+          s"codepoints). Context: …${sql.substring(math.max(0, m.start - 5), math.min(sql.length, m.start + 60))}…")
     }
   }
 

@@ -51,6 +51,14 @@ expected_loud_for() {
 
 expected_for() {
   case "$1" in
+    # Spark's Expand+Aggregate emits ZERO rows for ROLLUP/CUBE/GROUPING
+    # SETS over an empty relation; the SQL standard (and DuckDB) still
+    # emit the () grand-total row. Documented at the three QueryDefs
+    # (Aggregates.scala, "KNOWN ENGINE-DEFINED DIVERGENCE" block above
+    # agg_rollup) and canaried by DegenerateSweepSpec's empty-tables test,
+    # which fails with a de-list instruction here if a future Spark adopts
+    # the standard row (VERDICT r19 #3 audit: both existed since round 14,
+    # commit 10433a8 — this pointer closes the triangle).
     empty) printf '%s\n' agg_rollup agg_cube agg_grouping_sets ;;
     # Spark levenshtein counts code points, DuckDB's counts UTF-8 bytes —
     # engine-defined, documented at the fn_levenshtein QueryDef; ASCII
