@@ -47,6 +47,27 @@ object TopKNeighborsTypes {
   * `query_id =!= neighbor_id` predicate is NULL for it, so the join drops
   * it (degenerate sets null vec_id; the sweep runs green on this).
   */
+/** Shared registered instances (round 21, VERDICT r20 #3): every consumer
+  * used to build its own `udaf(new TopKNeighbors(k))` per DataFrame
+  * construction, so each invocation allocated a fresh
+  * UserDefinedAggregator whose ScalaAggregator expression re-resolved the
+  * product encoders and re-keyed the codegen/plan caches — the measured
+  * ~0.2-0.4 s cold-plan constant per consumer in the round-20 bench
+  * disposal (BASELINE.md r20). One module-level instance per K gives every
+  * plan the SAME function object, so encoder resolution happens once per
+  * JVM and identical sub-plans hash identically across queries. Pure
+  * reuse: the aggregator is immutable and stateless between rows, so
+  * sharing cannot change results.
+  */
+object TopKNeighbors {
+  /** K=5 — the exact/IVF/LSH top-5 consumers. */
+  val top5: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new TopKNeighbors(5))
+  /** K=1 — the argmax consumers (dedup_embedding best-prior pick). */
+  val top1: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new TopKNeighbors(1))
+}
+
 final class TopKNeighbors(k: Int) extends Aggregator[
     TopKNeighborsTypes.In, TopKNeighborsTypes.Buf, TopKNeighborsTypes.Buf] {
 

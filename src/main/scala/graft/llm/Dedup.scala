@@ -764,13 +764,25 @@ object Dedup {
         val q = broadcast(e.filter(col("vec_id") < 200)
           .select(col("vec_id"), col("v").as("qv")))
         val c = e.select(col("vec_id").as("prior_id"), col("v").as("cv"))
-        val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("prior_id"))
+        // Best-prior pick via the bounded TopKNeighbors aggregate at K=1
+        // (round 21, ADVICE r20 #2 / the VERDICT r19 #1 pattern): the
+        // row_number window's Partial WindowGroupLimit bounded what
+        // SHUFFLED but still sorted every task's join output — per-task
+        // state ∝ partition size. The 1-slot aggregate is an O(1)-state
+        // map-side argmax with the window's exact ordering contract
+        // (sim DESC NULLS LAST, prior_id ASC — TopKNeighborsSpec's
+        // fuzzed comparator). prior_id is non-null by construction: a
+        // NULL vec_id fails the `prior_id < vec_id` join predicate.
+        val top1 = graft.functions.TopKNeighbors.top1
         q.join(c, col("prior_id") < col("vec_id"))
           .withColumn("sim", Exact.roundN(Similarity.cosine(col("qv"), col("cv")), 4))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("prior_id").as("best_prior_id"), col("sim"),
-            (col("sim") >= 0.95d).as("is_dup"))
+          .groupBy(col("vec_id"))
+          .agg(top1(col("sim").isNull, coalesce(col("sim"), lit(0.0d)),
+            col("prior_id")).as("tk"))
+          .select(col("vec_id"), explode(col("tk.items")).as("it"))
+          .select(col("vec_id"), col("it.k").as("best_prior_id"),
+            when(col("it.ns"), lit(null).cast("double")).otherwise(col("it.s")).as("sim"))
+          .withColumn("is_dup", col("sim") >= 0.95d)
           .orderBy("vec_id")
       },
       Some(s"""SELECT vec_id, best_prior_id, sim, sim >= 0.95 AS is_dup FROM (

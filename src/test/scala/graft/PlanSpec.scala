@@ -83,6 +83,14 @@ class PlanSpec extends SparkSpec {
       val p = plan(q)
       assert(p.contains("partial_topkneighbors"),
         s"$q: map-side partial TopKNeighbors aggregate gone:\n$p")
+      // ADVICE r20 #1: pinning the partial alone would stay green if the
+      // aggregate fell back to SortAggregate (objectHashAggregate.enabled
+      // off, or a buffer-encoder change) — the full per-partition sort on
+      // query_id this test exists to prevent would silently return.
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q: TopKNeighbors no longer hash-aggregated (SortAggregate fallback?):\n$p")
+      assert(!p.contains("SortAggregate"),
+        s"$q: a SortAggregate appeared in a TopKNeighbors consumer:\n$p")
     }
     val pTop = plan("sim_cosine_topk")
     assert(!pTop.contains("Window"),
@@ -125,10 +133,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"NOT IN did not become an anti join:\n$p")
   }
 
-  test("sim_ann_ivf probes cells via an equi-join, with group-limited top-k") {
+  test("sim_ann_ivf probes cells via an equi-join, with intrinsically bounded top-k and top-1") {
+    // Round 21 (VERDICT r20 #1): both IVF windows are gone — the
+    // nearest-centroid assignment is a min-over-ordering-key hash
+    // aggregate and the cell top-5 is the TopKNeighbors aggregate — so
+    // these plans must carry NO Window at all (the x4096 probe measured
+    // the window shape's per-task peaks growing 151→177/201 MB per
+    // octave; the aggregate shape's state is flat in the corpus).
+    for (q <- Seq("sim_ann_ivf", "sim_kmeans_step")) {
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q: a window (the partition-sort assignment/top-k shape) is back:\n$p")
+      assert(p.contains("partial_topkneighbors"),
+        s"$q: the nearest-centroid top-1 lost its map-side bounded aggregate:\n$p")
+      assert(!p.contains("SortAggregate"),
+        s"$q: an aggregate fell back to SortAggregate:\n$p")
+    }
     val p = plan("sim_ann_ivf")
     assert(p.contains("BroadcastHashJoin [cell"), s"cell probe is not an equi-join:\n$p")
-    assert(p.contains("WindowGroupLimit"), s"top-k not group-limited before the window:\n$p")
+    assert(p.contains("partial_topkneighbors"),
+      s"sim_ann_ivf: cell top-5 lost the map-side TopKNeighbors aggregate:\n$p")
   }
 
   test("win_islands runs both windows without an intermediate shuffle") {
@@ -262,8 +286,11 @@ class PlanSpec extends SparkSpec {
     //     compare — graft_cosine must never appear in it, or the O(d)
     //     dot product runs per SCANNED pair (∝ 200·n) instead of per
     //     SURVIVING pair (constant: priors are transitively < 200);
-    // (3) Spark 4's WindowGroupLimit runs a Partial pass, so the top-1
-    //     per query is reduced before any exchange.
+    // (3) the top-1 per query is a bounded TopKNeighbors aggregate at
+    //     K=1 (round 21, ADVICE r20 #2): the previous WindowGroupLimit
+    //     bounded what shuffled but still sorted each task's join
+    //     output; the 1-slot aggregate reduces map-side with O(1) state
+    //     and no sort at all.
     val p = plan("dedup_embedding")
     assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,200)]"),
       s"query-side bound not pushed to the scan:\n$p")
@@ -273,12 +300,12 @@ class PlanSpec extends SparkSpec {
       s"the bounded query side must be the build side:\n$p")
     assert(!joinLine.get.contains("graft_cosine"),
       s"cosine leaked into the join condition (runs per scanned pair):\n$p")
-    // ADVICE r16: two independent plan-wide substrings would false-pass
-    // on a Final-only WindowGroupLimit plus an unrelated Partial operator
-    // elsewhere — assert Partial on the WindowGroupLimit line itself.
-    assert(p.linesIterator.exists(l =>
-      l.contains("WindowGroupLimit") && l.contains("Partial")),
-      s"top-1 window lacks the partial group-limit pre-reduce:\n$p")
+    assert(p.contains("partial_topkneighbors"),
+      s"top-1 lost the map-side bounded TopKNeighbors aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"dedup_embedding: the per-query sort window shape is back:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"dedup_embedding: the top-1 aggregate fell back to SortAggregate:\n$p")
   }
 
   test("agg_trimmed_mean finds its trim cuts without a raw-row rank window") {
