@@ -6,6 +6,16 @@ import org.apache.spark.sql.expressions.Aggregator
 /** Record types for [[BottomTwo]] (top-level: an Aggregator cannot be
   * parameterized by its own members — cyclic reference).
   */
+/** Shared registered [[BottomTwo]] udaf (round 21, VERDICT r20 #3
+  * pattern, as TopKNeighbors): one module-level instance so every
+  * invocation reuses the resolved encoders and plan-cache keys instead
+  * of paying the per-call UserDefinedAggregator setup.
+  */
+object BottomTwoUdaf {
+  val fn: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(BottomTwo)
+}
+
 object BottomTwoTypes {
   /** nl = price IS NULL (sorts last); np = −price (so ascending np is
     * descending price); k = the tie-break / output key.

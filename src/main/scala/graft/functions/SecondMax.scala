@@ -11,6 +11,16 @@ import org.apache.spark.sql.expressions.Aggregator
   * Buffer/output encode "unset" as NaN (the fixtures contain no NaNs);
   * callers filter NaN out rather than dealing with Option encoders.
   */
+/** Shared registered [[SecondMax]] udaf (round 21, VERDICT r20 #3
+  * pattern, as TopKNeighbors): one module-level instance so every
+  * invocation reuses the resolved encoders and plan-cache keys instead
+  * of paying the per-call UserDefinedAggregator setup.
+  */
+object SecondMaxUdaf {
+  val fn: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(SecondMax)
+}
+
 object SecondMax extends Aggregator[Double, (Double, Double), Double] {
 
   private def unset(x: Double): Boolean = x.isNaN

@@ -63,9 +63,14 @@ object TopKNeighbors {
   /** K=5 — the exact/IVF/LSH top-5 consumers. */
   val top5: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new TopKNeighbors(5))
-  /** K=1 — the argmax consumers (dedup_embedding best-prior pick). */
+  /** K=1 — the argmax consumers (dedup_embedding best-prior pick, IVF
+    * nearest-centroid assignment).
+    */
   val top1: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new TopKNeighbors(1))
+  /** K=10 — scan_sample_stratified's per-language LCG sample. */
+  val top10: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new TopKNeighbors(10))
 }
 
 final class TopKNeighbors(k: Int) extends Aggregator[

@@ -461,10 +461,32 @@ object TextOps {
       "text_langid_chargram",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val grams = docs.select(col("doc_id"), col("lang"),
-          explode(array_distinct(expr(
-            "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")))
-            .as("gram"))
+        // Round 21, guide §1.2 step 2 (per-task work): the old
+        // transform-over-positions form called substring(text, i, 3) per
+        // position, and UTF8String.substring walks bytes from the start
+        // to find the codepoint offset — O(len) per call, O(len²) per
+        // document. Splitting once into a codepoint array and zipping
+        // three slices is O(len): measured 4.3-6.0 s → 1.9-2.3 s for the
+        // corpus-wide gram aggregation at sf0.1 (R21Probe), gram-for-gram
+        // identical including non-BMP emoji (split("") keeps surrogate
+        // pairs whole — probed on the unicode degenerate texts; a
+        // per-element split form was also tried and is the known
+        // ProjectCollapse trap: ~70 s, re-split per element). Texts
+        // shorter than 3 codepoints keep the substring semantics (the
+        // whole text is the one "gram") via the length<3 branch —
+        // zip_with over short slices would null-pad instead.
+        val ch = split(col("text"), "")
+        val triExpr =
+          """CASE WHEN length(text) < 3 THEN array(text) ELSE
+            |  zip_with(
+            |    slice(ch, 1, size(ch) - 2),
+            |    zip_with(slice(ch, 2, size(ch) - 2), slice(ch, 3, size(ch) - 2),
+            |             (b, c) -> concat(b, c)),
+            |    (a, bc) -> concat(a, bc)) END""".stripMargin
+        val grams = docs
+          .select(col("doc_id"), col("lang"), col("text"), ch.as("ch"))
+          .select(col("doc_id"), col("lang"),
+            explode(array_distinct(expr(triExpr))).as("gram"))
         // Two-phase profile top-30 — the round-16 scaling harness
         // measured THIS stage as the one super-linear step in the LLM
         // set (×8→×64 corpus: 35.7× wall for 8× data; every

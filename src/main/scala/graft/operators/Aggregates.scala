@@ -355,10 +355,19 @@ object Aggregates {
       "agg_tukey_outliers",
       (s, d) => {
         val e = Tables.events(s, d)
+        // One array-percentile buffer, not two scalar percentile
+        // aggregates (round 21, guide §1.2 step 2): each percentile(col,
+        // p) call maintains its OWN per-group value buffer (all rows of
+        // the group), so q1+q3 as separate aggregates doubled the
+        // per-group state and the per-row buffer pushes. percentile(col,
+        // array(...)) runs the identical exact-Percentile code path over
+        // ONE buffer and emits both quantiles from the same sorted pass —
+        // values bit-identical (pinned by the unchanged oracle).
         val q = e.groupBy(col("event_type"))
-          .agg(
-            Exact.roundN(expr("percentile(value, 0.25)"), 4).as("q1"),
-            Exact.roundN(expr("percentile(value, 0.75)"), 4).as("q3"))
+          .agg(expr("percentile(value, array(0.25, 0.75))").as("qs"))
+          .select(col("event_type"),
+            Exact.roundN(col("qs")(0), 4).as("q1"),
+            Exact.roundN(col("qs")(1), 4).as("q3"))
         val fence = lit(1.5d) * (col("q3") - col("q1"))
         e.join(broadcast(q), "event_type")
           .groupBy(col("event_type"))
@@ -974,17 +983,28 @@ object Aggregates {
     QueryDef(
       "agg_describe",
       (s, d) =>
+        // One array-percentile buffer for the three quartiles (round 21):
+        // three scalar percentile(col, p) aggregates each held their own
+        // full per-group value buffer — 3× the state and 3× the per-row
+        // pushes for the same sorted pass. Same exact-Percentile code
+        // path, values bit-identical (oracle unchanged). At sf0.1 the
+        // wall moves within box noise (solo medians ~1.2 → ~1.1 s) —
+        // the win is the 3× smaller per-group aggregation state, which
+        // is what matters when a group is billions of rows.
         Tables.orders(s, d)
           .groupBy(col("o_orderpriority"))
           .agg(
             count(lit(1)).as("n"),
             Exact.roundN(Exact.sumDec(col("o_totalprice")).cast("double") / count(lit(1)), 4)
               .as("mean_price"),
-            Exact.roundN(expr("percentile(o_totalprice, 0.25)"), 4).as("q1"),
-            Exact.roundN(expr("percentile(o_totalprice, 0.5)"), 4).as("med"),
-            Exact.roundN(expr("percentile(o_totalprice, 0.75)"), 4).as("q3"),
+            expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("qs"),
             min(col("o_totalprice")).as("mn"),
             max(col("o_totalprice")).as("mx"))
+          .select(col("o_orderpriority"), col("n"), col("mean_price"),
+            Exact.roundN(col("qs")(0), 4).as("q1"),
+            Exact.roundN(col("qs")(1), 4).as("med"),
+            Exact.roundN(col("qs")(2), 4).as("q3"),
+            col("mn"), col("mx"))
           .orderBy("o_orderpriority"),
       Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
               |  ${Exact.roundNSql(
@@ -998,11 +1018,15 @@ object Aggregates {
     QueryDef(
       "agg_percentile",
       (s, d) =>
+        // One array-percentile buffer, not two (round 21 — see
+        // agg_describe): identical exact-Percentile path, half the
+        // per-group state.
         Tables.customer(s, d)
           .groupBy(col("c_mktsegment"))
-          .agg(
-            Exact.roundN(expr("percentile(c_acctbal, 0.5)"), 3).as("med_bal"),
-            Exact.roundN(expr("percentile(c_acctbal, 0.9)"), 3).as("p90_bal"))
+          .agg(expr("percentile(c_acctbal, array(0.5, 0.9))").as("qs"))
+          .select(col("c_mktsegment"),
+            Exact.roundN(col("qs")(0), 3).as("med_bal"),
+            Exact.roundN(col("qs")(1), 3).as("p90_bal"))
           .orderBy("c_mktsegment"),
       Some(s"""SELECT c_mktsegment,
               |  ${Exact.roundNSql("quantile_cont(c_acctbal, 0.5)", 3)} AS med_bal,
@@ -1074,7 +1098,8 @@ object Aggregates {
     QueryDef(
       "agg_second_max",
       (s, d) => {
-        val secondMax = udaf(graft.functions.SecondMax)
+        // Shared module-level udaf (round 21, VERDICT r20 #3 pattern).
+        val secondMax = graft.functions.SecondMaxUdaf.fn
         Tables.orders(s, d)
           .groupBy(col("o_orderstatus"))
           .agg(secondMax(col("o_totalprice")).as("second_max"))

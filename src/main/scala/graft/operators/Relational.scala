@@ -186,8 +186,23 @@ object Relational {
       "sub_recursive_cte",
       (s, d) => {
         Tables.orders(s, d).createOrReplaceTempView("graft_orders_rec")
-        s.sql("""WITH RECURSIVE k(i) AS (
-                |  SELECT 0 UNION ALL SELECT i + 1 FROM k WHERE i < 90),
+        // Round 21: the counter is factored into TWO recursions
+        // (i = a·13 + b over 0..6 × 0..12 — a bijection onto 0..90, so
+        // `k` is exactly the set the old single recursion produced).
+        // Spark executes one job per recursion step, so the 91-level
+        // linear counter paid 91 sequential driver round-trips (~10 ms
+        // each, measured ~0.9 s warm / up to 3.8 s cold in the bench);
+        // 6+12 levels cut that to 18. A pointer-doubling single
+        // recursion was measured SLOWER (join+explode in the loop body
+        // outweighs the fewer iterations: 1.9-3.5 s vs 0.7-0.9 s).
+        // Full-query warm wall 0.92-1.12 s → 0.63-0.70 s (R21Probe);
+        // the oracle keeps the plain linear recursion — results are
+        // identical (Verify 201/201).
+        s.sql("""WITH RECURSIVE ka(a) AS (
+                |  SELECT 0 UNION ALL SELECT a + 1 FROM ka WHERE a < 6),
+                |kb(bb) AS (
+                |  SELECT 0 UNION ALL SELECT bb + 1 FROM kb WHERE bb < 12),
+                |k(i) AS (SELECT a * 13 + bb FROM ka JOIN kb),
                 |b AS (SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS mn,
                 |             CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS mx
                 |      FROM graft_orders_rec),
@@ -237,12 +252,32 @@ object Relational {
     QueryDef(
       "scan_sample_stratified",
       (s, d) => {
+        // Round 21 (the closed-key discipline of the r16/r17 sweeps,
+        // finally applied here): the row_number window partitioned on the
+        // closed ~5-value lang key funneled EVERY document row into
+        // ≤#languages sort tasks — the same ≤5-task sort funnel
+        // win_zscore/agg_percentile_disc were rewritten to avoid — and
+        // its per-task sort state grew with the corpus. The bounded
+        // TopKNeighbors aggregate keeps 10 slots per language map-side
+        // (ObjectHashAggregate, no sort, no funnel; ~#langs×10 rows reach
+        // the exchange). Ordering contract: the window's (lcg ASC,
+        // doc_id ASC) is the aggregator's (s DESC, k ASC) with s = −lcg —
+        // lcg < 2³¹ so the negation is exact in double — and the rank is
+        // the slot position (items are kept sorted). doc_id is the
+        // documents primary key: non-null in every fixture and degenerate
+        // set, so the aggregator's non-nullable-key precondition holds
+        // (a future null doc_id fails loudly at encoding, same posture
+        // as BottomTwo). Value parity pinned by StratifiedParitySpec;
+        // plan (no Window) by PlanSpec.
         val lcg = (col("doc_id") * 1103515245L + 12345L) % 2147483648L
-        val w = Window.partitionBy(col("lang")).orderBy(lcg.asc, col("doc_id").asc)
+        val top10 = graft.functions.TopKNeighbors.top10
         Tables.documents(s, d)
           .select(col("doc_id"), col("lang"))
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") <= 10)
+          .groupBy(col("lang"))
+          .agg(top10(lit(false), -lcg.cast("double"), col("doc_id")).as("tk"))
+          .select(col("lang"), posexplode(col("tk.items")).as(Seq("pos", "it")))
+          .select(col("it.k").as("doc_id"), col("lang"),
+            (col("pos") + 1).cast("long").as("rn"))
           .orderBy("lang", "rn")
       },
       Some("""SELECT doc_id, lang, rn FROM (

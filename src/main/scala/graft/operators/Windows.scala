@@ -219,7 +219,8 @@ object Windows {
       (s, d) => {
         val p0 = Tables.part(s, d)
           .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
-        val bottom2 = udaf(graft.functions.BottomTwo)
+        // Shared module-level udaf (round 21, VERDICT r20 #3 pattern).
+        val bottom2 = graft.functions.BottomTwoUdaf.fn
         val top2 = p0
           .groupBy(col("p_brand").as("tb"))
           .agg(bottom2(

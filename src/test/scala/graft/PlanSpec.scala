@@ -106,6 +106,20 @@ class PlanSpec extends SparkSpec {
         s"${badWins.mkString("\n")}\n$pKnn")
   }
 
+  test("scan_sample_stratified keeps its per-language top-10 intrinsically bounded") {
+    // Round 21: the row_number window partitioned on the closed ~5-value
+    // lang key (≤#langs sort tasks for the whole corpus) is replaced by
+    // the 10-slot TopKNeighbors aggregate — no Window, no SortAggregate,
+    // map-side partial.
+    val p = plan("scan_sample_stratified")
+    assert(!p.contains("Window"),
+      s"scan_sample_stratified: the closed-lang-key sort window is back:\n$p")
+    assert(p.contains("partial_topkneighbors"),
+      s"scan_sample_stratified: map-side bounded top-10 aggregate gone:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"scan_sample_stratified: aggregate fell back to SortAggregate:\n$p")
+  }
+
   test("join_range_binned plans an equi-join, not a nested loop") {
     val p = plan("join_range_binned")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
@@ -499,17 +513,11 @@ class PlanSpec extends SparkSpec {
       s"ts_active_concurrency: a join (second stream derivation) is back:\n$pAc")
   }
 
-  test("scan_sample_stratified keeps its Partial WindowGroupLimit pre-reduce") {
-    // Round-17 class audit: this is the one closed-key (lang) rank window
-    // that is ALREADY bounded — the rn <= 10 filter lets Spark 4 insert a
-    // Partial WindowGroupLimit before the exchange, so each input
-    // partition forwards ≤10 rows per language. Pin the mechanism (the
-    // same WindowGroupLimit reliance dedup_embedding pins).
-    val p = plan("scan_sample_stratified")
-    assert(p.linesIterator.exists(l =>
-      l.contains("WindowGroupLimit") && l.contains("Partial")),
-      s"scan_sample_stratified: Partial WindowGroupLimit pre-reduce gone:\n$p")
-  }
+  // (The round-17 "Partial WindowGroupLimit pre-reduce" pin for
+  // scan_sample_stratified is superseded by the round-21 no-Window /
+  // partial_topkneighbors ratchet above: the group-limit bounded what
+  // SHUFFLED but still sorted each task's rows; the 10-slot aggregate
+  // removed the sort entirely.)
 
   test("sim_quantize_int8 computes min/max once per row and the quantized array once") {
     // Round-17 universal-sweep finding: the op is linear (slope 0.85) but
