@@ -62,32 +62,53 @@ object Similarity {
   private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val cents = broadcast(e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("emb").as("cent")))
-    // Top-1 as a bounded hash aggregate, not a row_number window
-    // (round 21, VERDICT r20 #1): the window shape sorted every task's
-    // full corpus×8 assignment join — per-task state ∝ partition size,
-    // the exact signature the x4096 probe measured growing (151→177/
-    // 201 MB per octave) on the two IVF consumers. TopKNeighbors at K=1
-    // is the argmax made intrinsic: each vector's 8 candidate rows
-    // collapse map-side into a 1-slot buffer (TypedImperative ⇒
-    // ObjectHashAggregate — a plain `min(struct(…))` would fall back to
-    // SortAggregate and re-grow the sort), so only one 8th of the join
-    // output reaches the exchange and nothing is ever sorted. The
-    // aggregator's ordering contract (sim DESC NULLS LAST, key ASC —
-    // fuzzed in TopKNeighborsSpec) is exactly the replaced window's
-    // (csim DESC, cent_id ASC). Grouping carries `emb` (functionally
-    // dependent on vec_id: every fixture and degenerate set declares
-    // vec_id non-null unique) so the assignment needs no join-back.
-    // Value parity with the window pinned by IvfParitySpec; plan shape
-    // (no Window, no SortAggregate) by PlanSpec.
-    val top1 = graft.functions.TopKNeighbors.top1
-    e.crossJoin(cents)
-      .withColumn("csim", Exact.roundN(cosine(col("emb"), col("cent")), 4))
-      .groupBy(col("vec_id"), col("emb"))
-      .agg(top1(col("csim").isNull, coalesce(col("csim"), lit(0.0d)),
-        col("cent_id")).as("tk"))
-      .select(col("vec_id"), col("emb"), col("tk.items")(0)("k").as("cell"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cent"))
+    // Top-1 as a PER-ROW argmax over a collected centroid array — no
+    // window, no aggregate, no extra rows (round 21, VERDICT r20 #1).
+    // The r20 shape exploded the corpus ×8 (cross join against the
+    // 8-row centroid table) and then reduced back with a row_number
+    // window whose per-task sort state grew with partition size (x4096
+    // probe: peaks 151→177/201 MB per octave). Two reduction rewrites
+    // were measured before landing here:
+    //  - TopKNeighbors K=1 over groupBy(vec_id, emb): peaks flattened
+    //    (1 MB constant) but ObjectHashAggregate falls back to
+    //    SORT-BASED aggregation past 128 distinct keys
+    //    (spark.sql.objectHashAggregate.sortBased.fallbackThreshold),
+    //    and the assignment's group key is corpus-cardinality — the
+    //    x4096 re-measure paid 92 GB spill and ~2× the window's wall.
+    //  - THIS shape: the 8 centroids are one collect_list row
+    //    (sort_array ⇒ cent_id-ascending iteration order), broadcast as
+    //    a 1-row cross join, and each vector picks its cell inside a
+    //    codegen'd `aggregate()` lambda — O(#centroids) FLOPs per row,
+    //    zero row blowup, zero shuffle, zero sort, per-task state O(1).
+    // Ordering contract mirrors the replaced window's
+    // (csim DESC NULLS LAST, cent_id ASC) exactly: iterate centroids in
+    // cent_id order and replace only when the candidate STRICTLY beats
+    // the incumbent — `cs > best.cs` with Spark's NaN-greatest compare
+    // (codegen nanSafeCompareDoubles: NaN beats finite, NaN-vs-NaN and
+    // exact ties keep the earlier = smaller cent_id; a NULL cs never
+    // wins, a non-NULL cs always beats a NULL incumbent). The NULL-cid
+    // seed is replaced by the first centroid unconditionally. The
+    // size>0 filter preserves the old empty-centroid-set semantics
+    // (no centroids ⇒ no assigned rows — the cross join against an
+    // EMPTY 8-row table emitted nothing; the 1-row empty-array version
+    // would emit every vector). Value parity pinned by IvfParitySpec
+    // (row-for-row vs the r20 window body) and the R21Probe
+    // aggregate-vs-HOF differential (diff = 0); plan by PlanSpec.
+    val centsArr = broadcast(cents
+      .agg(sort_array(collect_list(struct(col("cent_id"), col("cent")))).as("cents")))
+    val best = aggregate(col("cents"),
+      struct(lit(null).cast("long").as("cid"), lit(null).cast("double").as("cs")),
+      (b, c) => {
+        val cs = Exact.roundN(cosine(col("emb"), c("cent")), 4)
+        when(b("cid").isNull ||
+          (cs.isNotNull && (b("cs").isNull || cs > b("cs"))),
+          struct(c("cent_id").as("cid"), cs.as("cs"))).otherwise(b)
+      })
+    e.crossJoin(centsArr)
+      .filter(size(col("cents")) > 0)
+      .select(col("vec_id"), col("emb"), best("cid").as("cell"))
   }
 
   private def ivfTop5(s: SparkSession, d: String): DataFrame = {

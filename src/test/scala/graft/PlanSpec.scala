@@ -149,24 +149,35 @@ class PlanSpec extends SparkSpec {
 
   test("sim_ann_ivf probes cells via an equi-join, with intrinsically bounded top-k and top-1") {
     // Round 21 (VERDICT r20 #1): both IVF windows are gone — the
-    // nearest-centroid assignment is a min-over-ordering-key hash
-    // aggregate and the cell top-5 is the TopKNeighbors aggregate — so
-    // these plans must carry NO Window at all (the x4096 probe measured
-    // the window shape's per-task peaks growing 151→177/201 MB per
-    // octave; the aggregate shape's state is flat in the corpus).
+    // nearest-centroid assignment is a PER-ROW codegen'd argmax over the
+    // collected centroid array (zero row blowup, zero shuffle, zero
+    // sort; an aggregate-based reduction was measured falling back to
+    // sort-based execution past 128 groups and rejected — see
+    // Similarity.ivfAssigned) and the cell top-5 is the TopKNeighbors
+    // aggregate over the ≤|queries| group keys. These plans must carry
+    // NO Window at all (the x4096 probe measured the window shape's
+    // per-task peaks growing 151→177/201 MB per octave).
     for (q <- Seq("sim_ann_ivf", "sim_kmeans_step")) {
       val p = plan(q)
       assert(!p.contains("Window"),
         s"$q: a window (the partition-sort assignment/top-k shape) is back:\n$p")
-      assert(p.contains("partial_topkneighbors"),
-        s"$q: the nearest-centroid top-1 lost its map-side bounded aggregate:\n$p")
       assert(!p.contains("SortAggregate"),
         s"$q: an aggregate fell back to SortAggregate:\n$p")
+      // The assignment must stay a per-row lambda: its centroid argmax
+      // appears as an `aggregate(cents…)` HOF inside a Project, never as
+      // a grouping on vec_id (corpus-cardinality keys ⇒ sort fallback).
+      val vecIdAggs = p.linesIterator.filter(l =>
+        (l.contains("HashAggregate") || l.contains("ObjectHashAggregate"))
+          && l.contains("keys=[vec_id")).toSeq
+      assert(vecIdAggs.isEmpty,
+        s"$q: a corpus-cardinality vec_id aggregation is back in the assignment:\n$p")
     }
     val p = plan("sim_ann_ivf")
     assert(p.contains("BroadcastHashJoin [cell"), s"cell probe is not an equi-join:\n$p")
     assert(p.contains("partial_topkneighbors"),
       s"sim_ann_ivf: cell top-5 lost the map-side TopKNeighbors aggregate:\n$p")
+    assert(plan("sim_kmeans_step").contains("partial_"),
+      s"sim_kmeans_step: per-(cell, dim) centroid sums lost the map-side partial phase")
   }
 
   test("win_islands runs both windows without an intermediate shuffle") {

@@ -166,6 +166,100 @@ object R21Probe {
           .map(_.getSeq[String](0).map(s => s.codePoints().toArray.mkString("+")).mkString("[", ",", "]")).mkString)
     }
 
+    // I: IVF assignment — aggregate (default/raised fallback) vs per-row
+    // HOF argmax over a collected centroid array
+    {
+      val e = Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("emb").as("cent"))
+      def aggAssign() = {
+        val top1 = graft.functions.TopKNeighbors.top1
+        e.crossJoin(broadcast(cents))
+          .withColumn("csim", Exact.roundN(graft.llm.Similarity.cosine(col("emb"), col("cent")), 4))
+          .groupBy(col("vec_id"), col("emb"))
+          .agg(top1(col("csim").isNull, coalesce(col("csim"), lit(0.0d)), col("cent_id")).as("tk"))
+          .select(col("vec_id"), col("emb"), col("tk.items")(0)("k").as("cell"))
+      }
+      val centsArr = cents.agg(
+        sort_array(collect_list(struct(col("cent_id"), col("cent")))).as("cents"))
+      def hofAssign() = {
+        val best = aggregate(col("cents"),
+          struct(lit(-1L).as("cid"), lit(null).cast("double").as("cs")),
+          (b, c) => {
+            val cs = Exact.roundN(graft.llm.Similarity.cosine(col("emb"), c("cent")), 4)
+            when(b("cid") === -1L ||
+              (cs.isNotNull && (b("cs").isNull || cs > b("cs"))),
+              struct(c("cent_id").as("cid"), cs.as("cs"))).otherwise(b)
+          })
+        e.crossJoin(broadcast(centsArr))
+          .filter(size(col("cents")) > 0)
+          .select(col("vec_id"), col("emb"), best("cid").as("cell"))
+      }
+      def evalCells(df: org.apache.spark.sql.DataFrame): Long =
+        df.groupBy(col("cell")).agg(count(lit(1))).count()
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
+      time("ivf_assign_agg_fallback128") { evalCells(aggAssign()) }
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      time("ivf_assign_agg_fallback1M") { evalCells(aggAssign()) }
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
+      time("ivf_assign_hof_argmax") { evalCells(hofAssign()) }
+      // parity: HOF argmax vs aggregate pick
+      val a1 = aggAssign().select("vec_id", "cell")
+      val a2 = hofAssign().select("vec_id", "cell")
+      println(s"[probe] ivf_assign_diff rows=${a1.exceptAll(a2).union(a2.exceptAll(a1)).count()}")
+    }
+
+    // J: full IVF top-5 pipeline — HOF-assigned vs agg-assigned
+    {
+      val e = Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("emb").as("cent"))
+      val centsArr = broadcast(cents
+        .agg(sort_array(collect_list(struct(col("cent_id"), col("cent")))).as("cents")))
+      def hofAssigned() = {
+        val best = aggregate(col("cents"),
+          struct(lit(null).cast("long").as("cid"), lit(null).cast("double").as("cs")),
+          (b, c) => {
+            val cs = Exact.roundN(graft.llm.Similarity.cosine(col("emb"), c("cent")), 4)
+            when(b("cid").isNull || (cs.isNotNull && (b("cs").isNull || cs > b("cs"))),
+              struct(c("cent_id").as("cid"), cs.as("cs"))).otherwise(b)
+          })
+        e.crossJoin(centsArr).filter(size(col("cents")) > 0)
+          .select(col("vec_id"), col("emb"), best("cid").as("cell"))
+      }
+      def aggAssigned() = {
+        val top1 = graft.functions.TopKNeighbors.top1
+        e.crossJoin(broadcast(cents))
+          .withColumn("csim", Exact.roundN(graft.llm.Similarity.cosine(col("emb"), col("cent")), 4))
+          .groupBy(col("vec_id"), col("emb"))
+          .agg(top1(col("csim").isNull, coalesce(col("csim"), lit(0.0d)), col("cent_id")).as("tk"))
+          .select(col("vec_id"), col("emb"), col("tk.items")(0)("k").as("cell"))
+      }
+      def top5(assigned: org.apache.spark.sql.DataFrame) = {
+        val q = broadcast(assigned.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("cell")))
+        val c = assigned.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"),
+          col("cell").as("ccell"))
+        val topk = graft.functions.TopKNeighbors.top5
+        q.join(c, col("cell") === col("ccell") && col("query_id") =!= col("neighbor_id"))
+          .withColumn("sim", Exact.roundN(graft.llm.Similarity.cosine(col("qe"), col("ce")), 4))
+          .groupBy(col("query_id"), col("cell"))
+          .agg(topk(col("sim").isNull, coalesce(col("sim"), lit(0.0d)), col("neighbor_id")).as("tk"))
+          .select(col("query_id"), col("cell"), explode(col("tk.items")).as("it"))
+          .select(col("query_id"), col("cell"), col("it.k").as("neighbor_id"),
+            when(col("it.ns"), lit(null).cast("double")).otherwise(col("it.s")).as("sim"))
+      }
+      def evalAll(df: org.apache.spark.sql.DataFrame): Long =
+        df.select(xxhash64(df.columns.map(col): _*).as("h"))
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h)")).head().getLong(0)
+      time("ivftop5_hof_assigned") { evalAll(top5(hofAssigned())) }
+      time("ivftop5_agg_assigned") { evalAll(top5(aggAssigned())) }
+      time("ivf_assignedonly_hof") { evalAll(hofAssigned()) }
+      time("ivf_assignedonly_agg") { evalAll(aggAssigned()) }
+    }
+
     // E: sanity — the two k sets are identical
     time("doubling_equals_linear") {
       spark.sql("""WITH RECURSIVE k(i) AS (

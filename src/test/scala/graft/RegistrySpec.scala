@@ -119,6 +119,16 @@ class RegistrySpec extends SparkSpec {
     // exact widened recipe: `CAST(` binding the ascii(substring …) operand
     // itself, closed by `AS BIGINT)` BEFORE any arithmetic — i.e. the
     // shape Dedup.tokHashSql emits.
+    // ADVICE r20 #3 (disposal note, not a code change): the tail regex is
+    // deliberately whitespace- and shape-RIGID (exactly `, 1, 1` with
+    // single spaces, a bare/qualified identifier operand). That is
+    // intentional: every oracle copy of the recipe MUST come from
+    // Dedup.tokHashSql — the one source of truth — so any spelling this
+    // regex rejects is by definition a hand-written copy that drifted
+    // from the shared definition, which is exactly what the lint exists
+    // to catch. A legitimately-widened-but-differently-spelled oracle is
+    // not a false positive here; it is a policy violation (route it
+    // through tokHashSql instead of loosening the regex).
     val call = "(?i)ascii\\(substring".r
     val widenedTail =
       "(?i)^ascii\\(substring\\((?:reverse\\()?(?:\\w+\\.)?\\w+\\)?, 1, 1\\)\\) AS BIGINT\\)".r
