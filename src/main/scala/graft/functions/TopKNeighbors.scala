@@ -63,8 +63,11 @@ object TopKNeighbors {
   /** K=5 — the exact/IVF/LSH top-5 consumers. */
   val top5: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new TopKNeighbors(5))
-  /** K=1 — the argmax consumers (dedup_embedding best-prior pick, IVF
-    * nearest-centroid assignment).
+  /** K=1 — the argmax consumers. No registered query uses it since
+    * round 22 (dedup_embedding's argmax became a packed-decimal max_by
+    * to escape the ObjectHashAggregate 128-key sort fallback; the IVF
+    * assignment is a per-row HOF argmax) — kept for probes and as the
+    * ready-made K=1 instance for a future <128-groups-per-task consumer.
     */
   val top1: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new TopKNeighbors(1))
@@ -88,6 +91,10 @@ final class TopKNeighbors(k: Int) extends Aggregator[
   /** Insert keeping `items` sorted best-first, capped at K. Returns the
     * SAME Seq reference when v is rejected, so the hot path (a candidate
     * worse than the current K-th) is one comparison and zero allocation.
+    * SMALL-K ASSUMPTION (ADVICE r21 #4): the accepted-candidate path is
+    * an O(K) linear insert (indexWhere + Seq rebuild) — right for the
+    * registered K ≤ 10 instances, wrong for a hypothetical top-1000;
+    * switch to a bounded heap before registering a large-K instance.
     */
   private def push(items: Seq[In], v: In): Seq[In] =
     if (items.size == k && !before(v, items.last)) items

@@ -300,9 +300,22 @@ object Dedup {
     * 1.8→1.3 s.
     */
   def tokenPairs(docs: DataFrame, bound: Long = DfBound): DataFrame = {
+    // explode_OUTER + null-filter, not explode (round 22):
+    // InferFiltersFromGenerate copies a plain explode's generator child
+    // into `size(…)>0 AND isnotnull(…)` conjuncts below the Generate, and
+    // those land in an INTERPRETED Filter (the HOF child defeats codegen)
+    // that re-evaluates array_distinct(split(text)) twice per document on
+    // top of the Generate's own evaluation. The rule does not fire for
+    // outer generates (they preserve rows), and the post-Generate
+    // `tok IS NOT NULL` filter restores exactly explode's row set: split
+    // never produces null ELEMENTS (a null text yields a null ARRAY →
+    // one all-null outer row → dropped; an empty/short text yields [""]
+    // — a real, kept token, as before). Same rewrite measured on the
+    // ngram postings subtree: 0.75-0.80 → 0.43 s solo at sf0.1.
     val dt = materialize(dfGuard(
       docs.select(col("doc_id"), col("lang"), col("source"),
-        explode(array_distinct(split(col("text"), " "))).as("tok")),
+        explode_outer(array_distinct(split(col("text"), " "))).as("tok"))
+        .filter(col("tok").isNotNull),
       Seq("lang", "source", "tok"), bound))
     val sz = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     dt.alias("a")
@@ -367,14 +380,15 @@ object Dedup {
 
   /** Connected components by iterative min-label propagation over a
     * bidirectional edge list `(da, db)`, with a POINTER-DOUBLING shortcut
-    * each round (VERDICT r05 #2): after the neighbor-propagation step
-    * (label(x) := min over neighbors' labels) every node also jumps to its
-    * label's label (label(x) := min(label(x), label(label(x)))), so the
-    * distance to the component minimum roughly halves per round and
-    * convergence is O(log n) rounds on ANY topology — a chain-shaped dup
-    * graph no longer costs O(diameter) shuffle rounds (plain propagation on
-    * a 64-node path: 63 rounds; with the shortcut: ≤9, pinned by
-    * LlmPropsSpec). Invariants: labels are non-increasing and always ids of
+    * each round (VERDICT r05 #2; FUSED into the propagation round 22):
+    * each round computes label(x) := min(label(x), min over neighbors'
+    * labels, label(label(x))) — propagation and jump both read the
+    * round's START labels (synchronous pointer jumping), so one round is
+    * ONE materialization. The distance to the component minimum roughly
+    * halves per round and convergence is O(log n) rounds on ANY topology
+    * — a chain-shaped dup graph no longer costs O(diameter) shuffle
+    * rounds (plain propagation on a 64-node path: 63 rounds; with the
+    * fused shortcut: 7 measured, ≤9 pinned by LlmPropsSpec). Invariants: labels are non-increasing and always ids of
     * same-component members, so the fixpoint (nothing changes under
     * propagate+shortcut) is exactly "every label = component min" — the
     * shortcut changes the ROUTE, never the result, and dedup_components'
@@ -417,23 +431,38 @@ object Dedup {
             "rounds on any well-formed edge set, so this edge set is " +
             "corrupt or non-deterministic")
       rounds += 1
+      // FUSED propagate + double (round 22, VERDICT r21 #2): one round
+      // computes comp' := min(comp, min over neighbors' comp,
+      // comp-of-comp) with BOTH lookups against the round's START labels
+      // — the classic synchronous pointer-jumping formulation — so the
+      // round needs ONE materialization instead of the r21 shape's two
+      // (propagate materialized, then double against the FRESH labels).
+      // Fresh-label doubling contracts slightly faster per round (it
+      // jumps through the just-propagated pointer), but each round paid
+      // a second DISK_ONLY localCheckpoint write + its job barrier.
+      // Measured on the real sf0.1 edge set (R22Probe): round count
+      // UNCHANGED (3 fused vs 3 incumbent — near-dup clusters are dense,
+      // the jump rarely fires), wall 2.53-2.67 → 2.15-2.27 s solo, label
+      // sets identical. Worst-case topology: simulation puts old-label
+      // jumping at +1 round on a 64-path (7 vs 6) — still O(log n),
+      // inside LlmPropsSpec's ≤9 pin (re-run green). Invariants are the
+      // same three the r21 comment argued: labels non-increasing, every
+      // label a same-component member id (ncomp is a neighbor's label,
+      // pcomp a label's label), and the fixpoint condition only needs
+      // propagate-stability, so fixpoint ⟺ every label = component min.
       val prop = edges.join(labels, edges("db") === labels("id"))
         .groupBy(edges("da")).agg(min(col("comp")).as("ncomp"))
-      // Propagation step. Materialized because the doubling self-join
-      // below has two consumers of this subtree (probe + parent sides).
-      val stepped = materialize(
-        labels.join(prop, labels("id") === prop("da"), "left")
-          .select(labels("id"), col("comp").as("old"),
-            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")))
-      // Doubling step: comp := min(comp, comp-of-comp) against the FRESH
-      // labels (a self-join on the materialized step result). Every comp
-      // value is a node id, so each has a row; the left join + coalesce is
+      // Jump table = the START labels themselves. Every comp value is a
+      // node id, so each has a row; the left join + coalesce is
       // belt-and-braces for isolated representatives.
-      val parent = stepped.select(col("id").as("pid"), col("comp").as("pcomp"))
+      val parent = labels.select(col("id").as("pid"), col("comp").as("pcomp"))
       val next = materialize(
-        stepped.join(parent, stepped("comp") === parent("pid"), "left")
-          .select(stepped("id"), col("old"),
-            least(stepped("comp"), coalesce(col("pcomp"), stepped("comp"))).as("comp")))
+        labels.join(prop, labels("id") === prop("da"), "left")
+          .join(parent, labels("comp") === parent("pid"), "left")
+          .select(labels("id"), labels("comp").as("old"),
+            least(labels("comp"),
+              coalesce(col("ncomp"), labels("comp")),
+              coalesce(col("pcomp"), labels("comp"))).as("comp")))
       converged = next.filter(col("comp") =!= col("old")).isEmpty
       labels = next.select(col("id"), col("comp"))
     }
@@ -579,7 +608,13 @@ object Dedup {
         // every permutation (16 ascii/reverse passes per token — measured
         // 7.5s at sf0.1); here each token row hashes once and the 16 LCGs
         // are integer-only, map-side-combinable aggregates (1.3s).
-        val th = doc.select(col("doc_id"), explode(col("toks")).as("tok"))
+        // explode_OUTER + null-filter (round 22, same reasoning as
+        // [[tokenPairs]]): the inferred-filter conjuncts re-evaluated
+        // array_distinct(split(text)) twice per row below this Generate;
+        // split elements are never null, so the filter restores exactly
+        // explode's rows.
+        val th = doc.select(col("doc_id"), explode_outer(col("toks")).as("tok"))
+          .filter(col("tok").isNotNull)
           .withColumn("t", tokHash(col("tok")))
         val minCols = (0 until numHashes).map { i =>
           min((lit(aI(i)) * col("t") + lit(bI(i))) % 32768L).as(s"h$i")
@@ -678,7 +713,19 @@ object Dedup {
     QueryDef(
       "dedup_ngram_jaccard",
       (s, d) => {
-        val toks = split(col("text"), " ")
+        // Split ONCE into a named column (round 22, VERDICT r21 #6 — the
+        // split-once technique that won in text_langid_chargram, and the
+        // sim_quantize_int8 named-column precedent): the old body built
+        // the shingles from the raw `split(text)` EXPRESSION, which the
+        // interpreted zip_with/slice lambdas re-evaluated per reference
+        // (~5 splits of the full text per row: the filter, the clamped
+        // length, and the three slices). CollapseProject keeps a
+        // non-cheap alias that is consumed more than once, so `toks` is
+        // now computed once per row and the slices read the array.
+        // Measured (R22Probe, solo): warm 1.63-1.64 → 1.50-1.55 s; pair
+        // output exceptAll-identical both ways. The oracle is unchanged
+        // — same shingles, same guard, same arithmetic.
+        val toks = col("toks")
         // greatest(…, 0): the size>=3 filter below does NOT protect this
         // expression — InferFiltersFromGenerate copies the whole shingle
         // expression into inferred `size(sh)>0` / `isnotnull(sh)` filter
@@ -690,6 +737,8 @@ object Dedup {
         // filter still drops them.
         val nsh = greatest(size(toks) - 2, lit(0))
         val doc = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"),
+            split(col("text"), " ").as("toks"))
           .filter(size(toks) >= 3)
           .select(col("doc_id"), col("lang"), col("source"),
             array_distinct(transform(
@@ -704,9 +753,18 @@ object Dedup {
         // sz CTE reads the guarded sh the same way). Materialized for the
         // same reason as tokenPairs: three consumers (a, b, sizes), no
         // cross-subtree CSE — one postings shuffle instead of three.
+        // explode_OUTER + null-filter (round 22, same reasoning as
+        // [[tokenPairs]]): the plain explode's inferred-filter conjuncts
+        // copied the WHOLE shingle build into an interpreted Filter —
+        // 14 of the row's 15 split() evaluations lived there
+        // (plans/r22/dedup_ngram_shingles_{after,outer}.txt: split
+        // occurrences 14 → 2). h = xxhash64(…) is never null, so the
+        // isnotnull filter restores exactly explode's row set. Postings
+        // subtree solo at sf0.1: 0.75-0.80 → 0.43 s (R22Probe ngramplan).
         val ex = materialize(dfGuard(
           doc.select(col("doc_id"), col("lang"), col("source"),
-            explode(col("sh")).as("h")),
+            explode_outer(col("sh")).as("h"))
+            .filter(col("h").isNotNull),
           Seq("lang", "source", "h"), DfBound))
         val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val a = ex.select(col("doc_id").as("doc_id_a"), col("lang"), col("source"), col("h"))
@@ -764,24 +822,48 @@ object Dedup {
         val q = broadcast(e.filter(col("vec_id") < 200)
           .select(col("vec_id"), col("v").as("qv")))
         val c = e.select(col("vec_id").as("prior_id"), col("v").as("cv"))
-        // Best-prior pick via the bounded TopKNeighbors aggregate at K=1
-        // (round 21, ADVICE r20 #2 / the VERDICT r19 #1 pattern): the
-        // row_number window's Partial WindowGroupLimit bounded what
-        // SHUFFLED but still sorted every task's join output — per-task
-        // state ∝ partition size. The 1-slot aggregate is an O(1)-state
-        // map-side argmax with the window's exact ordering contract
-        // (sim DESC NULLS LAST, prior_id ASC — TopKNeighborsSpec's
-        // fuzzed comparator). prior_id is non-null by construction: a
-        // NULL vec_id fails the `prior_id < vec_id` join predicate.
-        val top1 = graft.functions.TopKNeighbors.top1
+        // Best-prior pick via two built-in max_by aggregates over ONE
+        // packed decimal ordering (round 22, VERDICT r21 #3). The r21
+        // TopKNeighbors K=1 typed aggregate had O(1) buffers but ran in
+        // ObjectHashAggregateExec, which FALLS BACK to sort-based
+        // aggregation past 128 distinct keys per task
+        // (spark.sql.objectHashAggregate.sortBased.fallbackThreshold) —
+        // and this query's ~200 broadcast queries cross it: R22Probe read
+        // numTasksFallBacked=2 (partial) / 1 (final) from the executed
+        // plan's metrics at sf0.1, i.e. every task SORTED the whole
+        // 200×candidates join output by group key. The conf is
+        // session-global and order-dependent (raising it risks OOM on the
+        // grow-with-rows percentile buffers it protects), so instead the
+        // argmax becomes fixed-width: the window ordering
+        // (sim DESC NULLS LAST, prior_id ASC) is packed into one mutable
+        // DECIMAL —
+        //   packed = s4 · 10²⁰ − prior_id,
+        //   s4     = round(sim·10⁴) ∈ [−10⁴, 10⁴], or −2·10⁴ for NULL sim
+        // — exact (sim is 4dp via Exact.roundN, so double→decimal(6,4)
+        // recovers it exactly; |prior_id| < 10¹⁹ < 10²⁰/2 keeps the two
+        // fields non-overlapping), strictly monotonic in the window
+        // order, and collision-free (prior_id is unique per group). The
+        // two max_by(…, packed) aggregates are DeclarativeAggregates on
+        // all-mutable buffers, so the plan is a codegen'd
+        // HashAggregateExec — NO fallback threshold at ANY group count,
+        // no per-row typed-encoder work, and max_by(sim, packed) returns
+        // NULL for a NULL-sim winner, the old ns-flag contract. Parity:
+        // EmbeddingArgmaxSpec fuzzes the packed pick against the r21
+        // aggregate and the r20 window on adversarial tie/NULL fixtures;
+        // oracle unchanged (Verify 201/201). prior_id is non-null by
+        // construction: a NULL vec_id fails the `prior_id < vec_id` join
+        // predicate.
+        val s4 = when(col("sim").isNull, lit(-20000L))
+          .otherwise((col("sim").cast("decimal(6,4)") * lit(10000)).cast("long"))
+        val packed = (s4.cast("decimal(7,0)") *
+          lit(new java.math.BigDecimal("100000000000000000000")) -
+          col("prior_id").cast("decimal(20,0)")).as("packed")
         q.join(c, col("prior_id") < col("vec_id"))
           .withColumn("sim", Exact.roundN(Similarity.cosine(col("qv"), col("cv")), 4))
+          .withColumn("packed", packed)
           .groupBy(col("vec_id"))
-          .agg(top1(col("sim").isNull, coalesce(col("sim"), lit(0.0d)),
-            col("prior_id")).as("tk"))
-          .select(col("vec_id"), explode(col("tk.items")).as("it"))
-          .select(col("vec_id"), col("it.k").as("best_prior_id"),
-            when(col("it.ns"), lit(null).cast("double")).otherwise(col("it.s")).as("sim"))
+          .agg(max_by(col("prior_id"), col("packed")).as("best_prior_id"),
+            max_by(col("sim"), col("packed")).as("sim"))
           .withColumn("is_dup", col("sim") >= 0.95d)
           .orderBy("vec_id")
       },

