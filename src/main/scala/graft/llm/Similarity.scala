@@ -79,9 +79,11 @@ object Similarity {
     //    x4096 re-measure paid 92 GB spill and ~2× the window's wall.
     //  - THIS shape: the 8 centroids are one collect_list row
     //    (sort_array ⇒ cent_id-ascending iteration order), broadcast as
-    //    a 1-row cross join, and each vector picks its cell inside a
-    //    codegen'd `aggregate()` lambda — O(#centroids) FLOPs per row,
-    //    zero row blowup, zero shuffle, zero sort, per-task state O(1).
+    //    a 1-row cross join, and each vector picks its cell inside an
+    //    `aggregate()` lambda — an INTERPRETED higher-order function
+    //    (CodegenFallback; the r21 doc oversold it as "codegen'd" —
+    //    VERDICT r21 #4), but O(#centroids) FLOPs per row, zero row
+    //    blowup, zero shuffle, zero sort, per-task state O(1).
     // Ordering contract mirrors the replaced window's
     // (csim DESC NULLS LAST, cent_id ASC) exactly: iterate centroids in
     // cent_id order and replace only when the candidate STRICTLY beats
@@ -98,6 +100,27 @@ object Similarity {
     // aggregate-vs-HOF differential (diff = 0); plan by PlanSpec.
     val centsArr = broadcast(cents
       .agg(sort_array(collect_list(struct(col("cent_id"), col("cent")))).as("cents")))
+    // Round 22 (VERDICT r21 #5) — a STATIC-unrolled argmax was built,
+    // measured, and REJECTED; this HOF stays. The candidate replaced the
+    // interpreted `aggregate()` loop with 8 codegen'd packed-long
+    // columns + greatest() (p_i = s4_i·16 + (15−i)); STANDALONE it was
+    // 40% faster on the assignment pass (R22Probe kmeansprof x1024:
+    // 2.58-2.65 → 1.53-1.61 s, parity diff 0). COMPOSED into ivfTop5 it
+    // regressed the full query ~25×: top5 at x1024 5.6-7.4 → 134-140 s;
+    // sim_ann_ivf x2048/x4096 247/485 s vs r21's 17.3 s (R22Probe
+    // ivfbisect; the aborted x4096 cells are quoted in
+    // OPTIMIZATION_r22.md). Root cause, read from the physical plans:
+    // the downstream cell===ccell equi-join infers isnotnull(cell), and
+    // filter pushdown INLINES it through the projection into THIS
+    // BroadcastNestedLoopJoin's condition (it references both join
+    // sides — emb and cents — so it can sink no further); there the
+    // unrolled 8-cosine tree is one enormous predicate whose per-pair
+    // evaluation ran ~25× slower than this HOF's compact
+    // isnotnull(aggregate(…).cid), which pays the same inference but
+    // evaluates as a small interpreted loop. The HOF is NOT the hot
+    // path at scale (the x4096 walls are join/decimal-bound — see the
+    // kmeans breakdown in OPTIMIZATION_r22.md §6), and its scale
+    // properties stand: zero shuffle, zero spill, O(1) per-task state.
     val best = aggregate(col("cents"),
       struct(lit(null).cast("long").as("cid"), lit(null).cast("double").as("cs")),
       (b, c) => {

@@ -371,7 +371,38 @@ object R22Probe {
           Exact.roundN(sum(col("x").cast("decimal(28,10)")).cast("double") /
             count(lit(1)), 6).as("centroid"))
         .orderBy("cell", "dim")
-      time(s"kmeans x$k assignment only", 2) { evalAll(assigned) }
+      // VERDICT r21 #5 candidate: argmax via 8 STATIC codegen'd cosine
+      // columns + a packed-long greatest (p_i = s4·16 + (15−i): max s4
+      // first, then smallest index) instead of the interpreted
+      // aggregate() HOF loop. Whole-stage codegen spans the project.
+      def assignedStatic: DataFrame = {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("emb").as("cent"))
+        val centsArr = broadcast(cents
+          .agg(sort_array(collect_list(struct(col("cent_id"), col("cent")))).as("cents")))
+        val ps = (0 until 8).map { i =>
+          val c = try_element_at(col("cents"), lit(i + 1))
+          val cs = Exact.roundN(graft.llm.Similarity.cosine(col("emb"), c("cent")), 4)
+          val s4 = (cs.cast("decimal(6,4)") * lit(10000)).cast("long")
+          (s4 * 16 + (15 - i)).as(s"p$i")
+        }
+        val best = greatest(ps: _*)
+        val idx = (lit(15) - pmod(best, lit(16))).cast("int")
+        val cell = coalesce(
+          try_element_at(col("cents"), idx + 1)("cent_id"),
+          try_element_at(col("cents"), lit(1))("cent_id"))
+        e.crossJoin(centsArr).filter(size(col("cents")) > 0)
+          .select(col("vec_id"), col("emb"), cell.as("cell"))
+      }
+      time(s"kmeans x$k assignment only", 4) { evalAll(assigned) }
+      time(s"kmeans x$k assignment STATIC codegen argmax", 4) { evalAll(assignedStatic) }
+      val adiff = assigned.select("vec_id", "cell")
+        .exceptAll(assignedStatic.select("vec_id", "cell")).count() +
+        assignedStatic.select("vec_id", "cell")
+          .exceptAll(assigned.select("vec_id", "cell")).count()
+      println(s"[probe] kmeansprof assignment parity hof-vs-static diff=$adiff")
       time(s"kmeans x$k full registered body", 2) { evalAll(fullStep) }
       // variant: 64 column sums (fixtures are 64-dim; a production
       // version would need the >64-dim tail — this is a PROBE only)
@@ -391,6 +422,95 @@ object R22Probe {
       time(s"kmeans x$k column-sums variant", 2) { evalAll(colSums) }
       val diff = fullStep.exceptAll(colSums).count() + colSums.exceptAll(fullStep).count()
       println(s"[probe] kmeansprof parity full-vs-colsums diff=$diff")
+      // diagnostic ONLY (inexact — double sum): attributes the second
+      // half's cost between the Generate row-stream and the wide-decimal
+      // accumulation.
+      def doubleSum: DataFrame = assigned
+        .select(col("cell"), posexplode(col("emb")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      time(s"kmeans x$k DIAGNOSTIC double-sum second half", 2) { evalAll(doubleSum) }
+    }
+
+    // ------------------------------------------------------------ ivfbisect
+    // Diagnose the x2048/x4096 sim_ann_ivf wall regression after the
+    // static-argmax change: time the assignment alone and the full
+    // ivfTop5 under BOTH argmax forms on the x1024 corpus built by
+    // kmeansprof (target/r22_kmeans_x1024).
+    if (which("ivfbisect")) {
+      val dir = args.lift(2).getOrElse("target/r22_kmeans_x1024")
+      def evalAll(df: DataFrame): Long = {
+        val r = df.select(xxhash64(df.columns.map(col): _*).as("hh"))
+          .agg(count(lit(1)).as("n"), expr("bit_xor(hh)")).head()
+        r.getLong(0)
+      }
+      def assignedWith(static: Boolean): DataFrame = {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("emb").as("cent"))
+        val centsArr = broadcast(cents
+          .agg(sort_array(collect_list(struct(col("cent_id"), col("cent")))).as("cents")))
+        val cell =
+          if (static) {
+            val ps = (0 until 8).map { i =>
+              val c = try_element_at(col("cents"), lit(i + 1))
+              val cs = Exact.roundN(graft.llm.Similarity.cosine(col("emb"), c("cent")), 4)
+              val s4 = (cs.cast("decimal(6,4)") * lit(10000)).cast("long")
+              s4 * 16 + (15 - i)
+            }
+            val bestP = greatest(ps: _*)
+            val idx = (lit(15) - pmod(bestP, lit(16))).cast("int")
+            coalesce(try_element_at(col("cents"), idx + 1)("cent_id"),
+              try_element_at(col("cents"), lit(1))("cent_id"))
+          } else {
+            val best = aggregate(col("cents"),
+              struct(lit(null).cast("long").as("cid"), lit(null).cast("double").as("cs")),
+              (b, c) => {
+                val cs = Exact.roundN(graft.llm.Similarity.cosine(col("emb"), c("cent")), 4)
+                when(b("cid").isNull || (cs.isNotNull && (b("cs").isNull || cs > b("cs"))),
+                  struct(c("cent_id").as("cid"), cs.as("cs"))).otherwise(b)
+              })
+            best("cid")
+          }
+        e.crossJoin(centsArr).filter(size(col("cents")) > 0)
+          .select(col("vec_id"), col("emb"), cell.as("cell"))
+      }
+      def top5With(static: Boolean): DataFrame = {
+        val assigned = assignedWith(static)
+        val q = broadcast(assigned.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("cell")))
+        val c = assigned.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"),
+          col("cell").as("ccell"))
+        val topk = graft.functions.TopKNeighbors.top5
+        q.join(c, col("cell") === col("ccell") && col("query_id") =!= col("neighbor_id"))
+          .withColumn("sim", Exact.roundN(graft.llm.Similarity.cosine(col("qe"), col("ce")), 4))
+          .groupBy(col("query_id"), col("cell"))
+          .agg(topk(col("sim").isNull, coalesce(col("sim"), lit(0.0d)),
+            col("neighbor_id")).as("tk"))
+          .select(col("query_id"), col("cell"), explode(col("tk.items")).as("it"))
+          .select(col("query_id"), col("cell"), col("it.k").as("neighbor_id"),
+            when(col("it.ns"), lit(null).cast("double")).otherwise(col("it.s")).as("sim"))
+      }
+      Seq(false -> "HOF", true -> "STATIC").foreach { case (st, tag) =>
+        val op = top5With(st).queryExecution.optimizedPlan
+        op.collect { case n =>
+          val s = n.simpleString(Int.MaxValue)
+          val cos = "graft_cosine\\(".r.findAllIn(s).size
+          if (cos > 0) println(s"[probe] ivfbisect optplan $tag ${n.nodeName} cosines=$cos len=${s.length}")
+        }
+        val pp = top5With(st).queryExecution.executedPlan
+        finalPlans(pp).foreach { n =>
+          val s = n.simpleString(Int.MaxValue)
+          val cos = "graft_cosine\\(".r.findAllIn(s).size
+          if (cos > 0 || n.nodeName.contains("Join"))
+            println(s"[probe] ivfbisect physplan $tag ${n.nodeName} cosines=$cos len=${s.length}")
+        }
+      }
+      time("ivfbisect assignment HOF", 2) { evalAll(assignedWith(false)) }
+      time("ivfbisect assignment STATIC", 2) { evalAll(assignedWith(true)) }
+      time("ivfbisect top5 HOF", 2) { evalAll(top5With(false)) }
+      time("ivfbisect top5 STATIC", 2) { evalAll(top5With(true)) }
     }
 
     // ------------------------------------------------------------ trimmed
